@@ -1,0 +1,42 @@
+"""TPU-native 2D realistic-audio ray tracing framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+``clarkipeng/RealisticAudioRaytracing2D`` (a Unity C#/HLSL GPU audio ray
+tracer): stochastic 2D acoustic path tracing against polygon scenes with
+per-material absorption/scattering/transmission/refraction, impulse-response
+construction via deterministic scatter-add, Monte-Carlo accumulation across
+frames, and dry-signal convolution — offline bake or real-time chunked
+streaming with crossfaded double-buffered IRs — plus multi-source mixdown
+and room-dataset sweeps sharded over TPU meshes.
+
+Quick start::
+
+    import realisticaudioraytracing2d_tpu as art
+    room = art.rooms.smoll_room()
+    eng = art.Engine(room.scene, art.smoll_room_config())
+    ir_state = eng.trace_frames(art.TraceParams.make(
+        room.source, room.listener, room.listener_radius), frames=8)
+    wet = eng.bake(dry_audio, ir_state)
+"""
+
+from . import config
+from .config import (AudioConfig, DebugConfig, EngineConfig, SimConfig,
+                     big_room_config, smoll_room_config)
+from .models import materials, rooms, scene
+from .models.materials import (MATERIAL_ANECHOIC, MATERIAL_BORDER,
+                               MATERIAL_INTERIOR, AudioMaterial)
+from .models.scene import Scene, SceneBuilder, Transform2D
+from .ops import convolve, geometry, ir, trace
+from .ops.ir import IRState
+from .ops.trace import DebugPaths, Hits, TraceParams
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AudioConfig", "AudioMaterial", "DebugConfig", "DebugPaths",
+    "EngineConfig", "Hits", "IRState", "MATERIAL_ANECHOIC",
+    "MATERIAL_BORDER", "MATERIAL_INTERIOR", "Scene", "SceneBuilder",
+    "SimConfig", "TraceParams", "Transform2D", "big_room_config", "config",
+    "convolve", "geometry", "ir", "materials", "rooms", "scene",
+    "smoll_room_config", "trace",
+]
