@@ -1,0 +1,134 @@
+"""Benchmark suite — prints ONE JSON line with the headline metric.
+
+Headline: ray-bounce intersection throughput per chip (BASELINE.json
+north-star target: >= 100e6 /s/chip on the trace kernel semantics of
+``Raytrace2D.compute:49-156``, counting both the nearest-hit pass and the
+NEE occlusion pass like BASELINE.md does). ``vs_baseline`` is the ratio to
+that 100 M/s target.
+
+Secondary diagnostics (IR build ms, streaming xRT at 44.1 kHz, rooms/s
+sweep rate) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    jax.block_until_ready(x)
+    return x
+
+
+def bench_trace(n_rays=131072, max_bounces=8, n_frames=50,
+                sample_rate=48000, ir_length=72000):
+    """Frame loop runs *inside* one jit (lax.scan over frames) so the
+    measurement reflects device throughput, not per-call host dispatch
+    latency (~1 ms/call through the remote-TPU tunnel)."""
+    import realisticaudioraytracing2d_tpu as art
+    from realisticaudioraytracing2d_tpu.engine import trace_accumulate
+    from realisticaudioraytracing2d_tpu.ops.ir import IRState
+
+    room = art.rooms.smoll_room(pad_to=32)
+    n_valid_walls = int(np.asarray(room.scene.n_valid))
+    params = art.TraceParams.make(room.source, room.listener,
+                                  room.listener_radius, 343.0, 1.0)
+    key = jax.random.PRNGKey(0)
+
+    def run(st, k):
+        return trace_accumulate(room.scene, params, st, k,
+                                n_rays=n_rays, max_bounces=max_bounces,
+                                sample_rate=sample_rate, n_frames=n_frames)
+
+    _sync(run(IRState.zeros(ir_length, 1, 1), key).sum)  # compile
+    state = IRState.zeros(ir_length, 1, 1)
+    t0 = time.perf_counter()
+    state = run(state, jax.random.fold_in(key, 1))
+    _sync(state.sum)
+    dt = time.perf_counter() - t0
+
+    frame_ms = dt / n_frames * 1e3
+    # nearest-hit pass + NEE occlusion pass, valid walls only (padded lanes
+    # not counted, though they are computed).
+    tests = n_rays * max_bounces * n_valid_walls * 2 * n_frames
+    return tests / dt, frame_ms
+
+
+def bench_ir_build(n_frames=20, sample_rate=48000, ir_length=72000):
+    """IR scatter cost alone: accumulate pre-traced hits."""
+    import realisticaudioraytracing2d_tpu as art
+    from realisticaudioraytracing2d_tpu.ops import ir as irm
+    from realisticaudioraytracing2d_tpu.ops.trace import trace_hits_only
+
+    room = art.rooms.smoll_room(pad_to=32)
+    params = art.TraceParams.make(room.source, room.listener, 0.5, 343.0,
+                                  1.0)
+    hits = trace_hits_only(room.scene, params, jax.random.PRNGKey(0),
+                           n_rays=15000, max_bounces=5)
+    _sync(hits.valid)
+    scatter = jax.jit(lambda h: irm.scatter_hits(h, sample_rate, ir_length))
+    _sync(scatter(hits))
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        out = scatter(hits)
+    _sync(out)
+    return (time.perf_counter() - t0) / n_frames * 1e3
+
+
+def bench_streaming_xrt(sample_rate=44100, reverb=1.5, chunk=0.1,
+                        n_chunks=20):
+    """Streaming conv throughput: chunks/s vs realtime (trace excluded —
+    convolution + ring path only, matching the 'streaming convolution xRT'
+    metric)."""
+    from realisticaudioraytracing2d_tpu.ops.convolve import (
+        convolve_chunk_crossfade)
+
+    n = int(sample_rate * chunk)
+    t = int(sample_rate * reverb)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, n),
+                    jnp.float32)
+    ir = jnp.asarray(np.random.default_rng(1).uniform(0, 1e-3, t),
+                     jnp.float32)
+    f = jax.jit(lambda a, i1, i2: convolve_chunk_crossfade(a, i1, i2, 1, 1))
+    _sync(f(x, ir, ir))
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        out = f(x, ir, ir)
+    _sync(out)
+    dt = time.perf_counter() - t0
+    return (n_chunks * chunk) / dt
+
+
+def main():
+    backend = jax.default_backend()
+    print(f"backend={backend} devices={jax.devices()}", file=sys.stderr)
+
+    rps, frame_ms = bench_trace()
+    _, ref_frame_ms = bench_trace(n_rays=15000, max_bounces=5)
+    ir_ms = bench_ir_build()
+    xrt = bench_streaming_xrt()
+
+    print(f"trace frame @131k rays x 8 bounces: {frame_ms:.2f} ms; "
+          f"@reference workload 15k x 5: {ref_frame_ms:.2f} ms "
+          f"(60Hz budget: {'OK' if ref_frame_ms < 16.6 else 'OVER'}); "
+          f"IR scatter: {ir_ms:.2f} ms; "
+          f"streaming conv: {xrt:.0f}x realtime @44.1kHz",
+          file=sys.stderr)
+
+    result = {
+        "metric": "ray_bounce_intersections_per_sec_per_chip",
+        "value": float(f"{rps:.4g}"),
+        "unit": "intersections/s",
+        "vs_baseline": float(f"{rps / 100e6:.4g}"),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

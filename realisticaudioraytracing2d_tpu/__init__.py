@@ -19,9 +19,10 @@ Quick start::
     wet = eng.bake(dry_audio, ir_state)
 """
 
-from . import config
+from . import config, parallel, utils
 from .config import (AudioConfig, DebugConfig, EngineConfig, SimConfig,
                      big_room_config, smoll_room_config)
+from .engine import Engine, bake_audio, trace_accumulate
 from .models import materials, rooms, scene
 from .models.materials import (MATERIAL_ANECHOIC, MATERIAL_BORDER,
                                MATERIAL_INTERIOR, AudioMaterial)
@@ -29,14 +30,17 @@ from .models.scene import Scene, SceneBuilder, Transform2D
 from .ops import convolve, geometry, ir, trace
 from .ops.ir import IRState
 from .ops.trace import DebugPaths, Hits, TraceParams
+from .streaming import RingBuffer, Streamer, StreamState, stream_chunk
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "AudioConfig", "AudioMaterial", "DebugConfig", "DebugPaths",
+    "AudioConfig", "AudioMaterial", "DebugConfig", "DebugPaths", "Engine",
     "EngineConfig", "Hits", "IRState", "MATERIAL_ANECHOIC",
-    "MATERIAL_BORDER", "MATERIAL_INTERIOR", "Scene", "SceneBuilder",
-    "SimConfig", "TraceParams", "Transform2D", "big_room_config", "config",
-    "convolve", "geometry", "ir", "materials", "rooms", "scene",
-    "smoll_room_config", "trace",
+    "MATERIAL_BORDER", "MATERIAL_INTERIOR", "RingBuffer", "Scene",
+    "SceneBuilder", "SimConfig", "StreamState", "Streamer", "TraceParams",
+    "Transform2D", "bake_audio", "big_room_config", "config", "convolve",
+    "geometry", "ir", "materials", "parallel", "rooms", "scene",
+    "smoll_room_config", "stream_chunk", "trace", "trace_accumulate",
+    "utils",
 ]

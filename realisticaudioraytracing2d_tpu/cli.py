@@ -1,0 +1,264 @@
+"""Command-line interface: ``trace``, ``bake``, ``stream``, ``sweep``,
+``bench``.
+
+The headless counterpart of the reference's interactive keyboard API
+(Space = stream/bake toggle, R = reset — ``RayTraceManager.cs:55-61``):
+each subcommand runs one pipeline end to end and writes files (WAV, PNG,
+NPZ) instead of playing/drawing live.
+
+Usage examples::
+
+    python -m realisticaudioraytracing2d_tpu.cli trace --room smoll \
+        --out ir.png --scene-out scene.png
+    python -m realisticaudioraytracing2d_tpu.cli bake --room smoll \
+        --in dry.wav --out wet.wav --frames 16
+    python -m realisticaudioraytracing2d_tpu.cli stream --room big \
+        --in dry.wav --out wet.wav --move-listener 1.0,0.0
+    python -m realisticaudioraytracing2d_tpu.cli sweep --rooms 64 \
+        --out dataset.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def _build_room(args):
+    from .models import rooms as rooms_mod
+    from .models.materials import AudioMaterial
+    from .models.rooms import RoomSetup
+    from .models.scene import SceneBuilder, Transform2D
+
+    if args.scene_json:
+        with open(args.scene_json) as f:
+            spec = json.load(f)
+        b = SceneBuilder(n_bands=spec.get("n_bands", args.bands))
+        for box in spec["boxes"]:
+            mat = AudioMaterial(**box.get("material", {}))
+            tf = Transform2D(position=tuple(box.get("position", (0, 0))),
+                             angle=float(box.get("angle", 0.0)),
+                             scale=tuple(box.get("scale", (1, 1))))
+            b.add_box(mat, tf, size=tuple(box.get("size", (1, 1))),
+                      offset=tuple(box.get("offset", (0, 0))))
+        return RoomSetup(
+            scene=b.build(),
+            source=np.asarray(spec["source"], np.float32),
+            listener=np.asarray(spec["listener"], np.float32),
+            listener_radius=float(spec.get("listener_radius", 0.5)))
+    if args.room == "smoll":
+        return rooms_mod.smoll_room(n_bands=args.bands)
+    if args.room == "big":
+        return rooms_mod.big_room(n_bands=args.bands)
+    raise SystemExit(f"unknown room {args.room!r}")
+
+
+def _config(args):
+    from .config import big_room_config, smoll_room_config
+    cfg = (big_room_config if args.room == "big" else smoll_room_config)(
+        n_bands=args.bands, ray_count=args.rays)
+    sim = dataclasses.replace(cfg.sim, max_bounces=args.bounces)
+    audio = dataclasses.replace(cfg.audio, sample_rate=args.sample_rate,
+                                reverb_duration=args.reverb)
+    return dataclasses.replace(cfg, sim=sim, audio=audio)
+
+
+def _common(p):
+    p.add_argument("--room", default="smoll", choices=["smoll", "big"])
+    p.add_argument("--scene-json", default=None,
+                   help="JSON scene file overriding --room")
+    p.add_argument("--rays", type=int, default=15000)
+    p.add_argument("--bounces", type=int, default=5)
+    p.add_argument("--bands", type=int, default=1)
+    p.add_argument("--sample-rate", type=int, default=48000)
+    p.add_argument("--reverb", type=float, default=1.5)
+    p.add_argument("--frames", type=int, default=8,
+                   help="Monte-Carlo trace frames to accumulate")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def cmd_trace(args):
+    import jax
+
+    from .engine import Engine
+    from .utils import viz
+
+    room = _build_room(args)
+    cfg = _config(args)
+    eng = Engine(room.scene, cfg)
+    p = eng.params(room.source, room.listener)
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.perf_counter()
+    state = eng.trace_frames(p, key, n_frames=args.frames)
+    jax.block_until_ready(state.sum)
+    dt = time.perf_counter() - t0
+    ir = np.asarray(state.normalized())[0, :, 0]
+    print(f"traced {args.frames} frames x {args.rays} rays in {dt:.3f}s; "
+          f"IR energy {ir.sum():.5f}, peak bin {ir.argmax()} "
+          f"({ir.argmax() / cfg.audio.sample_rate * 1e3:.2f} ms)")
+    if args.out:
+        img = viz.ir_waveform_image(state.sum[0], state.frames,
+                                    gain=args.gain)
+        viz.save_image(args.out, img)
+        print(f"wrote {args.out}")
+    if args.scene_out:
+        _, dbg = eng.trace_debug(p, key, n_debug=args.debug_rays)
+        img = viz.render_scene(room.scene, room.source, room.listener,
+                               room.listener_radius, dbg)
+        viz.save_image(args.scene_out, img)
+        print(f"wrote {args.scene_out}")
+    if args.ir_out:
+        from .utils.checkpoint import save_ir_state
+        save_ir_state(args.ir_out, state)
+        print(f"wrote {args.ir_out}")
+
+
+def cmd_bake(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .engine import Engine
+    from .ops.convolve import load_samples
+    from .utils.audio_io import read_wav, write_wav
+
+    room = _build_room(args)
+    cfg = _config(args)
+    eng = Engine(room.scene, cfg)
+    p = eng.params(room.source, room.listener)
+    x, rate = read_wav(args.infile)
+    dry = np.asarray(load_samples(jnp.asarray(x), rate,
+                                  cfg.audio.sample_rate))
+    state = eng.trace_frames(p, jax.random.PRNGKey(args.seed),
+                             n_frames=args.frames)
+    t0 = time.perf_counter()
+    wet = np.asarray(eng.bake(jnp.asarray(dry), state,
+                              normalize=not args.no_normalize))
+    dt = time.perf_counter() - t0
+    write_wav(args.out, wet.T if wet.ndim > 1 else wet,
+              cfg.audio.sample_rate)
+    xrt = (len(dry) / cfg.audio.sample_rate) / dt
+    print(f"baked {len(dry)} samples in {dt:.3f}s ({xrt:.1f}x realtime) "
+          f"-> {args.out}")
+
+
+def cmd_stream(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .engine import Engine
+    from .ops.convolve import load_samples
+    from .streaming import Streamer
+    from .utils.audio_io import read_wav, write_wav
+
+    room = _build_room(args)
+    cfg = _config(args)
+    eng = Engine(room.scene, cfg)
+    x, rate = read_wav(args.infile)
+    dry = jnp.asarray(load_samples(jnp.asarray(x), rate,
+                                   cfg.audio.sample_rate))
+    vel = np.asarray([float(v) for v in args.move_listener.split(",")]) \
+        if args.move_listener else np.zeros(2)
+    chunk_dt = cfg.audio.chunk_duration
+
+    def poses(i):
+        return eng.params(room.source,
+                          room.listener + (vel * i * chunk_dt).astype(
+                              np.float32))
+
+    streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
+                        frames_per_chunk=args.frames_per_chunk)
+    t0 = time.perf_counter()
+    wet = np.asarray(streamer.stream_clip(dry, poses))
+    dt = time.perf_counter() - t0
+    write_wav(args.out, wet[0], cfg.audio.sample_rate)
+    xrt = (wet.shape[-1] / cfg.audio.sample_rate) / dt
+    print(f"streamed {wet.shape[-1]} samples in {dt:.2f}s "
+          f"({xrt:.2f}x realtime) -> {args.out}")
+
+
+def cmd_sweep(args):
+    import jax
+
+    from .models.rooms import random_rooms
+    from .parallel.mesh import make_mesh
+    from .parallel.sweep import sweep_rooms, sweep_rooms_sharded
+
+    scenes, sources, listeners = random_rooms(args.rooms, seed=args.seed,
+                                              n_bands=args.bands)
+    ir_len = int(args.sample_rate * args.reverb)
+    kw = dict(n_rays=args.rays, max_bounces=args.bounces,
+              sample_rate=args.sample_rate, ir_length=ir_len,
+              n_frames=args.frames)
+    t0 = time.perf_counter()
+    if args.sharded and len(jax.devices()) > 1:
+        mesh = make_mesh((len(jax.devices()), 1))
+        irs = sweep_rooms_sharded(scenes, sources, listeners,
+                                  jax.random.PRNGKey(args.seed), mesh, **kw)
+    else:
+        irs = sweep_rooms(scenes, sources, listeners,
+                          jax.random.PRNGKey(args.seed), **kw)
+    irs = np.asarray(irs)
+    dt = time.perf_counter() - t0
+    np.savez_compressed(args.out, irs=irs, sources=sources,
+                        listeners=listeners)
+    print(f"swept {args.rooms} rooms in {dt:.2f}s "
+          f"({args.rooms / dt:.1f} rooms/s) -> {args.out} "
+          f"irs shape {irs.shape}")
+
+
+def cmd_bench(args):
+    import bench  # repo-root bench.py
+    bench.main()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="realisticaudioraytracing2d_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("trace", help="trace IR + debug images")
+    _common(p)
+    p.add_argument("--out", default=None, help="IR waveform PNG")
+    p.add_argument("--scene-out", default=None, help="scene/ray-path PNG")
+    p.add_argument("--ir-out", default=None, help="IR state checkpoint npz")
+    p.add_argument("--gain", type=float, default=1000.0)
+    p.add_argument("--debug-rays", type=int, default=100)
+    p.set_defaults(fn=cmd_trace)
+
+    p = sub.add_parser("bake", help="offline convolution bake")
+    _common(p)
+    p.add_argument("--in", dest="infile", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--no-normalize", action="store_true")
+    p.set_defaults(fn=cmd_bake)
+
+    p = sub.add_parser("stream", help="chunked streaming convolution")
+    _common(p)
+    p.add_argument("--in", dest="infile", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--move-listener", default=None,
+                   help="listener velocity 'vx,vy' (m/s)")
+    p.add_argument("--frames-per-chunk", type=int, default=1)
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("sweep", help="IR dataset over procedural rooms")
+    _common(p)
+    p.add_argument("--rooms", type=int, default=64)
+    p.add_argument("--out", required=True)
+    p.add_argument("--sharded", action="store_true")
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("bench", help="run the benchmark suite")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

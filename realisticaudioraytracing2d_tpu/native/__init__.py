@@ -1,0 +1,236 @@
+"""ctypes bindings for the native host runtime (artnative.cpp).
+
+Compiled lazily with g++ on first use (cached as ``libartnative.so`` next
+to the source); every entry point has a NumPy fallback so the framework
+works without a toolchain. ``available()`` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "artnative.cpp")
+_LIB = os.path.join(_HERE, "libartnative.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _compile() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _LIB]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or \
+                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _compile():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.art_flatten_boxes.restype = ctypes.c_int
+        lib.art_flatten_boxes.argtypes = [f32p, ctypes.c_int, f32p]
+        lib.art_flatten_loop.restype = ctypes.c_int
+        lib.art_flatten_loop.argtypes = [f32p, ctypes.c_int, f32p, f32p]
+        lib.art_build_grid.restype = ctypes.c_int
+        lib.art_build_grid.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, i32p]
+        lib.art_ring_create.restype = ctypes.c_void_p
+        lib.art_ring_create.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.art_ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.art_ring_push.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int,
+                                      ctypes.c_int64]
+        lib.art_ring_drain.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int]
+        lib.art_ring_read_head.restype = ctypes.c_int64
+        lib.art_ring_read_head.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _f32(a: np.ndarray) -> "ctypes.pointer":
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32(a: np.ndarray) -> "ctypes.pointer":
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def flatten_boxes(boxes: np.ndarray) -> np.ndarray:
+    """Flatten boxes [(x, y, angle, sx, sy, w, h, ox, oy)] x N into edge
+    soup [N*4, 6] = (ax, ay, bx, by, nx, ny). Native fast path, NumPy
+    fallback (same math as SceneBuilder.add_box)."""
+    boxes = np.ascontiguousarray(boxes, np.float32).reshape(-1, 9)
+    n = boxes.shape[0]
+    lib = _load()
+    out = np.empty((n * 4, 6), np.float32)
+    if lib is not None:
+        wrote = lib.art_flatten_boxes(_f32(boxes), n, _f32(out))
+        return out[:wrote]
+    # NumPy fallback (vectorized)
+    cx = np.array([-0.5, 0.5, 0.5, -0.5], np.float32)
+    cy = np.array([-0.5, -0.5, 0.5, 0.5], np.float32)
+    px, py, ang, sx, sy, w, h, ox, oy = boxes.T
+    c, s = np.cos(ang), np.sin(ang)
+    lx = (cx[None] * w[:, None] + ox[:, None]) * sx[:, None]   # [n,4]
+    ly = (cy[None] * h[:, None] + oy[:, None]) * sy[:, None]
+    wx = c[:, None] * lx - s[:, None] * ly + px[:, None]
+    wy = s[:, None] * lx + c[:, None] * ly + py[:, None]
+    winding = np.sign(sx * sy)
+    winding[winding == 0] = 1.0
+    k2 = [1, 2, 3, 0]
+    a = np.stack([wx, wy], -1)                                  # [n,4,2]
+    b = a[:, k2]
+    d = b - a
+    ln = np.linalg.norm(d, axis=-1, keepdims=True)
+    d = np.where(ln > 0, d / np.maximum(ln, 1e-30), 0.0)
+    nrm = np.stack([d[..., 1], -d[..., 0]], -1) * winding[:, None, None]
+    return np.concatenate([a, b, nrm], -1).reshape(n * 4, 6).astype(
+        np.float32)
+
+
+def flatten_loop(points: np.ndarray, transform: Tuple[float, ...]
+                 ) -> np.ndarray:
+    """Flatten one closed loop under (x, y, angle, sx, sy)."""
+    pts = np.ascontiguousarray(points, np.float32).reshape(-1, 2)
+    tf = np.asarray(transform, np.float32)
+    n = pts.shape[0]
+    lib = _load()
+    if lib is not None:
+        out = np.empty((n, 6), np.float32)
+        lib.art_flatten_loop(_f32(pts), n, _f32(tf), _f32(out))
+        return out
+    # fallback via flatten_boxes-style math
+    px, py, ang, sx, sy = [float(v) for v in tf]
+    c, s = np.cos(ang), np.sin(ang)
+    lx = pts[:, 0] * sx
+    ly = pts[:, 1] * sy
+    wx = c * lx - s * ly + px
+    wy = s * lx + c * ly + py
+    a = np.stack([wx, wy], -1)
+    b = np.roll(a, -1, axis=0)
+    d = b - a
+    ln = np.linalg.norm(d, axis=-1, keepdims=True)
+    d = np.where(ln > 0, d / np.maximum(ln, 1e-30), 0.0)
+    winding = 1.0 if sx * sy >= 0 else -1.0
+    nrm = np.stack([d[:, 1], -d[:, 0]], -1) * winding
+    return np.concatenate([a, b, nrm], -1).astype(np.float32)
+
+
+def build_grid(segments: np.ndarray, xmin: float, ymin: float, cell: float,
+               gw: int, gh: int, max_per_cell: int
+               ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Bin segments [N, 6] into a uniform grid. Returns
+    ``(cells[gw*gh, max_per_cell] int32 (-1 padded), counts[gw*gh], worst)``
+    where ``worst`` is the max true occupancy (re-call with a larger pad if
+    worst > max_per_cell)."""
+    segs = np.ascontiguousarray(segments, np.float32).reshape(-1, 6)
+    n = segs.shape[0]
+    cells = np.empty((gw * gh, max_per_cell), np.int32)
+    counts = np.empty((gw * gh,), np.int32)
+    lib = _load()
+    if lib is not None:
+        worst = lib.art_build_grid(_f32(segs), n, xmin, ymin, cell, gw, gh,
+                                   max_per_cell, _i32(cells), _i32(counts))
+        return cells, counts, worst
+    # NumPy fallback
+    cells.fill(-1)
+    counts.fill(0)
+    worst = 0
+    for i in range(n):
+        x0, y0, x1, y1 = segs[i, :4]
+        if x0 == x1 and y0 == y1:
+            continue
+        cx0 = int(np.clip(np.floor((min(x0, x1) - xmin) / cell), 0, gw - 1))
+        cx1 = int(np.clip(np.floor((max(x0, x1) - xmin) / cell), 0, gw - 1))
+        cy0 = int(np.clip(np.floor((min(y0, y1) - ymin) / cell), 0, gh - 1))
+        cy1 = int(np.clip(np.floor((max(y0, y1) - ymin) / cell), 0, gh - 1))
+        for cy in range(cy0, cy1 + 1):
+            for cx in range(cx0, cx1 + 1):
+                ci = cy * gw + cx
+                if counts[ci] < max_per_cell:
+                    cells[ci, counts[ci]] = i
+                counts[ci] += 1
+                worst = max(worst, int(counts[ci]))
+    return cells, counts, worst
+
+
+class NativeRingBuffer:
+    """Mutex-protected additive ring buffer usable from a real audio
+    callback thread — the host twin of :class:`~..streaming.RingBuffer`
+    (which is the on-device jnp version). AudioManager.cs semantics."""
+
+    def __init__(self, size: int, channels: int = 1):
+        self.size = size
+        self.channels = channels
+        self._lib = _load()
+        if self._lib is not None:
+            self._h = self._lib.art_ring_create(channels, size)
+        else:
+            self._h = None
+            self._data = np.zeros((channels, size), np.float32)
+            self._head = 0
+            self._pylock = threading.Lock()
+
+    def push(self, samples: np.ndarray, offset: int) -> None:
+        samples = np.ascontiguousarray(samples, np.float32)
+        if samples.ndim == 1:
+            samples = samples[None, :]
+        n = samples.shape[-1]
+        if self._h is not None:
+            self._lib.art_ring_push(self._h, _f32(samples), n, offset)
+            return
+        with self._pylock:
+            idx = (offset + np.arange(n)) % self.size
+            np.add.at(self._data, (slice(None), idx), samples)
+
+    def drain(self, n: int) -> np.ndarray:
+        out = np.empty((self.channels, n), np.float32)
+        if self._h is not None:
+            self._lib.art_ring_drain(self._h, _f32(out), n)
+            return out
+        with self._pylock:
+            idx = (self._head + np.arange(n)) % self.size
+            out[:] = self._data[:, idx]
+            self._data[:, idx] = 0.0
+            self._head = (self._head + n) % self.size
+        return out
+
+    @property
+    def read_head(self) -> int:
+        if self._h is not None:
+            return int(self._lib.art_ring_read_head(self._h))
+        return self._head
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._lib is not None:
+            try:
+                self._lib.art_ring_destroy(self._h)
+            except Exception:
+                pass

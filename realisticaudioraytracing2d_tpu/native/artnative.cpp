@@ -1,0 +1,197 @@
+// Native host runtime: scene flattening + real-time audio ring buffer.
+//
+// These are the host-side (non-TPU) components of the framework whose
+// reference counterparts are C# host code:
+//  * scene flattening  — SceneToData2D.GetSegmentsFromColliders
+//    (Assets/Script/Helpers/SceneHelper.cs:29-98): collider loops ->
+//    transformed edge soup with winding-signed outward normals. At 60 Hz
+//    with dynamic obstacles this runs every frame (RayTraceManager.cs:67),
+//    so it must be allocation-free and cache-friendly.
+//  * streaming ring buffer — AudioManager's lock-protected overlap-add
+//    buffer drained by the audio thread (Assets/Script/AudioManager.cs:
+//    45-69). Here a mutex-protected additive ring with add-then-zero
+//    drain, usable from a real audio callback thread.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in the image).
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Scene flattening
+// ---------------------------------------------------------------------------
+
+// Each box: transform (x, y, angle, sx, sy) + size (w, h) + offset (ox, oy).
+// Output per edge: start.xy, end.xy, normal.xy  (6 floats), 4 edges per box.
+// Returns number of edges written.
+int art_flatten_boxes(const float* boxes, int n_boxes, float* out) {
+  static const float cx[4] = {-0.5f, 0.5f, 0.5f, -0.5f};
+  static const float cy[4] = {-0.5f, -0.5f, 0.5f, 0.5f};
+  int e = 0;
+  for (int i = 0; i < n_boxes; ++i) {
+    const float* b = boxes + i * 9;
+    const float px = b[0], py = b[1], ang = b[2], sx = b[3], sy = b[4];
+    const float w = b[5], h = b[6], ox = b[7], oy = b[8];
+    const float c = std::cos(ang), s = std::sin(ang);
+    const float winding = (sx * sy) < 0.f ? -1.f : 1.f;
+    float wx[4], wy[4];
+    for (int k = 0; k < 4; ++k) {
+      const float lx = (cx[k] * w + ox) * sx;
+      const float ly = (cy[k] * h + oy) * sy;
+      wx[k] = c * lx - s * ly + px;
+      wy[k] = s * lx + c * ly + py;
+    }
+    for (int k = 0; k < 4; ++k) {
+      const int k2 = (k + 1) & 3;
+      float dx = wx[k2] - wx[k], dy = wy[k2] - wy[k];
+      const float len = std::sqrt(dx * dx + dy * dy);
+      if (len > 0.f) { dx /= len; dy /= len; } else { dx = dy = 0.f; }
+      float* o = out + (e++) * 6;
+      o[0] = wx[k]; o[1] = wy[k];
+      o[2] = wx[k2]; o[3] = wy[k2];
+      o[4] = dy * winding; o[5] = -dx * winding;
+    }
+  }
+  return e;
+}
+
+// Flatten a closed polygon loop of n points under (x, y, angle, sx, sy).
+// points: n*2 floats (local space). out: n edges * 6 floats.
+int art_flatten_loop(const float* points, int n_pts, const float* transform,
+                     float* out) {
+  const float px = transform[0], py = transform[1], ang = transform[2];
+  const float sx = transform[3], sy = transform[4];
+  const float c = std::cos(ang), s = std::sin(ang);
+  const float winding = (sx * sy) < 0.f ? -1.f : 1.f;
+  std::vector<float> wx(n_pts), wy(n_pts);
+  for (int i = 0; i < n_pts; ++i) {
+    const float lx = points[i * 2] * sx;
+    const float ly = points[i * 2 + 1] * sy;
+    wx[i] = c * lx - s * ly + px;
+    wy[i] = s * lx + c * ly + py;
+  }
+  for (int i = 0; i < n_pts; ++i) {
+    const int j = (i + 1) % n_pts;
+    float dx = wx[j] - wx[i], dy = wy[j] - wy[i];
+    const float len = std::sqrt(dx * dx + dy * dy);
+    if (len > 0.f) { dx /= len; dy /= len; } else { dx = dy = 0.f; }
+    float* o = out + i * 6;
+    o[0] = wx[i]; o[1] = wy[i];
+    o[2] = wx[j]; o[3] = wy[j];
+    o[4] = dy * winding; o[5] = -dx * winding;
+  }
+  return n_pts;
+}
+
+// ---------------------------------------------------------------------------
+// Uniform-grid acceleration structure build (host side)
+// ---------------------------------------------------------------------------
+// Bins segments into a W x H uniform grid with fixed max occupancy per cell
+// (padded, TPU-friendly: the device kernel reads [n_cells, max_per_cell]
+// int32 wall indices, -1 padded). Conservative rasterization: a segment is
+// added to every cell its AABB touches. Returns max occupancy actually
+// seen (may exceed max_per_cell, caller re-binds with a bigger pad).
+int art_build_grid(const float* segs /*n*6*/, int n_segs,
+                   float xmin, float ymin, float cell, int gw, int gh,
+                   int max_per_cell, int32_t* out_cells /*gw*gh*max*/,
+                   int32_t* out_counts /*gw*gh*/) {
+  const int n_cells = gw * gh;
+  for (int i = 0; i < n_cells; ++i) out_counts[i] = 0;
+  for (int i = 0; i < n_cells * max_per_cell; ++i) out_cells[i] = -1;
+  int worst = 0;
+  for (int sIdx = 0; sIdx < n_segs; ++sIdx) {
+    const float* sp = segs + sIdx * 6;
+    float x0 = sp[0], y0 = sp[1], x1 = sp[2], y1 = sp[3];
+    if (x0 == x1 && y0 == y1) continue;  // degenerate padding
+    int cx0 = (int)std::floor((std::fmin(x0, x1) - xmin) / cell);
+    int cx1 = (int)std::floor((std::fmax(x0, x1) - xmin) / cell);
+    int cy0 = (int)std::floor((std::fmin(y0, y1) - ymin) / cell);
+    int cy1 = (int)std::floor((std::fmax(y0, y1) - ymin) / cell);
+    cx0 = cx0 < 0 ? 0 : (cx0 >= gw ? gw - 1 : cx0);
+    cx1 = cx1 < 0 ? 0 : (cx1 >= gw ? gw - 1 : cx1);
+    cy0 = cy0 < 0 ? 0 : (cy0 >= gh ? gh - 1 : cy0);
+    cy1 = cy1 < 0 ? 0 : (cy1 >= gh ? gh - 1 : cy1);
+    for (int cy = cy0; cy <= cy1; ++cy) {
+      for (int cx = cx0; cx <= cx1; ++cx) {
+        const int cellIdx = cy * gw + cx;
+        const int cnt = out_counts[cellIdx];
+        if (cnt < max_per_cell) out_cells[cellIdx * max_per_cell + cnt] = sIdx;
+        out_counts[cellIdx] = cnt + 1;
+        if (cnt + 1 > worst) worst = cnt + 1;
+      }
+    }
+  }
+  return worst;
+}
+
+// ---------------------------------------------------------------------------
+// Real-time ring buffer
+// ---------------------------------------------------------------------------
+
+struct ArtRing {
+  std::vector<float> data;
+  std::mutex lock;
+  int64_t read_head = 0;
+  int channels = 1;
+  int size = 0;
+};
+
+void* art_ring_create(int channels, int size) {
+  ArtRing* r = new ArtRing();
+  r->channels = channels;
+  r->size = size;
+  r->data.assign((size_t)channels * size, 0.f);
+  return r;
+}
+
+void art_ring_destroy(void* h) { delete static_cast<ArtRing*>(h); }
+
+// Overlap-add n samples per channel at absolute sample offset
+// (PushSamples semantics: AudioManager.cs:45-54).
+void art_ring_push(void* h, const float* samples, int n, int64_t offset) {
+  ArtRing* r = static_cast<ArtRing*>(h);
+  std::lock_guard<std::mutex> g(r->lock);
+  for (int c = 0; c < r->channels; ++c) {
+    float* base = r->data.data() + (size_t)c * r->size;
+    const float* src = samples + (size_t)c * n;
+    int64_t w = offset % r->size;
+    if (w < 0) w += r->size;
+    for (int i = 0; i < n; ++i) {
+      base[w] += src[i];
+      if (++w == r->size) w = 0;
+    }
+  }
+}
+
+// Drain n samples per channel from the read head, zeroing consumed slots
+// (OnAudioFilterRead semantics: AudioManager.cs:56-69).
+void art_ring_drain(void* h, float* out, int n) {
+  ArtRing* r = static_cast<ArtRing*>(h);
+  std::lock_guard<std::mutex> g(r->lock);
+  int64_t head = r->read_head % r->size;
+  for (int c = 0; c < r->channels; ++c) {
+    float* base = r->data.data() + (size_t)c * r->size;
+    float* dst = out + (size_t)c * n;
+    int64_t p = head;
+    for (int i = 0; i < n; ++i) {
+      dst[i] = base[p];
+      base[p] = 0.f;
+      if (++p == r->size) p = 0;
+    }
+  }
+  r->read_head = (r->read_head + n) % r->size;
+}
+
+int64_t art_ring_read_head(void* h) {
+  ArtRing* r = static_cast<ArtRing*>(h);
+  std::lock_guard<std::mutex> g(r->lock);
+  return r->read_head;
+}
+
+}  // extern "C"

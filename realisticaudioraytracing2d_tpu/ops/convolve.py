@@ -53,7 +53,10 @@ def convolve_direct(x: jax.Array, ir: jax.Array,
     """
     if gate_eps is not None:
         x = gate_input(x, gate_eps)
-    full = jnp.convolve(x, ir)                      # length N+M-1
+    # precision=HIGHEST: parity oracle must be true f32, not a fast
+    # low-precision conv algorithm.
+    full = jnp.convolve(x, ir,
+                        precision=jax.lax.Precision.HIGHEST)  # length N+M-1
     full = jnp.pad(full, (0, 1))                    # reference length N+M
     acc = jnp.maximum(1, jnp.asarray(accum_count)).astype(jnp.float32)
     return full / acc
@@ -154,6 +157,45 @@ def load_samples(x: jax.Array, src_rate: int, dst_rate: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 # Banded synthesis: wet audio from a frequency-banded IR
 # ---------------------------------------------------------------------------
+
+def combined_transfer(ir: jax.Array, n_fft: int) -> jax.Array:
+    """Collapse a banded IR ``[..., T, K]`` into a single rfft-domain
+    transfer function ``[..., F]``: ``H = sum_k mask_k * rfft(ir[..., k])``.
+
+    Because the band masks partition the spectrum, convolving each
+    band-filtered input with its band IR and summing equals a single
+    convolution with this combined transfer function — one irfft instead
+    of K. For K == 1 this is just ``rfft(ir)``.
+    """
+    k = ir.shape[-1]
+    h = jnp.fft.rfft(jnp.moveaxis(ir, -1, -2), n_fft)     # [..., K, F]
+    if k == 1:
+        return h[..., 0, :]
+    masks = band_filterbank(ir.shape[-2], k, n_fft)       # [K, F]
+    return jnp.sum(h * masks, axis=-2)
+
+
+def apply_ir(x: jax.Array, ir: jax.Array,
+             accum_count: jax.Array | int = 1,
+             gate_eps: Optional[float] = EPS) -> jax.Array:
+    """Convolve mono input ``x[N]`` with an IR of shape ``[T]``, ``[T, K]``
+    (banded) or ``[L, T, K]`` (multi-listener banded). Returns wet audio of
+    shape ``[N+T]`` or ``[L, N+T]``. The general entry point used by the
+    bake and streaming engines."""
+    if gate_eps is not None:
+        x = gate_input(x, gate_eps)
+    squeeze = ir.ndim == 1
+    if squeeze:
+        ir = ir[:, None]
+    t = ir.shape[-2]
+    out_length = x.shape[-1] + t
+    n_fft = _next_pow2(out_length)
+    h = combined_transfer(ir, n_fft)                      # [..., F]
+    y = jnp.fft.irfft(jnp.fft.rfft(x, n_fft) * h, n_fft)[..., :out_length]
+    acc = jnp.maximum(1, jnp.asarray(accum_count)).astype(jnp.float32)
+    y = y / acc
+    return y[0] if (squeeze and y.ndim > 1) else y
+
 
 def band_filterbank(n_samples: int, n_bands: int, n_fft: int) -> jax.Array:
     """Brickwall rfft-domain masks splitting [0, nyquist] into ``n_bands``

@@ -1,0 +1,201 @@
+"""Real-time streaming pipeline: chunked convolution with live IR updates.
+
+Functional re-design of the reference's streaming path (SURVEY.md section
+3.3): ``FixedUpdate`` chunk clock + ``ProcessChunk`` coroutine
+(``Assets/Script/RayTraceManager.cs:64-123``) and the ``AudioManager``
+overlap-add ring buffer (``Assets/Script/AudioManager.cs:45-69``).
+
+Per audio chunk (0.1 s by default) the compiled :func:`stream_chunk` step:
+
+1. traces ``frames_per_chunk`` Monte-Carlo frames into a fresh IR (the
+   reference's double-buffered accumulate-then-reset cycle, made explicit);
+2. convolves the dry chunk against the *previous* chunk's IR and the new
+   one simultaneously and **crossfades** between them — replacing the
+   reference's audible hard IR switch (the improvement BASELINE.json's
+   north-star specifies);
+3. overlap-adds the wet chunk (including its reverb tail) into a ring
+   buffer and drains exactly one chunk for output — add-then-zero, the
+   ``PushSamples``/``OnAudioFilterRead`` contract.
+
+Everything lives on-device in one jit per chunk; state is an explicit
+pytree (:class:`StreamState`) with donated buffers in the host loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import EngineConfig
+from .models.scene import Scene
+from .ops import convolve as cv
+from .ops import ir as irm
+from .ops import rng as _rng
+from .ops.trace import TraceParams, trace_hits_only
+
+
+class RingBuffer(NamedTuple):
+    """Additive ring buffer ``[L, S]`` (AudioManager.cs:45-69 semantics:
+    writes add, reads zero what they consume)."""
+
+    data: jax.Array       # [L, S]
+    read_head: jax.Array  # scalar int32
+
+    @staticmethod
+    def zeros(size: int, n_listeners: int = 1) -> "RingBuffer":
+        return RingBuffer(data=jnp.zeros((n_listeners, size), jnp.float32),
+                          read_head=jnp.zeros((), jnp.int32))
+
+    @property
+    def size(self) -> int:
+        return self.data.shape[-1]
+
+    def push(self, samples: jax.Array, offset: jax.Array) -> "RingBuffer":
+        """Overlap-add ``samples[L, N]`` at absolute sample ``offset``
+        (wrapped mod size) — ``PushSamples`` (AudioManager.cs:45-54)."""
+        n = samples.shape[-1]
+        idx = (offset + jnp.arange(n)) % self.size
+        return self._replace(data=self.data.at[:, idx].add(samples))
+
+    def drain(self, n: int) -> Tuple[jax.Array, "RingBuffer"]:
+        """Read + zero ``n`` samples from the read head —
+        ``OnAudioFilterRead`` (AudioManager.cs:56-69)."""
+        idx = (self.read_head + jnp.arange(n)) % self.size
+        out = self.data[:, idx]
+        data = self.data.at[:, idx].set(0.0)
+        return out, RingBuffer(data=data,
+                               read_head=(self.read_head + n) % self.size)
+
+
+class StreamState(NamedTuple):
+    """Carried state of the streaming loop."""
+
+    prev_ir: jax.Array        # [L, T, K] previous chunk's normalized IR
+    ring: RingBuffer
+    sample_offset: jax.Array  # scalar int32, absolute stream position
+    chunk_index: jax.Array    # scalar int32
+
+
+def init_stream(ir_length: int, chunk_samples: int, n_listeners: int = 1,
+                n_bands: int = 1) -> StreamState:
+    """Ring sized to hold a full chunk + reverb tail with slack — the
+    reference sizes it ``(reverbDuration + 1) s`` (AudioManager.cs:30)."""
+    size = ir_length + 2 * chunk_samples
+    return StreamState(
+        prev_ir=jnp.zeros((n_listeners, ir_length, n_bands), jnp.float32),
+        ring=RingBuffer.zeros(size, n_listeners),
+        sample_offset=jnp.zeros((), jnp.int32),
+        chunk_index=jnp.zeros((), jnp.int32))
+
+
+def _crossfaded_wet(chunk: jax.Array, ir_prev: jax.Array, ir_cur: jax.Array
+                    ) -> jax.Array:
+    """Wet chunk [L, N+T]: convolve against both IRs (one input FFT, two
+    transfer functions) and linearly crossfade prev->cur across the chunk;
+    the reverb tail uses the current IR only."""
+    chunk = cv.gate_input(chunk)
+    n = chunk.shape[-1]
+    t = ir_prev.shape[-2]
+    out_length = n + t
+    n_fft = cv._next_pow2(out_length)
+    x = jnp.fft.rfft(chunk, n_fft)
+    h = jnp.stack([cv.combined_transfer(ir_prev, n_fft),
+                   cv.combined_transfer(ir_cur, n_fft)])       # [2, L, F]
+    y = jnp.fft.irfft(x * h, n_fft)[..., :out_length]           # [2, L, O]
+    ramp = jnp.minimum(
+        jnp.arange(out_length, dtype=jnp.float32) / jnp.maximum(1, n), 1.0)
+    return y[0] * (1.0 - ramp) + y[1] * ramp
+
+
+@partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
+                                   "frames_per_chunk"),
+         donate_argnames=("state",))
+def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
+                 dry_chunk: jax.Array, key: jax.Array, *,
+                 n_rays: int, max_bounces: int, sample_rate: int,
+                 frames_per_chunk: int = 1
+                 ) -> Tuple[jax.Array, StreamState]:
+    """One streaming step: retrace -> crossfaded convolution -> overlap-add
+    -> drain. Returns ``(out_chunk[L, N], new_state)``. Fully on-device;
+    ``state`` buffers are donated so the 60 Hz loop allocates nothing."""
+    n = dry_chunk.shape[-1]
+    l, t, k = state.prev_ir.shape
+
+    # 1. retrace: fresh IR for this chunk (accumulate-then-reset cycle,
+    #    RayTraceManager.cs:82-85)
+    def body(st, i):
+        hits = trace_hits_only(
+            scene, params,
+            _rng.frame_key(key, state.chunk_index * frames_per_chunk + i),
+            n_rays=n_rays, max_bounces=max_bounces)
+        return irm.accumulate(st, hits, sample_rate), None
+
+    ir_state, _ = jax.lax.scan(
+        body, irm.IRState.zeros(t, l, k),
+        jnp.arange(frames_per_chunk, dtype=jnp.int32))
+    cur_ir = ir_state.normalized()                              # [L, T, K]
+
+    # First chunk has no predecessor: fade in from the current IR itself.
+    is_first = state.chunk_index == 0
+    prev_ir = jnp.where(is_first, cur_ir, state.prev_ir)
+
+    # 2. convolve + crossfade
+    wet = _crossfaded_wet(dry_chunk, prev_ir, cur_ir)           # [L, N+T]
+
+    # 3. overlap-add into the ring at the stream position, then drain one
+    #    chunk for output
+    ring = state.ring.push(wet, state.sample_offset)
+    out, ring = ring.drain(n)
+
+    new_state = StreamState(prev_ir=cur_ir, ring=ring,
+                            sample_offset=state.sample_offset + n,
+                            chunk_index=state.chunk_index + 1)
+    return out, new_state
+
+
+class Streamer:
+    """Host-side driver for the streaming loop — the ergonomic equivalent
+    of Space-to-stream (``RayTraceManager.StartStreaming``,
+    RayTraceManager.cs:125-133). Poses may change every chunk (moving
+    listener, BASELINE.json config #3)."""
+
+    def __init__(self, scene: Scene, config: EngineConfig, key: jax.Array,
+                 n_listeners: int = 1, frames_per_chunk: int = 1):
+        self.scene = scene
+        self.config = config
+        self.key = key
+        self.frames_per_chunk = frames_per_chunk
+        self.n_listeners = n_listeners
+        self.state = init_stream(config.audio.ir_length,
+                                 config.audio.chunk_samples,
+                                 n_listeners, scene.n_bands)
+
+    def process(self, dry_chunk: jax.Array,
+                params: TraceParams) -> jax.Array:
+        out, self.state = stream_chunk(
+            self.scene, params, self.state, dry_chunk, self.key,
+            n_rays=self.config.sim.ray_count,
+            max_bounces=self.config.sim.max_bounces,
+            sample_rate=self.config.audio.sample_rate,
+            frames_per_chunk=self.frames_per_chunk)
+        return out
+
+    def stream_clip(self, dry: jax.Array, params_fn, pad_tail: bool = True):
+        """Stream a whole clip; ``params_fn(chunk_index) -> TraceParams``
+        supplies (possibly moving) poses. Returns wet audio [L, total]."""
+        n = self.config.audio.chunk_samples
+        total = dry.shape[-1]
+        chunks = []
+        n_chunks = (total + n - 1) // n
+        tail_chunks = (self.config.audio.ir_length + n - 1) // n if pad_tail \
+            else 0
+        for i in range(n_chunks + tail_chunks):
+            lo = i * n
+            piece = dry[lo:lo + n] if lo < total else jnp.zeros(0)
+            if piece.shape[-1] < n:
+                piece = jnp.pad(piece, (0, n - piece.shape[-1]))
+            chunks.append(self.process(piece, params_fn(i)))
+        return jnp.concatenate(chunks, axis=-1)

@@ -5,19 +5,19 @@ multi-chip sharding paths are exercised without hardware — the strategy
 SURVEY.md section 4 prescribes (the reference has no tests at all; this
 suite is this framework's own).
 
-Must set env vars before jax is first imported anywhere.
+Note: this image's sitecustomize imports jax at interpreter startup and
+the env pins JAX_PLATFORMS to the remote-TPU plugin, so env vars are too
+late here — the overrides must go through jax.config *before first use*.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402

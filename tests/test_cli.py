@@ -1,0 +1,76 @@
+"""CLI smoke tests: every subcommand end-to-end on tiny workloads."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from realisticaudioraytracing2d_tpu.cli import main
+from realisticaudioraytracing2d_tpu.utils.audio_io import (noise_burst,
+                                                           read_wav,
+                                                           write_wav)
+
+# SmollRoom needs >= 3 bounces before any energy reaches the listener:
+# the source sits behind the transmissive slant wall, so rays spend
+# bounces 0-1 entering/exiting it (wallDepth gating) before capture/NEE
+# can fire — same as the reference's depth-gated kernel.
+TINY = ["--rays", "256", "--bounces", "4", "--frames", "1",
+        "--reverb", "0.2", "--sample-rate", "8000"]
+
+
+def test_cli_trace(tmp_path, capsys):
+    out = str(tmp_path / "ir.png")
+    scene_out = str(tmp_path / "scene.png")
+    ir_out = str(tmp_path / "ir.npz")
+    main(["trace", "--room", "smoll", *TINY, "--out", out,
+          "--scene-out", scene_out, "--ir-out", ir_out,
+          "--debug-rays", "4"])
+    assert os.path.exists(out) and os.path.exists(scene_out)
+    assert os.path.exists(ir_out)
+    assert "traced" in capsys.readouterr().out
+
+
+def test_cli_bake_and_stream(tmp_path, capsys):
+    dry = str(tmp_path / "dry.wav")
+    write_wav(dry, noise_burst(0.12, 8000, seed=3), 8000)
+
+    wet = str(tmp_path / "wet.wav")
+    main(["bake", "--room", "smoll", *TINY, "--in", dry, "--out", wet])
+    y, rate = read_wav(wet)
+    assert rate == 8000 and len(y) > 0.12 * 8000
+    assert np.abs(y).max() > 0.5  # peak-normalized
+
+    wet2 = str(tmp_path / "wet2.wav")
+    main(["stream", "--room", "smoll", *TINY, "--in", dry, "--out", wet2,
+          "--move-listener", "0.5,0.0"])
+    y2, _ = read_wav(wet2)
+    assert np.abs(y2).max() > 0
+    assert "realtime" in capsys.readouterr().out
+
+
+def test_cli_sweep(tmp_path):
+    out = str(tmp_path / "ds.npz")
+    main(["sweep", "--rooms", "2", *TINY, "--out", out])
+    with np.load(out) as z:
+        assert z["irs"].shape[0] == 2
+        assert z["sources"].shape == (2, 2)
+
+
+def test_cli_scene_json(tmp_path):
+    spec = {
+        "source": [0.0, 0.0],
+        "listener": [5.0, 0.0],
+        "listener_radius": 0.5,
+        "boxes": [
+            {"position": [8.0, 0.0], "scale": [1.0, 20.0],
+             "material": {"absorption": 0.2, "scattering": 0.1,
+                          "transmission": 0.0, "ior": 1.0}},
+        ],
+    }
+    sj = str(tmp_path / "scene.json")
+    with open(sj, "w") as f:
+        json.dump(spec, f)
+    out = str(tmp_path / "ir.png")
+    main(["trace", "--scene-json", sj, *TINY, "--out", out])
+    assert os.path.exists(out)

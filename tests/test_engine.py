@@ -1,0 +1,127 @@
+"""End-to-end engine tests: the minimum slice of SURVEY.md section 7.2
+(scene -> trace -> IR accumulate -> convolve -> audio out) plus a golden-IR
+regression on the SmollRoom fixture."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import realisticaudioraytracing2d_tpu as art
+from realisticaudioraytracing2d_tpu.engine import (Engine, bake_audio,
+                                                   trace_accumulate)
+from realisticaudioraytracing2d_tpu.ops import ir as irm
+from realisticaudioraytracing2d_tpu.utils.audio_io import click_clip
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    room = art.rooms.smoll_room()
+    cfg = art.smoll_room_config(ray_count=1024)
+    # short IR to keep CPU tests fast
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, audio=dataclasses.replace(cfg.audio, reverb_duration=0.25))
+    eng = Engine(room.scene, cfg)
+    return room, cfg, eng
+
+
+def test_end_to_end_bake(small_setup):
+    room, cfg, eng = small_setup
+    p = eng.params(room.source, room.listener)
+    state = eng.trace_frames(p, jax.random.PRNGKey(0), n_frames=2)
+    assert int(state.frames) == 2
+    ir = np.asarray(state.normalized())
+    assert ir.sum() > 0
+
+    dry = jnp.asarray(click_clip(0.1, cfg.audio.sample_rate))
+    wet = np.asarray(eng.bake(dry, state))
+    assert wet.shape == (dry.shape[0] + cfg.audio.ir_length,)
+    assert np.abs(wet).max() == pytest.approx(1.0, rel=1e-4)  # normalized
+    # click at 0.05 s + direct path delay ~0.0627 s -> first energy there
+    first = np.nonzero(np.abs(wet) > 1e-6)[0][0]
+    t_direct = 0.05 + (np.linalg.norm(room.source - room.listener)
+                       - 0.5) / 343.0
+    assert first / cfg.audio.sample_rate == pytest.approx(t_direct, abs=0.01)
+
+
+def test_accumulation_is_linear_mean_of_frames(small_setup):
+    # The 8-frame accumulated sum equals the sum of the 8 single-frame
+    # scatters (deterministic linearity of Monte-Carlo accumulation).
+    room, cfg, eng = small_setup
+    p = eng.params(room.source, room.listener)
+    key = jax.random.PRNGKey(1)
+    s8 = eng.trace_frames(p, key, n_frames=8)
+    assert int(s8.frames) == 8
+    from realisticaudioraytracing2d_tpu.ops.rng import frame_key
+    from realisticaudioraytracing2d_tpu.ops.trace import trace_hits_only
+    total = np.zeros_like(np.asarray(s8.sum))
+    for i in range(8):
+        hits = trace_hits_only(room.scene, p, frame_key(key, i),
+                               n_rays=cfg.sim.ray_count,
+                               max_bounces=cfg.sim.max_bounces)
+        total += np.asarray(irm.scatter_hits(hits, cfg.audio.sample_rate,
+                                             cfg.audio.ir_length))
+    np.testing.assert_allclose(np.asarray(s8.sum), total, rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_accumulate_is_resumable(small_setup):
+    # Functional checkpoint/resume: accumulating 2 frames then 2 more equals
+    # 4 frames with the same per-frame keys.
+    room, cfg, eng = small_setup
+    p = eng.params(room.source, room.listener)
+    key = jax.random.PRNGKey(5)
+    s4 = eng.trace_frames(p, key, n_frames=4)
+    s2 = eng.trace_frames(p, key, n_frames=2)
+    # resume: frames 2..3 use fold_in(key, 2), fold_in(key, 3)
+    from realisticaudioraytracing2d_tpu.ops.rng import frame_key
+    from realisticaudioraytracing2d_tpu.ops.trace import trace_hits_only
+    st = s2
+    for i in [2, 3]:
+        hits = trace_hits_only(room.scene, p, frame_key(key, i),
+                               n_rays=cfg.sim.ray_count,
+                               max_bounces=cfg.sim.max_bounces)
+        st = irm.accumulate(st, hits, cfg.audio.sample_rate)
+    np.testing.assert_allclose(np.asarray(st.sum), np.asarray(s4.sum),
+                               rtol=1e-6)
+    assert int(st.frames) == 4
+
+
+def test_golden_ir_smoll_room():
+    """Golden regression: fixed seed, fixed config -> stable IR statistics.
+
+    Guards the full trace+scatter numerics. (Exact hash would be too
+    brittle across jax versions; we pin robust statistics tightly.)
+    """
+    room = art.rooms.smoll_room()
+    p = art.TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0)
+    state = trace_accumulate(
+        room.scene, p, irm.IRState.zeros(72000, 1, 1),
+        jax.random.PRNGKey(42), n_rays=4096, max_bounces=5,
+        sample_rate=48000, n_frames=2)
+    ir = np.asarray(state.normalized())[0, :, 0]
+    nz = np.nonzero(ir)[0]
+    # Geometric direct-path bin is ~3011 ((22.02-0.5)/343*48000), but the
+    # slant wall's fast medium (Material ior=0.6 -> in-wall speed c/0.6)
+    # lets transmitted paths arrive a little earlier — observed 2955.
+    assert 2900 <= nz[0] <= 3015
+    assert 3000 <= ir.argmax() <= 3120          # observed 3058
+    assert ir.sum() == pytest.approx(0.2073, rel=0.1)
+    # reverb decays: energy in first half dominates last quarter
+    q = len(ir) // 4
+    assert ir[:2 * q].sum() > 10 * ir[3 * q:].sum()
+
+
+def test_bake_multi_listener(small_setup):
+    room, cfg, eng2 = small_setup
+    eng = Engine(room.scene, cfg, n_listeners=2)
+    ears = np.stack([room.listener, room.listener + [0.4, 0.0]])
+    p = eng.params(room.source, ears)
+    state = eng.trace_frames(p, jax.random.PRNGKey(0), n_frames=1)
+    dry = jnp.asarray(click_clip(0.1, cfg.audio.sample_rate,
+                                 click_times=(0.02,)))
+    wet = np.asarray(eng.bake(dry, state, normalize=False))
+    assert np.abs(wet).max() > 0
+    assert wet.shape[0] == 2
+    assert not np.allclose(wet[0], wet[1])

@@ -1,0 +1,124 @@
+"""Streaming pipeline tests: ring-buffer contract, crossfade, and
+stream-vs-bake equivalence for a static scene."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import realisticaudioraytracing2d_tpu as art
+from realisticaudioraytracing2d_tpu.engine import Engine
+from realisticaudioraytracing2d_tpu.ops import convolve as cv
+from realisticaudioraytracing2d_tpu.streaming import (RingBuffer, Streamer,
+                                                      init_stream,
+                                                      stream_chunk)
+from realisticaudioraytracing2d_tpu.utils.audio_io import noise_burst
+
+
+def test_ring_buffer_push_drain_roundtrip():
+    rb = RingBuffer.zeros(16, 1)
+    rb = rb.push(jnp.arange(1.0, 5.0)[None, :], jnp.asarray(0))
+    out, rb = rb.drain(4)
+    np.testing.assert_allclose(np.asarray(out)[0], [1, 2, 3, 4])
+    # drained region is zeroed (add-then-zero contract)
+    out2, rb = rb.drain(4)
+    np.testing.assert_allclose(np.asarray(out2)[0], np.zeros(4))
+
+
+def test_ring_buffer_overlap_add():
+    rb = RingBuffer.zeros(8, 1)
+    rb = rb.push(jnp.ones((1, 4)), jnp.asarray(0))
+    rb = rb.push(jnp.ones((1, 4)), jnp.asarray(2))  # overlaps samples 2-3
+    out, _ = rb.drain(6)
+    np.testing.assert_allclose(np.asarray(out)[0], [1, 1, 2, 2, 1, 1])
+
+
+def test_ring_buffer_wraparound():
+    rb = RingBuffer.zeros(8, 1)
+    rb = rb.push(jnp.ones((1, 6)), jnp.asarray(5))  # wraps 5,6,7,0,1,2
+    got = np.asarray(rb.data)[0]
+    np.testing.assert_allclose(got, [1, 1, 1, 0, 0, 1, 1, 1])
+
+
+@pytest.fixture(scope="module")
+def setup():
+    room = art.rooms.smoll_room()
+    cfg = art.smoll_room_config(ray_count=512)
+    cfg = dataclasses.replace(
+        cfg, audio=dataclasses.replace(cfg.audio, reverb_duration=0.2,
+                                       chunk_duration=0.05))
+    return room, cfg
+
+
+def test_stream_static_scene_matches_bake(setup):
+    """With a static scene and identical per-chunk IR keys, streamed output
+    must equal the offline bake (crossfade between equal IRs == identity)."""
+    room, cfg = setup
+    sr = cfg.audio.sample_rate
+    dry = jnp.asarray(noise_burst(0.18, sr, seed=1))
+
+    eng = Engine(room.scene, cfg)
+    p = eng.params(room.source, room.listener)
+    streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+    wet_stream = np.asarray(streamer.stream_clip(dry, lambda i: p))[0]
+
+    # Oracle: overlap-add of per-chunk crossfaded convolutions using the
+    # same per-chunk IRs the streamer derives.
+    n = cfg.audio.chunk_samples
+    T = cfg.audio.ir_length
+    from realisticaudioraytracing2d_tpu.ops import ir as irm
+    from realisticaudioraytracing2d_tpu.ops.rng import frame_key
+    from realisticaudioraytracing2d_tpu.ops.trace import trace_hits_only
+
+    def chunk_ir(frame_idx):
+        hits = trace_hits_only(room.scene, p,
+                               frame_key(jax.random.PRNGKey(0), frame_idx),
+                               n_rays=cfg.sim.ray_count,
+                               max_bounces=cfg.sim.max_bounces)
+        st = irm.accumulate(irm.IRState.zeros(T, 1, 1), hits, sr)
+        return st.normalized()[0, :, 0]
+
+    total_chunks = int(np.ceil(dry.shape[0] / n)) + int(np.ceil(T / n))
+    acc = np.zeros(total_chunks * n + T + n)
+    prev = None
+    for i in range(total_chunks):
+        ir_i = np.asarray(chunk_ir(i))
+        piece = np.asarray(dry[i * n:(i + 1) * n])
+        piece = np.pad(piece, (0, n - len(piece)))
+        pi = ir_i if prev is None else prev
+        wet = np.asarray(cv.convolve_chunk_crossfade(
+            jnp.asarray(piece), jnp.asarray(pi), jnp.asarray(ir_i), 1, 1))
+        acc[i * n:i * n + len(wet)] += wet
+        prev = ir_i
+    np.testing.assert_allclose(wet_stream, acc[:len(wet_stream)],
+                               rtol=2e-3, atol=2e-5)
+
+
+def test_stream_moving_listener_runs_and_differs(setup):
+    room, cfg = setup
+    sr = cfg.audio.sample_rate
+    dry = jnp.asarray(noise_burst(0.1, sr, seed=2))
+    eng = Engine(room.scene, cfg)
+
+    def moving(i):
+        return eng.params(room.source,
+                          room.listener + np.array([0.5 * i, 0.0],
+                                                   np.float32))
+
+    s1 = Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+    wet_moving = np.asarray(s1.stream_clip(dry, moving))
+    s2 = Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+    wet_static = np.asarray(s2.stream_clip(
+        dry, lambda i: eng.params(room.source, room.listener)))
+    assert wet_moving.shape == wet_static.shape
+    assert not np.allclose(wet_moving, wet_static)
+    assert np.all(np.isfinite(wet_moving))
+
+
+def test_stream_state_shapes(setup):
+    room, cfg = setup
+    st = init_stream(cfg.audio.ir_length, cfg.audio.chunk_samples, 2, 1)
+    assert st.prev_ir.shape == (2, cfg.audio.ir_length, 1)
+    assert st.ring.data.shape[0] == 2

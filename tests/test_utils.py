@@ -1,0 +1,106 @@
+"""Utils tests: WAV round-trip, PNG writer, viz rasters, checkpointing."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realisticaudioraytracing2d_tpu.models.rooms import smoll_room
+from realisticaudioraytracing2d_tpu.ops.ir import IRState
+from realisticaudioraytracing2d_tpu.utils import (audio_io, checkpoint, png,
+                                                  viz)
+from realisticaudioraytracing2d_tpu.utils.profiling import (
+    Metrics, Timer, ray_bounce_intersections)
+
+
+def test_wav_roundtrip_mono(tmp_path):
+    x = audio_io.sine_clip(440.0, 0.05, 16000)
+    p = str(tmp_path / "a.wav")
+    audio_io.write_wav(p, x, 16000)
+    y, rate = audio_io.read_wav(p)
+    assert rate == 16000
+    np.testing.assert_allclose(y, x, atol=1e-3)  # 16-bit quantization
+
+
+def test_wav_roundtrip_stereo(tmp_path):
+    x = np.stack([audio_io.sine_clip(440.0, 0.02, 8000),
+                  audio_io.sine_clip(880.0, 0.02, 8000)], axis=-1)
+    p = str(tmp_path / "s.wav")
+    audio_io.write_wav(p, x, 8000)
+    y, rate = audio_io.read_wav(p)
+    assert y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_click_and_noise_clips():
+    c = audio_io.click_clip(0.1, 1000, click_times=(0.05,))
+    assert c[50] == 1.0 and c.sum() == 1.0
+    n = audio_io.noise_burst(0.1, 1000, seed=1)
+    assert n.shape == (100,) and np.abs(n).max() > 0
+
+
+def test_png_writer(tmp_path):
+    img = np.zeros((8, 12, 3), np.float32)
+    img[2, 3] = [1.0, 0.5, 0.0]
+    p = str(tmp_path / "x.png")
+    png.write_png(p, img)
+    with open(p, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IHDR" in data and b"IEND" in data
+
+
+def test_ir_waveform_image():
+    ir = jnp.zeros(100).at[20].set(0.3)
+    img = viz.ir_waveform_image(ir, 1, gain=1.0, width=50, height=20)
+    assert img.shape == (20, 50, 3)
+    assert img[..., 1].sum() > 0       # green pixels exist
+    assert img[..., 0].sum() == 0      # pure green
+
+
+def test_ir_spectrogram_image():
+    ir = np.zeros((64, 8), np.float32)
+    ir[10, 2] = 1.0
+    img = viz.ir_spectrogram_image(jnp.asarray(ir), 1, gain=1.0,
+                                   width=64, height=32)
+    assert img.shape == (32, 64, 3)
+    assert img[..., 1].max() > 0
+
+
+def test_render_scene_with_paths():
+    import jax
+
+    import realisticaudioraytracing2d_tpu as art
+    room = smoll_room()
+    from realisticaudioraytracing2d_tpu.ops.trace import TraceParams, trace
+    p = TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0)
+    _, dbg = trace(room.scene, p, jax.random.PRNGKey(0), n_rays=256,
+                   max_bounces=3, n_debug=8)
+    img = viz.render_scene(room.scene, room.source, room.listener, 0.5,
+                           dbg, width=200, height=150, draw_normals=True)
+    assert img.shape == (150, 200, 3)
+    assert img.sum() > 0
+
+
+def test_ir_state_checkpoint_roundtrip(tmp_path):
+    st = IRState(sum=jnp.arange(24, dtype=jnp.float32).reshape(1, 12, 2),
+                 frames=jnp.asarray(3, jnp.int32))
+    p = str(tmp_path / "ir_0001.npz")
+    checkpoint.save_ir_state(p, st, meta={"note": "test"})
+    st2 = checkpoint.load_ir_state(p)
+    np.testing.assert_array_equal(np.asarray(st2.sum), np.asarray(st.sum))
+    assert int(st2.frames) == 3
+    assert checkpoint.latest_checkpoint(str(tmp_path)) == p
+
+
+def test_profiling_helpers():
+    t = Timer().start()
+    dt = t.stop()
+    assert dt >= 0 and t.count == 1
+    m = Metrics()
+    m.record("x", 1.0)
+    m.record("x", 3.0)
+    assert m.summary()["x"] == 2.0
+    assert ray_bounce_intersections(100, 5, 20) == 100 * 5 * 20 * 2
+    assert ray_bounce_intersections(100, 5, 20, nee=False) == 100 * 5 * 20
