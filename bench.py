@@ -47,6 +47,9 @@ def bench_trace(n_rays=131072, max_bounces=8, n_frames=50,
                                 sample_rate=sample_rate, n_frames=n_frames)
 
     _sync(run(IRState.zeros(ir_length, 1, 1), key).sum)  # compile
+    _sync(run(IRState.zeros(ir_length, 1, 1),
+              jax.random.fold_in(key, 9)).sum)  # warm (first post-compile
+    # execution of a program runs measurably colder than steady state)
     state = IRState.zeros(ir_length, 1, 1)
     t0 = time.perf_counter()
     state = run(state, jax.random.fold_in(key, 1))

@@ -26,18 +26,42 @@ from .ops import rng as _rng
 from .ops.trace import DebugPaths, Hits, TraceParams, trace, trace_hits_only
 
 
+def _fused_eligible(scene: Scene, params: TraceParams) -> bool:
+    """The fused Pallas path covers the flagship configuration (scalar
+    energy, single listener) and only pays off on real TPU hardware
+    (interpret mode elsewhere would be slower than XLA)."""
+    return (jax.default_backend() == "tpu"
+            and scene.n_bands == 1
+            and params.listeners.shape[0] == 1)
+
+
 @partial(jax.jit,
-         static_argnames=("n_rays", "max_bounces", "sample_rate", "n_frames"))
+         static_argnames=("n_rays", "max_bounces", "sample_rate", "n_frames",
+                          "backend"))
 def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
                      key: jax.Array, *, n_rays: int, max_bounces: int,
-                     sample_rate: int, n_frames: int = 1) -> irm.IRState:
+                     sample_rate: int, n_frames: int = 1,
+                     backend: str = "auto") -> irm.IRState:
     """Run ``n_frames`` trace frames and accumulate them into ``state`` —
     the Update->RunSimulation->ProcessHits loop as one compiled scan.
 
     Each frame folds its index into the key (the functional analogue of the
     reference's ``rngStateOffset = Time.frameCount`` reseed,
     RayTraceManager.cs:197), so frames are independent MC samples.
+
+    ``backend``: "auto" routes the flagship config (1 listener, 1 band) to
+    the fused Pallas bounce kernel with in-kernel MXU histogram on TPU
+    (~4x faster than the XLA graph path); "jnp" forces the reference
+    XLA-graph path; "fused" forces the kernel path.
     """
+    use_fused = (backend == "fused" or
+                 (backend == "auto" and _fused_eligible(scene, params)))
+    if use_fused:
+        from .ops.pallas.bounce_kernel import trace_accumulate_fused
+        return trace_accumulate_fused(
+            scene, params, state, key, n_rays=n_rays,
+            max_bounces=max_bounces, sample_rate=sample_rate,
+            n_frames=n_frames)
 
     def body(st, i):
         hits = trace_hits_only(scene, params, _rng.frame_key(key, i),

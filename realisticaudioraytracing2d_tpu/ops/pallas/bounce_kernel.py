@@ -1,0 +1,548 @@
+"""Fully-fused Pallas bounce kernel: one VMEM pass per bounce.
+
+The jnp trace (``..trace``) expresses one bounce as ~15 XLA ops over
+[R]- and [R, W]-shaped tensors; profiling on TPU shows XLA hits a fusion
+cliff there (intermediates round-trip HBM, ~3 ms/bounce at 131k rays).
+This kernel performs the ENTIRE bounce semantics of
+``Raytrace2D.compute:66-155`` — nearest-wall, direct listener capture,
+NEE with occlusion, absorption/cutoff, transmission/refraction,
+specular-diffuse reflection — in a single VMEM-resident pass per ray tile.
+
+Layout is chosen for the VPU's (sublane x 128-lane) tiles: **rays live on
+the lane axis everywhere** — state is [16, R] (one row per state column),
+uniforms [3->8, R], hit outputs [8, R] — and the wall table sits on
+sublanes ([Wp, 8] geometry, [8, Wp] attributes, Wp = walls padded to 8),
+so the rays x walls distance matrix is [Wp, T]: no padded lanes, and the
+min/argmin is a cheap cross-sublane reduction. The per-ray wall-attribute
+gather is a one-hot [8, Wp] x [Wp, T] matmul (MXU), not a gather.
+
+The reference's ``asin`` for the diffuse angle is eliminated:
+``diffAng = asin(2u-1)`` is only used through sin/cos, so
+``sin = 2u-1, cos = sqrt(1-sin^2)`` is exact.
+
+Limits (by construction): n_bands == 1, one listener. The jnp path stays
+the general/semantic oracle; parity is tested in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import rng as _rng
+from ..geometry import EPS, INF, PI
+from ..trace import (ENERGY_CUTOFF, NEE_CONTRIB_CUTOFF, OCCLUSION_SLACK,
+                     Hits, TraceParams)
+
+DEF_TILE_R = 2048
+_SUB = 8  # sublane multiple for the wall axis
+
+# state rows
+_PX, _PY, _DX, _DY, _EN, _TM, _DS, _SP, _DEP, _ALV = range(10)
+_STATE_ROWS = 16
+# hit-output rows
+_HD_DELAY, _HD_EN, _HD_VAL, _HN_DELAY, _HN_EN, _HN_VAL = range(6)
+_HIT_ROWS = 8
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def pack_walls_rows(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Wall geometry as [Wp, 8] rows: ax, ay, v2x, v2y, cross_const, 0...
+    (Wp = wall count padded to a sublane multiple; padding rows are
+    degenerate -> INF distances in-kernel)."""
+    w = a.shape[0]
+    wp = _round_up(max(w, _SUB), _SUB)
+    ax, ay = a[:, 0], a[:, 1]
+    v2x = b[:, 0] - ax
+    v2y = b[:, 1] - ay
+    cc = v2x * ay - v2y * ax
+    z = jnp.zeros_like(ax)
+    rows = jnp.stack([ax, ay, v2x, v2y, cc, z, z, z], axis=1)
+    return jnp.pad(rows, [(0, wp - w), (0, 0)]).astype(jnp.float32)
+
+
+def pack_wall_attrs_t(scene) -> jax.Array:
+    """Wall attributes as an [8, Wp] matmul operand:
+    rows = nx, ny, absorption, scattering, transmission, ior, 0, 0."""
+    w = scene.a.shape[0]
+    wp = _round_up(max(w, _SUB), _SUB)
+    rows = jnp.stack([
+        scene.normal[:, 0], scene.normal[:, 1],
+        scene.absorption[:, 0], scene.scattering,
+        scene.transmission, scene.ior,
+        jnp.zeros((w,)), jnp.zeros((w,))])
+    out = jnp.zeros((8, wp), jnp.float32)
+    out = out.at[5, :].set(1.0)  # padded ior = 1: no div-by-zero downstream
+    return out.at[:, :w].set(rows.astype(jnp.float32))
+
+
+def _recip(x):
+    """Fast reciprocal: hardware approx + one Newton step (~f32 accurate).
+    fp32 divide is many VPU cycles; this is the wall-pass hot spot."""
+    inv = pl.reciprocal(x, approx=True)
+    return inv * (2.0 - x * inv)
+
+
+def _wall_pass(ox, oy, dx, dy, geo_ref):
+    """[Wp, T] ray-segment distances: per-ray scalars are [1, T] rows,
+    per-wall scalars [Wp, 1] columns.
+
+    Division-minimized: the segment-parameter bound ``0 <= n2/dotp <= 1``
+    is tested sign/magnitude-wise without dividing, and ``t1`` uses one
+    refined reciprocal instead of a divide.
+    """
+    ax = geo_ref[:, 0:1]
+    ay = geo_ref[:, 1:2]
+    v2x = geo_ref[:, 2:3]
+    v2y = geo_ref[:, 3:4]
+    cc = geo_ref[:, 4:5]
+    dotp = v2y * dx - v2x * dy
+    safe = jnp.where(jnp.abs(dotp) < EPS, 1.0, dotp)
+    n1 = v2x * oy - v2y * ox - cc
+    n2 = (oy * dx - ox * dy) - (ay * dx - ax * dy)
+    t1 = n1 * _recip(safe)
+    ok = ((jnp.abs(dotp) >= EPS) & (t1 >= EPS)
+          & (n2 * safe >= 0.0) & (jnp.abs(n2) <= jnp.abs(safe)))
+    return jnp.where(ok, t1, INF)
+
+
+def _bounce_kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
+                   out_state_ref, hits_ref):
+    lis_x = scal_ref[0, 0]
+    lis_y = scal_ref[0, 1]
+    radius = scal_ref[0, 2]
+    c = scal_ref[0, 3]
+
+    px = state_ref[_PX:_PX + 1, :]       # [1, T]
+    py = state_ref[_PY:_PY + 1, :]
+    dx = state_ref[_DX:_DX + 1, :]
+    dy = state_ref[_DY:_DY + 1, :]
+    en = state_ref[_EN:_EN + 1, :]
+    tm = state_ref[_TM:_TM + 1, :]
+    ds = state_ref[_DS:_DS + 1, :]
+    sp = state_ref[_SP:_SP + 1, :]
+    dep = state_ref[_DEP:_DEP + 1, :]
+    alive = state_ref[_ALV:_ALV + 1, :] > 0.5
+
+    wp = geo_ref.shape[0]
+    tile = px.shape[1]
+
+    # --- nearest wall --------------------------------------------------------
+    t = _wall_pass(px, py, dx, dy, geo_ref)                 # [Wp, T]
+    closest = jnp.min(t, axis=0, keepdims=True)             # [1, T]
+    wall_ids = jax.lax.broadcasted_iota(jnp.int32, (wp, tile), 0)
+    idx = jnp.min(jnp.where(t == closest, wall_ids, jnp.int32(wp)),
+                  axis=0, keepdims=True)                    # [1, T]
+    hit_wall = (closest < INF) & alive
+
+    # --- direct listener capture (wallDepth == 0) ----------------------------
+    lx = lis_x - px
+    ly = lis_y - py
+    tca = lx * dx + ly * dy
+    d2 = lx * lx + ly * ly - tca * tca
+    r2 = radius * radius
+    thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+    t0 = tca - thc
+    t1c = tca + thc
+    t_lis = jnp.where(t0 > EPS, t0, jnp.where(t1c > EPS, t1c, INF))
+    t_lis = jnp.where((tca >= 0.0) & (d2 <= r2), t_lis, INF)
+    outside = dep < 0.5
+    d_valid = alive & outside & (t_lis < closest) & (t_lis < INF)
+    total_d = ds + t_lis
+    d_energy = en * _recip(jnp.maximum(1.0, total_d * total_d))
+    inv_sp = _recip(sp)
+    d_delay = tm + t_lis * inv_sp
+
+    # --- advance -------------------------------------------------------------
+    adv = jnp.where(hit_wall, closest, 0.0)
+    npx = px + dx * adv
+    npy = py + dy * adv
+    ntm = tm + adv * inv_sp
+    nds = ds + adv
+
+    # --- wall attributes via one-hot matmul ----------------------------------
+    onehot = (wall_ids == idx).astype(jnp.float32)           # [Wp, T]
+    attrs = jnp.dot(attrs_ref[:, :], onehot,
+                    preferred_element_type=jnp.float32)      # [8, T]
+    w_nx = attrs[0:1, :]
+    w_ny = attrs[1:2, :]
+    w_abs = attrs[2:3, :]
+    w_scat = attrs[3:4, :]
+    w_trans = attrs[4:5, :]
+    w_ior = jnp.where(hit_wall, attrs[5:6, :], 1.0)
+
+    # --- NEE with occlusion --------------------------------------------------
+    sx = npx + w_nx * EPS
+    sy = npy + w_ny * EPS
+    tlx = lis_x - npx
+    tly = lis_y - npy
+    inv_dl = jax.lax.rsqrt(jnp.maximum(tlx * tlx + tly * tly, 1e-20))
+    dist_l = (tlx * tlx + tly * tly) * inv_dl
+    vdx = (lis_x - sx) * inv_dl
+    vdy = (lis_y - sy) * inv_dl
+    t_occ = _wall_pass(sx, sy, vdx, vdy, geo_ref)            # [Wp, T]
+    visible = jnp.min(t_occ, axis=0, keepdims=True) >= \
+        dist_l - OCCLUSION_SLACK
+    d_dot_n = dx * w_nx + dy * w_ny
+    eff_sign = jnp.where(d_dot_n > 0.0, -1.0, 1.0)
+    cos_t = jnp.maximum(0.0, (w_nx * tlx + w_ny * tly) * eff_sign * inv_dl)
+    total_dn = nds + dist_l
+    n_energy = en * (1.0 - w_abs) * cos_t * 0.5 * \
+        _recip(total_dn * total_dn)
+    n_valid = hit_wall & outside & visible & (n_energy > NEE_CONTRIB_CUTOFF)
+    n_delay = ntm + dist_l * (1.0 / c)
+
+    # --- absorption + cutoff -------------------------------------------------
+    nen = en * jnp.where(hit_wall, 1.0 - w_abs, 1.0)
+    nalive = hit_wall & (nen >= ENERGY_CUTOFF)
+
+    # --- transmission / refraction -------------------------------------------
+    entering = d_dot_n < 0.0
+    nsign = jnp.where(entering, 1.0, -1.0)
+    nx = w_nx * nsign
+    ny = w_ny * nsign
+    wall_speed = c * _recip(w_ior)
+    next_speed = jnp.where(entering, wall_speed,
+                           jnp.where(dep <= 1.5, c, wall_speed))
+    eta = next_speed * inv_sp
+    cosi = -(dx * nx + dy * ny)
+    cost2 = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    refr_ok = cost2 > 0.0
+    coef = eta * cosi - jnp.sqrt(jnp.abs(cost2))
+    rfx = eta * dx + coef * nx
+    rfy = eta * dy + coef * ny
+    jit_ang = (u_ref[1:2, :] - 0.5) * 2.0 * w_scat
+    sj = jnp.sin(jit_ang)
+    cj = jnp.cos(jit_ang)
+    tdx = rfx * cj - rfy * sj
+    tdy = rfx * sj + rfy * cj
+    tinv = jax.lax.rsqrt(jnp.maximum(tdx * tdx + tdy * tdy, 1e-20))
+    tdx = tdx * tinv
+    tdy = tdy * tinv
+    transmit = (u_ref[0:1, :] < w_trans) & refr_ok
+
+    # --- reflection: specular/diffuse lerp (asin-free) -----------------------
+    spec_coef = 2.0 * (dx * nx + dy * ny)
+    spx = dx - spec_coef * nx
+    spy = dy - spec_coef * ny
+    sd = jnp.clip(2.0 * u_ref[2:3, :] - 1.0, -1.0, 1.0)   # sin(diffAng)
+    cd = jnp.sqrt(jnp.maximum(1.0 - sd * sd, 0.0))        # cos(diffAng)
+    ddx = nx * cd - ny * sd
+    ddy = nx * sd + ny * cd
+    rdx = spx + (ddx - spx) * w_scat
+    rdy = spy + (ddy - spy) * w_scat
+    rinv = jax.lax.rsqrt(jnp.maximum(rdx * rdx + rdy * rdy, 1e-20))
+    rdx = rdx * rinv
+    rdy = rdy * rinv
+
+    ndx = jnp.where(transmit, tdx, rdx)
+    ndy = jnp.where(transmit, tdy, rdy)
+    nsp = jnp.where(transmit, next_speed, sp)
+    ndep = jnp.where(transmit,
+                     jnp.where(entering, dep + 1.0,
+                               jnp.maximum(0.0, dep - 1.0)), dep)
+    fpx = npx + jnp.where(transmit, ndx, nx) * EPS
+    fpy = npy + jnp.where(transmit, ndy, ny) * EPS
+
+    # --- write back (dead rays frozen) ---------------------------------------
+    keep = nalive
+    out_state_ref[_PX, :] = jnp.where(keep, fpx, px)[0]
+    out_state_ref[_PY, :] = jnp.where(keep, fpy, py)[0]
+    out_state_ref[_DX, :] = jnp.where(keep, ndx, dx)[0]
+    out_state_ref[_DY, :] = jnp.where(keep, ndy, dy)[0]
+    out_state_ref[_EN, :] = jnp.where(keep, nen, en)[0]
+    out_state_ref[_TM, :] = jnp.where(keep, ntm, tm)[0]
+    out_state_ref[_DS, :] = jnp.where(keep, nds, ds)[0]
+    out_state_ref[_SP, :] = jnp.where(keep, nsp, sp)[0]
+    out_state_ref[_DEP, :] = jnp.where(keep, ndep, dep)[0]
+    out_state_ref[_ALV, :] = keep.astype(jnp.float32)[0]
+    out_state_ref[10:, :] = state_ref[10:, :]
+
+    hits_ref[_HD_DELAY, :] = d_delay[0]
+    hits_ref[_HD_EN, :] = d_energy[0]
+    hits_ref[_HD_VAL, :] = d_valid.astype(jnp.float32)[0]
+    hits_ref[_HN_DELAY, :] = n_delay[0]
+    hits_ref[_HN_EN, :] = n_energy[0]
+    hits_ref[_HN_VAL, :] = n_valid.astype(jnp.float32)[0]
+    hits_ref[6:, :] = jnp.zeros_like(hits_ref[6:, :])
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Histogram-fused variant: the bounce kernel also bins its own hits into a
+# two-level [HI, LO] partial IR accumulated in VMEM across the ray-tile
+# grid. This replaces the XLA scatter-add, which on TPU executes on the
+# scalar core (~8 ns/update -> ~17 ms/frame at 131k rays x 8 bounces);
+# here binning is a one-hot dot_general on the MXU (~2 orders faster) and
+# the hit tensors never leave the chip at all.
+# ---------------------------------------------------------------------------
+
+_LO = 512  # fine bins per coarse row (lane-dim of the partial IR)
+
+
+def _hist_rows(ir_length: int) -> int:
+    return _round_up((ir_length + _LO - 1) // _LO + 1, _SUB)
+
+
+def _bin_dot(hi_ids, lo_ids, hi_d, lo_d, e_eff, acc_dtype=jnp.bfloat16):
+    """Partial-IR contribution of one hit slot: one-hot contraction
+    C[hi, lo] = sum_t [hi_d==hi] * e[t] * [lo_d==lo]. Energies ride the
+    hi-side one-hot (bf16 inputs, f32 accumulation on the MXU)."""
+    a = jnp.where(hi_ids == hi_d, e_eff, 0.0).astype(acc_dtype)   # [HI, T]
+    bt = (lo_ids == lo_d).astype(acc_dtype)                        # [LO, T]
+    return jax.lax.dot_general(
+        a, bt, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                        # [HI, LO]
+
+
+def _make_bounce_hist_kernel(hi_rows: int, ir_length: int):
+    def kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
+               out_state_ref, ir_ref, hits_scratch):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            ir_ref[:, :] = jnp.zeros_like(ir_ref)
+
+        _bounce_kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
+                       out_state_ref, hits_scratch)
+
+        sr = scal_ref[0, 4]
+        tile = hits_scratch.shape[1]
+        hi_ids = jax.lax.broadcasted_iota(jnp.int32, (hi_rows, tile), 0)
+        lo_ids = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
+
+        def slot(delay_row, energy_row, valid_row):
+            bins = jnp.floor(delay_row * sr).astype(jnp.int32)    # [1, T]
+            ok = (valid_row > 0.5) & (bins >= 0) & (bins < ir_length)
+            e_eff = jnp.where(ok, energy_row, 0.0)
+            bins = jnp.where(ok, bins, 0)
+            return _bin_dot(hi_ids, lo_ids, bins // _LO, bins % _LO, e_eff)
+
+        ir_ref[:, :] += (
+            slot(hits_scratch[_HD_DELAY:_HD_DELAY + 1, :],
+                 hits_scratch[_HD_EN:_HD_EN + 1, :],
+                 hits_scratch[_HD_VAL:_HD_VAL + 1, :]) +
+            slot(hits_scratch[_HN_DELAY:_HN_DELAY + 1, :],
+                 hits_scratch[_HN_EN:_HN_EN + 1, :],
+                 hits_scratch[_HN_VAL:_HN_VAL + 1, :]))
+
+    return kernel
+
+
+def trace_fused_rows(scene, params: TraceParams, key: jax.Array, *,
+                     n_rays: int, max_bounces: int,
+                     tile_r: int = DEF_TILE_R) -> jax.Array:
+    """Run the fused bounce loop and return raw hit rows ``[B, 8, R]``
+    (rows: direct delay/energy/valid, NEE delay/energy/valid) — the
+    zero-copy form consumed by :func:`scatter_hits_rows`. Avoids the
+    [B, 2, R, L, K] Hits transposition entirely on the hot path."""
+    if params.listeners.shape[0] != 1:
+        raise ValueError("trace_fused supports exactly one listener")
+    if scene.n_bands != 1:
+        raise ValueError("trace_fused supports n_bands == 1")
+
+    r = n_rays
+    state0, u_rows, scal, geo, attrs, rp = _fused_setup(
+        scene, params, key, n_rays, max_bounces, tile_r)
+    wp = geo.shape[0]
+    grid = (rp // tile_r,)
+    kernel = pl.pallas_call(
+        _bounce_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_STATE_ROWS, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_STATE_ROWS, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_HIT_ROWS, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_STATE_ROWS, rp), jnp.float32),
+            jax.ShapeDtypeStruct((_HIT_ROWS, rp), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )
+
+    def body(state, u_b):
+        state, hits = kernel(scal, state, u_b, geo, attrs)
+        return state, hits
+
+    _, hits_rows = jax.lax.scan(body, state0, u_rows)   # [B, 8, Rp]
+    return hits_rows[:, :, :r]
+
+
+def scatter_hits_rows(hits_rows: jax.Array, sample_rate: int,
+                      ir_length: int) -> jax.Array:
+    """Deposit raw hit rows ``[B, 8, R]`` into IR bins ``[1, T, 1]``
+    (same contract as ``..ir.scatter_hits`` for L = K = 1) without any
+    layout change of the row tensors."""
+    delay = jnp.concatenate([hits_rows[:, _HD_DELAY],
+                             hits_rows[:, _HN_DELAY]], axis=0).reshape(-1)
+    energy = jnp.concatenate([hits_rows[:, _HD_EN],
+                              hits_rows[:, _HN_EN]], axis=0).reshape(-1)
+    valid = jnp.concatenate([hits_rows[:, _HD_VAL],
+                             hits_rows[:, _HN_VAL]], axis=0).reshape(-1)
+    bins = jnp.floor(delay * sample_rate).astype(jnp.int32)
+    ok = (valid > 0.5) & (bins >= 0) & (bins < ir_length)
+    bins = jnp.where(ok, bins, ir_length)
+    ir = jnp.zeros((ir_length + 1,), jnp.float32)
+    ir = ir.at[bins].add(jnp.where(ok, energy, 0.0))[:ir_length]
+    return ir[None, :, None]
+
+
+def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
+                 sample_rate=0.0):
+    """Shared state/operand packing for the fused kernels. Returns
+    (state0, u_rows, scal, geo, attrs, rp)."""
+    r = n_rays
+    rp = _round_up(max(r, tile_r), tile_r)
+    emit_jitter, u = _rng.bounce_uniforms(key, max_bounces, n_rays)
+
+    ray_idx = jnp.arange(rp, dtype=jnp.float32)
+    angle = (ray_idx + jnp.pad(emit_jitter, (0, rp - r))) / n_rays * \
+        (2.0 * PI)
+    state0 = jnp.zeros((_STATE_ROWS, rp), jnp.float32)
+    state0 = state0.at[_PX].set(params.source[0])
+    state0 = state0.at[_PY].set(params.source[1])
+    state0 = state0.at[_DX].set(jnp.cos(angle))
+    state0 = state0.at[_DY].set(jnp.sin(angle))
+    state0 = state0.at[_EN].set(params.input_gain)
+    state0 = state0.at[_SP].set(params.speed_of_sound)
+    state0 = state0.at[_ALV].set((jnp.arange(rp) < r).astype(jnp.float32))
+
+    geo = pack_walls_rows(scene.a, scene.b)
+    attrs = pack_wall_attrs_t(scene)
+    scal = jnp.stack([params.listeners[0, 0], params.listeners[0, 1],
+                      params.listener_radius, params.speed_of_sound,
+                      jnp.float32(sample_rate), jnp.float32(0),
+                      jnp.float32(0), jnp.float32(0)])[None, :]
+    u_rows = jnp.pad(jnp.moveaxis(u, -1, 1), [(0, 0), (0, 5), (0, rp - r)])
+    return state0, u_rows, scal, geo, attrs, rp
+
+
+@functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
+                                             "sample_rate", "ir_length",
+                                             "tile_r"))
+def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
+                         n_rays: int, max_bounces: int, sample_rate: int,
+                         ir_length: int,
+                         tile_r: int = DEF_TILE_R) -> jax.Array:
+    """One Monte-Carlo frame -> IR ``[1, ir_length, 1]`` with binning done
+    *inside* the bounce kernel (MXU one-hot histogram; hits never touch
+    HBM). The fast path behind ``engine.trace_accumulate`` for L=K=1."""
+    if params.listeners.shape[0] != 1 or scene.n_bands != 1:
+        raise ValueError("fused path supports one listener, one band")
+    state0, u_rows, scal, geo, attrs, rp = _fused_setup(
+        scene, params, key, n_rays, max_bounces, tile_r, sample_rate)
+    wp = geo.shape[0]
+    hi_rows = _hist_rows(ir_length)
+    grid = (rp // tile_r,)
+    kernel = pl.pallas_call(
+        _make_bounce_hist_kernel(hi_rows, ir_length),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_STATE_ROWS, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_STATE_ROWS, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hi_rows, _LO), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_STATE_ROWS, rp), jnp.float32),
+            jax.ShapeDtypeStruct((hi_rows, _LO), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_HIT_ROWS, tile_r), jnp.float32)],
+        interpret=_interpret(),
+    )
+
+    def body(state, u_b):
+        state, ir_part = kernel(scal, state, u_b, geo, attrs)
+        return state, ir_part
+
+    _, ir_parts = jax.lax.scan(body, state0, u_rows)  # [B, HI, LO]
+    ir = jnp.sum(ir_parts, axis=0).reshape(-1)[:ir_length]
+    return ir[None, :, None]
+
+
+@functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
+                                             "sample_rate", "n_frames",
+                                             "tile_r", "exact_scatter"))
+def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
+                           n_rays: int, max_bounces: int, sample_rate: int,
+                           n_frames: int = 1, tile_r: int = DEF_TILE_R,
+                           exact_scatter: bool = False):
+    """Fused-kernel counterpart of ``engine.trace_accumulate`` (L=K=1):
+    n_frames of trace + binning, one jit. Default binning is the in-kernel
+    MXU histogram (bf16 one-hots, f32 accumulation — per-hit rounding
+    ~0.4%, which vanishes in the Monte-Carlo average); ``exact_scatter``
+    switches to the f32 XLA scatter (slower on TPU: scalar-core bound)."""
+    from ..ir import IRState
+
+    ir_length = state.ir_length
+
+    def body(st, i):
+        k = jax.random.fold_in(key, i)
+        if exact_scatter:
+            rows = trace_fused_rows(scene, params, k, n_rays=n_rays,
+                                    max_bounces=max_bounces, tile_r=tile_r)
+            ir = scatter_hits_rows(rows, sample_rate, ir_length)
+        else:
+            ir = trace_frame_ir_fused(scene, params, k, n_rays=n_rays,
+                                      max_bounces=max_bounces,
+                                      sample_rate=sample_rate,
+                                      ir_length=ir_length, tile_r=tile_r)
+        return IRState(sum=st.sum + ir, frames=st.frames + 1), None
+
+    state, _ = jax.lax.scan(body, state,
+                            jnp.arange(n_frames, dtype=jnp.int32))
+    return state
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_rays", "max_bounces", "tile_r"))
+def trace_fused(scene, params: TraceParams, key: jax.Array, *,
+                n_rays: int, max_bounces: int,
+                tile_r: int = DEF_TILE_R) -> Hits:
+    """Fused-kernel trace returning the standard :class:`..trace.Hits`
+    layout ``[B, 2, R, 1]`` (energy ``[B, 2, R, 1, 1]``) — the
+    parity/interop wrapper around :func:`trace_fused_rows`."""
+    hits_rows = trace_fused_rows(scene, params, key, n_rays=n_rays,
+                                 max_bounces=max_bounces, tile_r=tile_r)
+    delay = jnp.stack([hits_rows[:, _HD_DELAY],
+                       hits_rows[:, _HN_DELAY]], axis=1)[..., None]
+    energy = jnp.stack([hits_rows[:, _HD_EN],
+                        hits_rows[:, _HN_EN]], axis=1)[..., None, None]
+    valid = jnp.stack([hits_rows[:, _HD_VAL],
+                       hits_rows[:, _HN_VAL]], axis=1)[..., None] > 0.5
+    return Hits(delay=delay, energy=energy, valid=valid)

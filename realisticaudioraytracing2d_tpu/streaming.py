@@ -34,7 +34,7 @@ from .models.scene import Scene
 from .ops import convolve as cv
 from .ops import ir as irm
 from .ops import rng as _rng
-from .ops.trace import TraceParams, trace_hits_only
+from .ops.trace import TraceParams
 
 
 class RingBuffer(NamedTuple):
@@ -125,17 +125,14 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
     l, t, k = state.prev_ir.shape
 
     # 1. retrace: fresh IR for this chunk (accumulate-then-reset cycle,
-    #    RayTraceManager.cs:82-85)
-    def body(st, i):
-        hits = trace_hits_only(
-            scene, params,
-            _rng.frame_key(key, state.chunk_index * frames_per_chunk + i),
-            n_rays=n_rays, max_bounces=max_bounces)
-        return irm.accumulate(st, hits, sample_rate), None
-
-    ir_state, _ = jax.lax.scan(
-        body, irm.IRState.zeros(t, l, k),
-        jnp.arange(frames_per_chunk, dtype=jnp.int32))
+    #    RayTraceManager.cs:82-85); routed through the fused TPU kernel
+    #    when the config allows (engine.trace_accumulate "auto").
+    from .engine import trace_accumulate
+    chunk_key = _rng.frame_key(key, state.chunk_index)
+    ir_state = trace_accumulate(
+        scene, params, irm.IRState.zeros(t, l, k), chunk_key,
+        n_rays=n_rays, max_bounces=max_bounces, sample_rate=sample_rate,
+        n_frames=frames_per_chunk)
     cur_ir = ir_state.normalized()                              # [L, T, K]
 
     # First chunk has no predecessor: fade in from the current IR itself.

@@ -1,0 +1,119 @@
+"""Fused bounce-kernel tests (interpret mode): full parity with the jnp
+trace and accuracy of the in-kernel MXU histogram."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import realisticaudioraytracing2d_tpu as art
+from realisticaudioraytracing2d_tpu.engine import trace_accumulate
+from realisticaudioraytracing2d_tpu.models.rooms import smoll_room
+from realisticaudioraytracing2d_tpu.ops.ir import IRState
+from realisticaudioraytracing2d_tpu.ops.pallas import bounce_kernel as bk
+from realisticaudioraytracing2d_tpu.ops.trace import TraceParams, trace
+
+R, B = 1024, 5
+
+
+@pytest.fixture(scope="module")
+def setup():
+    room = smoll_room()
+    p = TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0)
+    return room, p, jax.random.PRNGKey(3)
+
+
+def test_trace_fused_full_parity(setup):
+    # The fused kernel reorders float math (refined reciprocal, rsqrt,
+    # fused arithmetic), so razor-edge hits may flip and per-bounce
+    # rounding cascades: parity is statistical, not bitwise.
+    room, p, key = setup
+    hj, _ = trace(room.scene, p, key, n_rays=R, max_bounces=B)
+    hf = bk.trace_fused(room.scene, p, key, n_rays=R, max_bounces=B,
+                        tile_r=256)
+    vj, vf = np.asarray(hj.valid), np.asarray(hf.valid)
+    assert vj.sum() > 500
+    assert (vj != vf).mean() < 5e-3          # <0.5% edge flips
+    m = vj & vf
+    np.testing.assert_allclose(np.asarray(hf.delay)[m],
+                               np.asarray(hj.delay)[m], rtol=1e-4,
+                               atol=1e-5)
+    ej = np.asarray(hj.energy)[..., 0][m]
+    ef = np.asarray(hf.energy)[..., 0][m]
+    np.testing.assert_allclose(ef, ej, rtol=1e-2, atol=1e-9)
+    # totals agree tightly
+    tj = float((np.asarray(hj.energy)[..., 0] * vj).sum())
+    tf = float((np.asarray(hf.energy)[..., 0] * vf).sum())
+    # a handful of edge-flipped hits can carry ~1% of total energy; the
+    # per-frame Monte-Carlo noise itself is ~5%
+    assert abs(tj - tf) / tj < 3e-2
+
+
+def test_hist_matches_exact_scatter(setup):
+    room, p, key = setup
+    T = 12000
+    kw = dict(n_rays=R, max_bounces=B, sample_rate=8000, n_frames=2)
+    hist = bk.trace_accumulate_fused(room.scene, p, IRState.zeros(T, 1, 1),
+                                     key, **kw)
+    exact = bk.trace_accumulate_fused(room.scene, p, IRState.zeros(T, 1, 1),
+                                      key, exact_scatter=True, **kw)
+    a, b = np.asarray(hist.sum), np.asarray(exact.sum)
+    nz = b != 0
+    assert nz.sum() > 300
+    np.testing.assert_array_equal(a != 0, nz)  # identical bin support
+    # bf16 one-hot energies: <=0.5% per-bin error
+    rel = np.abs(a[nz] - b[nz]) / np.abs(b[nz])
+    assert rel.max() < 6e-3
+    assert int(hist.frames) == 2
+
+
+def test_fused_rows_and_scatter_consistency(setup):
+    # scatter_hits_rows on trace_fused_rows == ir.scatter_hits on the
+    # equivalent Hits pytree.
+    from realisticaudioraytracing2d_tpu.ops.ir import scatter_hits
+    room, p, key = setup
+    T = 8000
+    rows = bk.trace_fused_rows(room.scene, p, key, n_rays=R, max_bounces=B,
+                               tile_r=256)
+    ir_rows = np.asarray(bk.scatter_hits_rows(rows, 8000, T))
+    hits = bk.trace_fused(room.scene, p, key, n_rays=R, max_bounces=B,
+                          tile_r=256)
+    ir_hits = np.asarray(scatter_hits(hits, 8000, T))
+    np.testing.assert_allclose(ir_rows, ir_hits, rtol=1e-6, atol=1e-8)
+
+
+def test_engine_backend_routing(setup):
+    # backend="fused" must agree with backend="jnp" on CPU (interpret) up
+    # to the histogram's bf16 rounding.
+    room, p, key = setup
+    T = 8000
+    st_j = trace_accumulate(room.scene, p, IRState.zeros(T, 1, 1), key,
+                            n_rays=R, max_bounces=B, sample_rate=8000,
+                            n_frames=1, backend="jnp")
+    st_f = trace_accumulate(room.scene, p, IRState.zeros(T, 1, 1), key,
+                            n_rays=R, max_bounces=B, sample_rate=8000,
+                            n_frames=1, backend="fused")
+    a, b = np.asarray(st_f.sum).ravel(), np.asarray(st_j.sum).ravel()
+    # support may differ by a few razor-edge bins; energy must agree
+    assert (np.abs((a != 0).mean() - (b != 0).mean()) < 5e-3)
+    assert abs(a.sum() - b.sum()) / b.sum() < 1e-2
+    # bin-level L2 agreement
+    assert np.linalg.norm(a - b) / np.linalg.norm(b) < 0.05
+
+
+def test_fused_rejects_unsupported_configs(setup):
+    room, p, key = setup
+    ears = jnp.asarray([[0.0, -3.68], [0.5, -3.68]])
+    p2 = TraceParams.make(room.source, ears, 0.5, 343.0, 1.0)
+    with pytest.raises(ValueError):
+        bk.trace_fused(room.scene, p2, key, n_rays=64, max_bounces=2)
+
+
+def test_fused_non_multiple_ray_count(setup):
+    # ray counts that don't divide the tile must pad with dead rays
+    room, p, key = setup
+    hf = bk.trace_fused(room.scene, p, key, n_rays=300, max_bounces=3,
+                        tile_r=256)
+    assert hf.valid.shape == (3, 2, 300, 1)
+    hj, _ = trace(room.scene, p, key, n_rays=300, max_bounces=3)
+    assert (np.asarray(hf.valid) != np.asarray(hj.valid)).mean() < 5e-3

@@ -72,9 +72,10 @@ def test_stream_static_scene_matches_bake(setup):
     from realisticaudioraytracing2d_tpu.ops.rng import frame_key
     from realisticaudioraytracing2d_tpu.ops.trace import trace_hits_only
 
-    def chunk_ir(frame_idx):
-        hits = trace_hits_only(room.scene, p,
-                               frame_key(jax.random.PRNGKey(0), frame_idx),
+    def chunk_ir(chunk_idx):
+        # stream_chunk derives: fold_in(fold_in(key, chunk_idx), frame=0)
+        k = frame_key(frame_key(jax.random.PRNGKey(0), chunk_idx), 0)
+        hits = trace_hits_only(room.scene, p, k,
                                n_rays=cfg.sim.ray_count,
                                max_bounces=cfg.sim.max_bounces)
         st = irm.accumulate(irm.IRState.zeros(T, 1, 1), hits, sr)
