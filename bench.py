@@ -22,7 +22,10 @@ import numpy as np
 
 
 def _sync(x):
-    jax.block_until_ready(x)
+    # Fetch a scalar: through the remote-TPU tunnel, block_until_ready
+    # has been observed to return before execution completes; a data
+    # readback is a reliable barrier.
+    np.asarray(jnp.sum(x))
     return x
 
 

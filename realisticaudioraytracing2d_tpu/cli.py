@@ -30,6 +30,64 @@ import time
 import numpy as np
 
 
+def load_scene_json(spec, default_bands: int = 1):
+    """Build a RoomSetup from the exported-collider JSON schema.
+
+    The schema mirrors the reference's collider flattening inputs
+    (SceneHelper.cs:29-76): a list of colliders, each with a transform
+    (position/angle/scale), a type-specific shape (box: size+offset;
+    polygon: paths; circle: radius+offset+resolution) and a material
+    (absorption/scattering/transmission/ior, optionally band_absorption).
+    Top-level: source, listener (or listeners), listener_radius, n_bands.
+    ``boxes: [...]`` is accepted as shorthand for box colliders.
+    """
+    import numpy as np
+
+    from .models.materials import AudioMaterial
+    from .models.rooms import RoomSetup
+    from .models.scene import SceneBuilder, Transform2D
+
+    n_bands = int(spec.get("n_bands", default_bands))
+    b = SceneBuilder(n_bands=n_bands)
+
+    def tf_of(c):
+        return Transform2D(position=tuple(c.get("position", (0, 0))),
+                           angle=float(c.get("angle", 0.0)),
+                           scale=tuple(c.get("scale", (1, 1))))
+
+    def mat_of(c):
+        m = dict(c.get("material", {}))
+        if "band_absorption" in m and m["band_absorption"] is not None:
+            m["band_absorption"] = tuple(m["band_absorption"])
+        return AudioMaterial(**m)
+
+    colliders = list(spec.get("colliders", []))
+    colliders += [dict(c, type="box") for c in spec.get("boxes", [])]
+    if not colliders:
+        raise SystemExit("scene json has no colliders/boxes")
+    for c in colliders:
+        kind = c.get("type", "box")
+        if kind == "box":
+            b.add_box(mat_of(c), tf_of(c), size=tuple(c.get("size", (1, 1))),
+                      offset=tuple(c.get("offset", (0, 0))))
+        elif kind == "polygon":
+            b.add_polygon([np.asarray(p, np.float64) for p in c["paths"]],
+                          mat_of(c), tf_of(c))
+        elif kind == "circle":
+            b.add_circle(mat_of(c), tf_of(c),
+                         radius=float(c.get("radius", 0.5)),
+                         offset=tuple(c.get("offset", (0, 0))),
+                         resolution=int(c.get("resolution", 32)))
+        else:
+            raise SystemExit(f"unknown collider type {kind!r}")
+    listener = spec.get("listeners", spec.get("listener"))
+    return RoomSetup(
+        scene=b.build(),
+        source=np.asarray(spec["source"], np.float32),
+        listener=np.asarray(listener, np.float32),
+        listener_radius=float(spec.get("listener_radius", 0.5)))
+
+
 def _build_room(args):
     from .models import rooms as rooms_mod
     from .models.materials import AudioMaterial
@@ -39,19 +97,7 @@ def _build_room(args):
     if args.scene_json:
         with open(args.scene_json) as f:
             spec = json.load(f)
-        b = SceneBuilder(n_bands=spec.get("n_bands", args.bands))
-        for box in spec["boxes"]:
-            mat = AudioMaterial(**box.get("material", {}))
-            tf = Transform2D(position=tuple(box.get("position", (0, 0))),
-                             angle=float(box.get("angle", 0.0)),
-                             scale=tuple(box.get("scale", (1, 1))))
-            b.add_box(mat, tf, size=tuple(box.get("size", (1, 1))),
-                      offset=tuple(box.get("offset", (0, 0))))
-        return RoomSetup(
-            scene=b.build(),
-            source=np.asarray(spec["source"], np.float32),
-            listener=np.asarray(spec["listener"], np.float32),
-            listener_radius=float(spec.get("listener_radius", 0.5)))
+        return load_scene_json(spec, default_bands=args.bands)
     if args.room == "smoll":
         return rooms_mod.smoll_room(n_bands=args.bands)
     if args.room == "big":
@@ -81,6 +127,8 @@ def _common(p):
     p.add_argument("--frames", type=int, default=8,
                    help="Monte-Carlo trace frames to accumulate")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--stereo", default=None, metavar="SEP",
+                   help="stereo output with two ear listeners SEP apart")
 
 
 def cmd_trace(args):
@@ -119,6 +167,17 @@ def cmd_trace(args):
         print(f"wrote {args.ir_out}")
 
 
+def _listeners(args, room):
+    """Mono listener or stereo ear pair (+-sep/2 on x)."""
+    import numpy as np
+    if args.stereo is None:
+        return room.listener, 1
+    sep = float(args.stereo)
+    ears = np.stack([room.listener - [sep / 2, 0.0],
+                     room.listener + [sep / 2, 0.0]]).astype(np.float32)
+    return ears, 2
+
+
 def cmd_bake(args):
     import jax
     import jax.numpy as jnp
@@ -129,8 +188,9 @@ def cmd_bake(args):
 
     room = _build_room(args)
     cfg = _config(args)
-    eng = Engine(room.scene, cfg)
-    p = eng.params(room.source, room.listener)
+    listeners, n_l = _listeners(args, room)
+    eng = Engine(room.scene, cfg, n_listeners=n_l)
+    p = eng.params(room.source, listeners)
     x, rate = read_wav(args.infile)
     dry = np.asarray(load_samples(jnp.asarray(x), rate,
                                   cfg.audio.sample_rate))
@@ -158,7 +218,8 @@ def cmd_stream(args):
 
     room = _build_room(args)
     cfg = _config(args)
-    eng = Engine(room.scene, cfg)
+    listeners, n_l = _listeners(args, room)
+    eng = Engine(room.scene, cfg, n_listeners=n_l)
     x, rate = read_wav(args.infile)
     dry = jnp.asarray(load_samples(jnp.asarray(x), rate,
                                    cfg.audio.sample_rate))
@@ -167,16 +228,17 @@ def cmd_stream(args):
     chunk_dt = cfg.audio.chunk_duration
 
     def poses(i):
-        return eng.params(room.source,
-                          room.listener + (vel * i * chunk_dt).astype(
-                              np.float32))
+        drift = (vel * i * chunk_dt).astype(np.float32)
+        return eng.params(room.source, listeners + drift)
 
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
+                        n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk)
     t0 = time.perf_counter()
     wet = np.asarray(streamer.stream_clip(dry, poses))
     dt = time.perf_counter() - t0
-    write_wav(args.out, wet[0], cfg.audio.sample_rate)
+    write_wav(args.out, wet.T if n_l > 1 else wet[0],
+              cfg.audio.sample_rate)
     xrt = (wet.shape[-1] / cfg.audio.sample_rate) / dt
     print(f"streamed {wet.shape[-1]} samples in {dt:.2f}s "
           f"({xrt:.2f}x realtime) -> {args.out}")

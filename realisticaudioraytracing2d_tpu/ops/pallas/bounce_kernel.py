@@ -115,6 +115,15 @@ def _wall_pass(ox, oy, dx, dy, geo_ref):
 
 def _bounce_kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
                    out_state_ref, hits_ref):
+    _bounce_core(scal_ref, state_ref, u_ref[0:1, :], u_ref[1:2, :],
+                 u_ref[2:3, :], geo_ref, attrs_ref, out_state_ref,
+                 hits_ref)
+
+
+def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
+                 out_state_ref, hits_ref):
+    """Bounce body; ``u0/u1/u2`` are this bounce's uniforms as [1, T]
+    values (transmission test / refraction jitter / diffuse angle)."""
     lis_x = scal_ref[0, 0]
     lis_y = scal_ref[0, 1]
     radius = scal_ref[0, 2]
@@ -218,7 +227,7 @@ def _bounce_kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
     coef = eta * cosi - jnp.sqrt(jnp.abs(cost2))
     rfx = eta * dx + coef * nx
     rfy = eta * dy + coef * ny
-    jit_ang = (u_ref[1:2, :] - 0.5) * 2.0 * w_scat
+    jit_ang = (u1 - 0.5) * 2.0 * w_scat
     sj = jnp.sin(jit_ang)
     cj = jnp.cos(jit_ang)
     tdx = rfx * cj - rfy * sj
@@ -226,13 +235,13 @@ def _bounce_kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
     tinv = jax.lax.rsqrt(jnp.maximum(tdx * tdx + tdy * tdy, 1e-20))
     tdx = tdx * tinv
     tdy = tdy * tinv
-    transmit = (u_ref[0:1, :] < w_trans) & refr_ok
+    transmit = (u0 < w_trans) & refr_ok
 
     # --- reflection: specular/diffuse lerp (asin-free) -----------------------
     spec_coef = 2.0 * (dx * nx + dy * ny)
     spx = dx - spec_coef * nx
     spy = dy - spec_coef * ny
-    sd = jnp.clip(2.0 * u_ref[2:3, :] - 1.0, -1.0, 1.0)   # sin(diffAng)
+    sd = jnp.clip(2.0 * u2 - 1.0, -1.0, 1.0)   # sin(diffAng)
     cd = jnp.sqrt(jnp.maximum(1.0 - sd * sd, 0.0))        # cos(diffAng)
     ddx = nx * cd - ny * sd
     ddy = nx * sd + ny * cd
@@ -305,15 +314,32 @@ def _bin_dot(hi_ids, lo_ids, hi_d, lo_d, e_eff, acc_dtype=jnp.bfloat16):
         preferred_element_type=jnp.float32)                        # [HI, LO]
 
 
-def _make_bounce_hist_kernel(hi_rows: int, ir_length: int):
+def _make_bounce_hist_kernel(hi_rows: int, ir_length: int,
+                             in_kernel_rng: bool = False):
     def kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
                out_state_ref, ir_ref, hits_scratch):
         @pl.when(pl.program_id(0) == 0)
         def _():
             ir_ref[:, :] = jnp.zeros_like(ir_ref)
 
-        _bounce_kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
-                       out_state_ref, hits_scratch)
+        if in_kernel_rng:
+            # u_ref is a per-bounce [1, 8] int32 seed row; uniforms are
+            # generated on-core (saves the host threefry pass and the
+            # [B, 8, R] HBM round trip).
+            tile_n = state_ref.shape[1]
+            pltpu.prng_seed(u_ref[0, 0] + pl.program_id(0))
+            bits = pltpu.bitcast(pltpu.prng_random_bits((8, tile_n)),
+                                 jnp.uint32)
+            # top 24 bits -> [0, 1) floats (via int32: Mosaic has no
+            # direct uint32->f32 cast; >>8 keeps the value positive)
+            bits24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+            u = bits24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+            _bounce_core(scal_ref, state_ref, u[0:1, :], u[1:2, :],
+                         u[2:3, :], geo_ref, attrs_ref, out_state_ref,
+                         hits_scratch)
+        else:
+            _bounce_kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
+                           out_state_ref, hits_scratch)
 
         sr = scal_ref[0, 4]
         tile = hits_scratch.shape[1]
@@ -411,12 +437,18 @@ def scatter_hits_rows(hits_rows: jax.Array, sample_rate: int,
 
 
 def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
-                 sample_rate=0.0):
+                 sample_rate=0.0, skip_u=False):
     """Shared state/operand packing for the fused kernels. Returns
     (state0, u_rows, scal, geo, attrs, rp)."""
     r = n_rays
     rp = _round_up(max(r, tile_r), tile_r)
-    emit_jitter, u = _rng.bounce_uniforms(key, max_bounces, n_rays)
+    if skip_u:
+        k_emit, _ = jax.random.split(key)
+        emit_jitter = jax.random.uniform(k_emit, (n_rays,),
+                                         dtype=jnp.float32)
+        u = None
+    else:
+        emit_jitter, u = _rng.bounce_uniforms(key, max_bounces, n_rays)
 
     ray_idx = jnp.arange(rp, dtype=jnp.float32)
     angle = (ray_idx + jnp.pad(emit_jitter, (0, rp - r))) / n_rays * \
@@ -436,37 +468,60 @@ def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
                       params.listener_radius, params.speed_of_sound,
                       jnp.float32(sample_rate), jnp.float32(0),
                       jnp.float32(0), jnp.float32(0)])[None, :]
-    u_rows = jnp.pad(jnp.moveaxis(u, -1, 1), [(0, 0), (0, 5), (0, rp - r)])
+    u_rows = None if u is None else \
+        jnp.pad(jnp.moveaxis(u, -1, 1), [(0, 0), (0, 5), (0, rp - r)])
     return state0, u_rows, scal, geo, attrs, rp
 
 
 @functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
                                              "sample_rate", "ir_length",
-                                             "tile_r"))
+                                             "tile_r", "in_kernel_rng"))
 def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
                          n_rays: int, max_bounces: int, sample_rate: int,
-                         ir_length: int,
-                         tile_r: int = DEF_TILE_R) -> jax.Array:
+                         ir_length: int, tile_r: int = DEF_TILE_R,
+                         in_kernel_rng: bool = False) -> jax.Array:
     """One Monte-Carlo frame -> IR ``[1, ir_length, 1]`` with binning done
     *inside* the bounce kernel (MXU one-hot histogram; hits never touch
-    HBM). The fast path behind ``engine.trace_accumulate`` for L=K=1."""
+    HBM). The fast path behind ``engine.trace_accumulate`` for L=K=1.
+
+    ``in_kernel_rng`` generates the per-bounce uniforms with the TPU-core
+    PRNG instead of host-side threefry (faster; statistically equivalent
+    but a different sample sequence — still fully deterministic per key).
+    """
     if params.listeners.shape[0] != 1 or scene.n_bands != 1:
         raise ValueError("fused path supports one listener, one band")
+    if in_kernel_rng and _interpret():
+        # the TPU-core PRNG primitives have no interpret-mode lowering;
+        # fall back to host-generated uniforms off-TPU
+        in_kernel_rng = False
     state0, u_rows, scal, geo, attrs, rp = _fused_setup(
-        scene, params, key, n_rays, max_bounces, tile_r, sample_rate)
+        scene, params, key, n_rays, max_bounces, tile_r, sample_rate,
+        skip_u=in_kernel_rng)
+    if in_kernel_rng:
+        # one int32 seed row per bounce; kernel offsets by program_id
+        n_tiles = rp // tile_r
+        seeds = jax.random.randint(
+            key, (max_bounces, 1, 8), minval=0,
+            maxval=jnp.iinfo(jnp.int32).max - n_tiles - max_bounces,
+            dtype=jnp.int32)
+        u_rows = seeds
+        u_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        u_spec = pl.BlockSpec((8, tile_r), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
     wp = geo.shape[0]
     hi_rows = _hist_rows(ir_length)
     grid = (rp // tile_r,)
     kernel = pl.pallas_call(
-        _make_bounce_hist_kernel(hi_rows, ir_length),
+        _make_bounce_hist_kernel(hi_rows, ir_length, in_kernel_rng),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_STATE_ROWS, tile_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile_r), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            u_spec,
             pl.BlockSpec((wp, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, wp), lambda i: (0, 0),
@@ -497,11 +552,13 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
 
 @functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
                                              "sample_rate", "n_frames",
-                                             "tile_r", "exact_scatter"))
+                                             "tile_r", "exact_scatter",
+                                             "in_kernel_rng"))
 def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
                            n_rays: int, max_bounces: int, sample_rate: int,
                            n_frames: int = 1, tile_r: int = DEF_TILE_R,
-                           exact_scatter: bool = False):
+                           exact_scatter: bool = False,
+                           in_kernel_rng: bool = False):
     """Fused-kernel counterpart of ``engine.trace_accumulate`` (L=K=1):
     n_frames of trace + binning, one jit. Default binning is the in-kernel
     MXU histogram (bf16 one-hots, f32 accumulation — per-hit rounding
@@ -521,7 +578,8 @@ def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
             ir = trace_frame_ir_fused(scene, params, k, n_rays=n_rays,
                                       max_bounces=max_bounces,
                                       sample_rate=sample_rate,
-                                      ir_length=ir_length, tile_r=tile_r)
+                                      ir_length=ir_length, tile_r=tile_r,
+                                      in_kernel_rng=in_kernel_rng)
         return IRState(sum=st.sum + ir, frames=st.frames + 1), None
 
     state, _ = jax.lax.scan(body, state,

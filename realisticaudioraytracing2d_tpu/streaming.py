@@ -170,19 +170,28 @@ class Streamer:
                                  config.audio.chunk_samples,
                                  n_listeners, scene.n_bands)
 
-    def process(self, dry_chunk: jax.Array,
-                params: TraceParams) -> jax.Array:
+    def process(self, dry_chunk: jax.Array, params: TraceParams,
+                scene: Optional[Scene] = None) -> jax.Array:
+        """One chunk. ``scene`` overrides the bound scene for this chunk —
+        the dynamic-obstacles mode (the reference re-flattens colliders
+        every FixedUpdate when ``dynamicObstacles`` is set,
+        RayTraceManager.cs:67); as long as the padded wall count is
+        unchanged there is no recompile."""
         out, self.state = stream_chunk(
-            self.scene, params, self.state, dry_chunk, self.key,
+            scene if scene is not None else self.scene, params, self.state,
+            dry_chunk, self.key,
             n_rays=self.config.sim.ray_count,
             max_bounces=self.config.sim.max_bounces,
             sample_rate=self.config.audio.sample_rate,
             frames_per_chunk=self.frames_per_chunk)
         return out
 
-    def stream_clip(self, dry: jax.Array, params_fn, pad_tail: bool = True):
+    def stream_clip(self, dry: jax.Array, params_fn, scene_fn=None,
+                    pad_tail: bool = True):
         """Stream a whole clip; ``params_fn(chunk_index) -> TraceParams``
-        supplies (possibly moving) poses. Returns wet audio [L, total]."""
+        supplies (possibly moving) poses and optional
+        ``scene_fn(chunk_index) -> Scene`` supplies per-chunk geometry
+        (dynamic obstacles). Returns wet audio [L, total]."""
         n = self.config.audio.chunk_samples
         total = dry.shape[-1]
         chunks = []
@@ -194,5 +203,6 @@ class Streamer:
             piece = dry[lo:lo + n] if lo < total else jnp.zeros(0)
             if piece.shape[-1] < n:
                 piece = jnp.pad(piece, (0, n - piece.shape[-1]))
-            chunks.append(self.process(piece, params_fn(i)))
+            scene_i = scene_fn(i) if scene_fn is not None else None
+            chunks.append(self.process(piece, params_fn(i), scene_i))
         return jnp.concatenate(chunks, axis=-1)
