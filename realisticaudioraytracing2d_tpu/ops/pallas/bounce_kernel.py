@@ -41,6 +41,16 @@ from ..trace import (ENERGY_CUTOFF, NEE_CONTRIB_CUTOFF, OCCLUSION_SLACK,
 DEF_TILE_R = 2048
 _SUB = 8  # sublane multiple for the wall axis
 
+
+def auto_tile(n_walls: int) -> int:
+    """Pick a ray-tile width that keeps the kernel's live [Wp, tile]
+    temporaries (~4 of them, f32) within the 16 MB scoped-VMEM budget."""
+    wp = _round_up(max(n_walls, _SUB), _SUB)
+    budget = 10 * 2 ** 20  # leave headroom for state/one-hot/hist buffers
+    tile = budget // (wp * 4 * 4)
+    tile = max(256, min(DEF_TILE_R, (tile // 256) * 256))
+    return tile
+
 # state rows
 _PX, _PY, _DX, _DY, _EN, _TM, _DS, _SP, _DEP, _ALV = range(10)
 _STATE_ROWS = 16
@@ -366,7 +376,7 @@ def _make_bounce_hist_kernel(hi_rows: int, ir_length: int,
 
 def trace_fused_rows(scene, params: TraceParams, key: jax.Array, *,
                      n_rays: int, max_bounces: int,
-                     tile_r: int = DEF_TILE_R) -> jax.Array:
+                     tile_r: int = 0) -> jax.Array:
     """Run the fused bounce loop and return raw hit rows ``[B, 8, R]``
     (rows: direct delay/energy/valid, NEE delay/energy/valid) — the
     zero-copy form consumed by :func:`scatter_hits_rows`. Avoids the
@@ -376,6 +386,7 @@ def trace_fused_rows(scene, params: TraceParams, key: jax.Array, *,
     if scene.n_bands != 1:
         raise ValueError("trace_fused supports n_bands == 1")
 
+    tile_r = tile_r or auto_tile(scene.a.shape[0])
     r = n_rays
     state0, u_rows, scal, geo, attrs, rp = _fused_setup(
         scene, params, key, n_rays, max_bounces, tile_r)
@@ -478,7 +489,7 @@ def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
                                              "tile_r", "in_kernel_rng"))
 def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
                          n_rays: int, max_bounces: int, sample_rate: int,
-                         ir_length: int, tile_r: int = DEF_TILE_R,
+                         ir_length: int, tile_r: int = 0,
                          in_kernel_rng: bool = False) -> jax.Array:
     """One Monte-Carlo frame -> IR ``[1, ir_length, 1]`` with binning done
     *inside* the bounce kernel (MXU one-hot histogram; hits never touch
@@ -490,6 +501,7 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
     """
     if params.listeners.shape[0] != 1 or scene.n_bands != 1:
         raise ValueError("fused path supports one listener, one band")
+    tile_r = tile_r or auto_tile(scene.a.shape[0])
     if in_kernel_rng and _interpret():
         # the TPU-core PRNG primitives have no interpret-mode lowering;
         # fall back to host-generated uniforms off-TPU
@@ -556,7 +568,7 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
                                              "in_kernel_rng"))
 def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
                            n_rays: int, max_bounces: int, sample_rate: int,
-                           n_frames: int = 1, tile_r: int = DEF_TILE_R,
+                           n_frames: int = 1, tile_r: int = 0,
                            exact_scatter: bool = False,
                            in_kernel_rng: bool = False):
     """Fused-kernel counterpart of ``engine.trace_accumulate`` (L=K=1):
@@ -591,7 +603,7 @@ def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
                    static_argnames=("n_rays", "max_bounces", "tile_r"))
 def trace_fused(scene, params: TraceParams, key: jax.Array, *,
                 n_rays: int, max_bounces: int,
-                tile_r: int = DEF_TILE_R) -> Hits:
+                tile_r: int = 0) -> Hits:
     """Fused-kernel trace returning the standard :class:`..trace.Hits`
     layout ``[B, 2, R, 1]`` (energy ``[B, 2, R, 1, 1]``) — the
     parity/interop wrapper around :func:`trace_fused_rows`."""
