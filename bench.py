@@ -111,6 +111,26 @@ def bench_streaming_xrt(sample_rate=44100, reverb=1.5, chunk=0.1,
     return (n_chunks * chunk) / dt
 
 
+def bench_sweep(n_rooms=64, n_rays=4096, max_bounces=6, ir_length=24000):
+    """Room-dataset generation rate (config #5 scaled to one chip)."""
+    import jax.random
+
+    from realisticaudioraytracing2d_tpu.models.rooms import random_rooms
+    from realisticaudioraytracing2d_tpu.parallel.sweep import sweep_rooms
+
+    scenes, sources, listeners = random_rooms(n_rooms, seed=0)
+    kw = dict(n_rays=n_rays, max_bounces=max_bounces, sample_rate=16000,
+              ir_length=ir_length, n_frames=1)
+    irs = sweep_rooms(scenes, sources, listeners, jax.random.PRNGKey(0),
+                      **kw)
+    _sync(irs)
+    t0 = time.perf_counter()
+    irs = sweep_rooms(scenes, sources, listeners, jax.random.PRNGKey(1),
+                      **kw)
+    _sync(irs)
+    return n_rooms / (time.perf_counter() - t0)
+
+
 def main():
     backend = jax.default_backend()
     print(f"backend={backend} devices={jax.devices()}", file=sys.stderr)
@@ -119,12 +139,14 @@ def main():
     _, ref_frame_ms = bench_trace(n_rays=15000, max_bounces=5)
     ir_ms = bench_ir_build()
     xrt = bench_streaming_xrt()
+    rooms_s = bench_sweep()
 
     print(f"trace frame @131k rays x 8 bounces: {frame_ms:.2f} ms; "
           f"@reference workload 15k x 5: {ref_frame_ms:.2f} ms "
           f"(60Hz budget: {'OK' if ref_frame_ms < 16.6 else 'OVER'}); "
           f"IR scatter: {ir_ms:.2f} ms; "
-          f"streaming conv: {xrt:.0f}x realtime @44.1kHz",
+          f"streaming conv: {xrt:.0f}x realtime @44.1kHz; "
+          f"room sweep: {rooms_s:.1f} rooms/s (4096 rays x 6 bounces)",
           file=sys.stderr)
 
     result = {

@@ -155,6 +155,25 @@ def cmd_trace(args):
                                     gain=args.gain)
         viz.save_image(args.out, img)
         print(f"wrote {args.out}")
+    if args.spectro_out:
+        if room.scene.n_bands > 1:
+            img = viz.ir_spectrogram_image(state.sum[0], state.frames,
+                                           gain=args.gain)
+        else:
+            # scalar IR: derive the legacy muffled spectrogram
+            from .ops import legacy
+            from .ops.trace import trace_hits_only
+            hits = trace_hits_only(room.scene, p, key,
+                                   n_rays=cfg.sim.ray_count,
+                                   max_bounces=cfg.sim.max_bounces)
+            lst = legacy.LegacyIRState.zeros(
+                cfg.audio.ir_length // legacy.DEFAULT_WINDOW_SIZE, 1)
+            lst = legacy.accumulate_legacy(lst, hits,
+                                           cfg.audio.sample_rate)
+            img = viz.ir_spectrogram_image(lst.sum[0], lst.frames,
+                                           gain=args.gain)
+        viz.save_image(args.spectro_out, img)
+        print(f"wrote {args.spectro_out}")
     if args.scene_out:
         _, dbg = eng.trace_debug(p, key, n_debug=args.debug_rays)
         img = viz.render_scene(room.scene, room.source, room.listener,
@@ -286,6 +305,9 @@ def main(argv=None):
     p = sub.add_parser("trace", help="trace IR + debug images")
     _common(p)
     p.add_argument("--out", default=None, help="IR waveform PNG")
+    p.add_argument("--spectro-out", default=None,
+                   help="time x frequency spectrogram PNG (banded IR, or "
+                        "legacy muffle model for scalar IRs)")
     p.add_argument("--scene-out", default=None, help="scene/ray-path PNG")
     p.add_argument("--ir-out", default=None, help="IR state checkpoint npz")
     p.add_argument("--gain", type=float, default=1000.0)

@@ -117,3 +117,19 @@ def test_fused_non_multiple_ray_count(setup):
     assert hf.valid.shape == (3, 2, 300, 1)
     hj, _ = trace(room.scene, p, key, n_rays=300, max_bounces=3)
     assert (np.asarray(hf.valid) != np.asarray(hj.valid)).mean() < 5e-3
+
+
+def test_fused_hist_bitwise_deterministic(setup):
+    room, p, key = setup
+    kw = dict(n_rays=R, max_bounces=B, sample_rate=8000, n_frames=1)
+    a = bk.trace_accumulate_fused(room.scene, p, IRState.zeros(4000, 1, 1),
+                                  key, **kw)
+    b = bk.trace_accumulate_fused(room.scene, p, IRState.zeros(4000, 1, 1),
+                                  key, **kw)
+    np.testing.assert_array_equal(np.asarray(a.sum), np.asarray(b.sum))
+
+
+def test_auto_tile_bounds():
+    assert bk.auto_tile(8) == bk.DEF_TILE_R
+    assert bk.auto_tile(1032) in (256, 512)
+    assert bk.auto_tile(100000) == 256

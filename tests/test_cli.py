@@ -74,3 +74,14 @@ def test_cli_scene_json(tmp_path):
     out = str(tmp_path / "ir.png")
     main(["trace", "--scene-json", sj, *TINY, "--out", out])
     assert os.path.exists(out)
+
+
+def test_cli_spectro_out(tmp_path):
+    out = str(tmp_path / "spec.png")
+    main(["trace", "--room", "smoll", *TINY, "--spectro-out", out])
+    assert os.path.exists(out)
+
+    out2 = str(tmp_path / "spec4.png")
+    main(["trace", "--room", "smoll", *TINY, "--bands", "4",
+          "--spectro-out", out2])
+    assert os.path.exists(out2)
