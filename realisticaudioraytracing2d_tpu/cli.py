@@ -213,12 +213,39 @@ def cmd_bake(args):
     x, rate = read_wav(args.infile)
     dry = np.asarray(load_samples(jnp.asarray(x), rate,
                                   cfg.audio.sample_rate))
-    state = eng.trace_frames(p, jax.random.PRNGKey(args.seed),
-                             n_frames=args.frames)
-    t0 = time.perf_counter()
-    wet = np.asarray(eng.bake(jnp.asarray(dry), state,
-                              normalize=not args.no_normalize))
-    dt = time.perf_counter() - t0
+    if args.legacy:
+        # legacy frequency-binned pipeline (RayTraceManagerComplex +
+        # RaytraceOcclusion2D parity): muffled time x freq IR rendered
+        # back to the time domain, then convolved
+        from .ops import legacy
+        from .ops.convolve import apply_ir, peak_normalize
+        from .ops.rng import frame_key
+        from .ops.trace import trace_hits_only
+        key = jax.random.PRNGKey(args.seed)
+        w = legacy.DEFAULT_WINDOW_SIZE
+        lst = legacy.LegacyIRState.zeros(cfg.audio.ir_length // w, n_l, w)
+        for i in range(args.frames):
+            hits = trace_hits_only(room.scene, p, frame_key(key, i),
+                                   n_rays=cfg.sim.ray_count,
+                                   max_bounces=cfg.sim.max_bounces)
+            lst = legacy.accumulate_legacy(lst, hits,
+                                           cfg.audio.sample_rate)
+        ir_td = legacy.legacy_ir_to_time_domain(
+            lst.normalized(), cfg.audio.sample_rate, cfg.audio.ir_length,
+            w)                                     # [L, T]
+        t0 = time.perf_counter()
+        wet = apply_ir(jnp.asarray(dry), ir_td[..., None])
+        if not args.no_normalize:
+            wet = peak_normalize(wet)
+        wet = np.asarray(wet if n_l > 1 else wet[0])
+        dt = time.perf_counter() - t0
+    else:
+        state = eng.trace_frames(p, jax.random.PRNGKey(args.seed),
+                                 n_frames=args.frames)
+        t0 = time.perf_counter()
+        wet = np.asarray(eng.bake(jnp.asarray(dry), state,
+                                  normalize=not args.no_normalize))
+        dt = time.perf_counter() - t0
     write_wav(args.out, wet.T if wet.ndim > 1 else wet,
               cfg.audio.sample_rate)
     xrt = (len(dry) / cfg.audio.sample_rate) / dt
@@ -319,6 +346,8 @@ def main(argv=None):
     p.add_argument("--in", dest="infile", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--no-normalize", action="store_true")
+    p.add_argument("--legacy", action="store_true",
+                   help="use the legacy frequency-binned (muffle) pipeline")
     p.set_defaults(fn=cmd_bake)
 
     p = sub.add_parser("stream", help="chunked streaming convolution")

@@ -32,7 +32,7 @@ def _fused_eligible(scene: Scene, params: TraceParams) -> bool:
     (interpret mode elsewhere would be slower than XLA)."""
     return (jax.default_backend() == "tpu"
             and scene.n_bands == 1
-            and params.listeners.shape[0] == 1)
+            and params.listeners.shape[0] <= 2)
 
 
 @partial(jax.jit,

@@ -124,20 +124,22 @@ def _wall_pass(ox, oy, dx, dy, geo_ref):
 
 
 def _bounce_kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
-                   out_state_ref, hits_ref):
+                   out_state_ref, hits_ref, n_listeners=1):
     _bounce_core(scal_ref, state_ref, u_ref[0:1, :], u_ref[1:2, :],
                  u_ref[2:3, :], geo_ref, attrs_ref, out_state_ref,
-                 hits_ref)
+                 hits_ref, n_listeners)
 
 
 def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
-                 out_state_ref, hits_ref):
+                 out_state_ref, hits_ref, n_listeners=1):
     """Bounce body; ``u0/u1/u2`` are this bounce's uniforms as [1, T]
-    values (transmission test / refraction jitter / diffuse angle)."""
-    lis_x = scal_ref[0, 0]
-    lis_y = scal_ref[0, 1]
+    values (transmission test / refraction jitter / diffuse angle).
+    Listener l (static count; coords in scal cols 0/1 and 6/7) writes its
+    direct/NEE hit rows at ``hits_ref[l*8 : l*8+6]``."""
     radius = scal_ref[0, 2]
     c = scal_ref[0, 3]
+    listener_xy = [(scal_ref[0, 0], scal_ref[0, 1]),
+                   (scal_ref[0, 6], scal_ref[0, 7])][:n_listeners]
 
     px = state_ref[_PX:_PX + 1, :]       # [1, T]
     py = state_ref[_PY:_PY + 1, :]
@@ -162,22 +164,25 @@ def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
     hit_wall = (closest < INF) & alive
 
     # --- direct listener capture (wallDepth == 0) ----------------------------
-    lx = lis_x - px
-    ly = lis_y - py
-    tca = lx * dx + ly * dy
-    d2 = lx * lx + ly * ly - tca * tca
-    r2 = radius * radius
-    thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
-    t0 = tca - thc
-    t1c = tca + thc
-    t_lis = jnp.where(t0 > EPS, t0, jnp.where(t1c > EPS, t1c, INF))
-    t_lis = jnp.where((tca >= 0.0) & (d2 <= r2), t_lis, INF)
     outside = dep < 0.5
-    d_valid = alive & outside & (t_lis < closest) & (t_lis < INF)
-    total_d = ds + t_lis
-    d_energy = en * _recip(jnp.maximum(1.0, total_d * total_d))
     inv_sp = _recip(sp)
-    d_delay = tm + t_lis * inv_sp
+    r2 = radius * radius
+    direct_hits = []
+    for lis_x, lis_y in listener_xy:
+        lx = lis_x - px
+        ly = lis_y - py
+        tca = lx * dx + ly * dy
+        d2 = lx * lx + ly * ly - tca * tca
+        thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+        t0 = tca - thc
+        t1c = tca + thc
+        t_lis = jnp.where(t0 > EPS, t0, jnp.where(t1c > EPS, t1c, INF))
+        t_lis = jnp.where((tca >= 0.0) & (d2 <= r2), t_lis, INF)
+        d_valid = alive & outside & (t_lis < closest) & (t_lis < INF)
+        total_d = ds + t_lis
+        d_energy = en * _recip(jnp.maximum(1.0, total_d * total_d))
+        d_delay = tm + t_lis * inv_sp
+        direct_hits.append((d_delay, d_energy, d_valid))
 
     # --- advance -------------------------------------------------------------
     adv = jnp.where(hit_wall, closest, 0.0)
@@ -197,26 +202,31 @@ def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
     w_trans = attrs[4:5, :]
     w_ior = jnp.where(hit_wall, attrs[5:6, :], 1.0)
 
-    # --- NEE with occlusion --------------------------------------------------
+    # --- NEE with occlusion (per listener) -----------------------------------
     sx = npx + w_nx * EPS
     sy = npy + w_ny * EPS
-    tlx = lis_x - npx
-    tly = lis_y - npy
-    inv_dl = jax.lax.rsqrt(jnp.maximum(tlx * tlx + tly * tly, 1e-20))
-    dist_l = (tlx * tlx + tly * tly) * inv_dl
-    vdx = (lis_x - sx) * inv_dl
-    vdy = (lis_y - sy) * inv_dl
-    t_occ = _wall_pass(sx, sy, vdx, vdy, geo_ref)            # [Wp, T]
-    visible = jnp.min(t_occ, axis=0, keepdims=True) >= \
-        dist_l - OCCLUSION_SLACK
     d_dot_n = dx * w_nx + dy * w_ny
     eff_sign = jnp.where(d_dot_n > 0.0, -1.0, 1.0)
-    cos_t = jnp.maximum(0.0, (w_nx * tlx + w_ny * tly) * eff_sign * inv_dl)
-    total_dn = nds + dist_l
-    n_energy = en * (1.0 - w_abs) * cos_t * 0.5 * \
-        _recip(total_dn * total_dn)
-    n_valid = hit_wall & outside & visible & (n_energy > NEE_CONTRIB_CUTOFF)
-    n_delay = ntm + dist_l * (1.0 / c)
+    nee_hits = []
+    for lis_x, lis_y in listener_xy:
+        tlx = lis_x - npx
+        tly = lis_y - npy
+        inv_dl = jax.lax.rsqrt(jnp.maximum(tlx * tlx + tly * tly, 1e-20))
+        dist_l = (tlx * tlx + tly * tly) * inv_dl
+        vdx = (lis_x - sx) * inv_dl
+        vdy = (lis_y - sy) * inv_dl
+        t_occ = _wall_pass(sx, sy, vdx, vdy, geo_ref)        # [Wp, T]
+        visible = jnp.min(t_occ, axis=0, keepdims=True) >= \
+            dist_l - OCCLUSION_SLACK
+        cos_t = jnp.maximum(0.0,
+                            (w_nx * tlx + w_ny * tly) * eff_sign * inv_dl)
+        total_dn = nds + dist_l
+        n_energy = en * (1.0 - w_abs) * cos_t * 0.5 * \
+            _recip(total_dn * total_dn)
+        n_valid = hit_wall & outside & visible & \
+            (n_energy > NEE_CONTRIB_CUTOFF)
+        n_delay = ntm + dist_l * (1.0 / c)
+        nee_hits.append((n_delay, n_energy, n_valid))
 
     # --- absorption + cutoff -------------------------------------------------
     nen = en * jnp.where(hit_wall, 1.0 - w_abs, 1.0)
@@ -284,13 +294,17 @@ def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
     out_state_ref[_ALV, :] = keep.astype(jnp.float32)[0]
     out_state_ref[10:, :] = state_ref[10:, :]
 
-    hits_ref[_HD_DELAY, :] = d_delay[0]
-    hits_ref[_HD_EN, :] = d_energy[0]
-    hits_ref[_HD_VAL, :] = d_valid.astype(jnp.float32)[0]
-    hits_ref[_HN_DELAY, :] = n_delay[0]
-    hits_ref[_HN_EN, :] = n_energy[0]
-    hits_ref[_HN_VAL, :] = n_valid.astype(jnp.float32)[0]
-    hits_ref[6:, :] = jnp.zeros_like(hits_ref[6:, :])
+    for l, ((d_delay, d_energy, d_valid),
+            (n_delay, n_energy, n_valid)) in enumerate(
+                zip(direct_hits, nee_hits)):
+        o = l * _HIT_ROWS
+        hits_ref[o + _HD_DELAY, :] = d_delay[0]
+        hits_ref[o + _HD_EN, :] = d_energy[0]
+        hits_ref[o + _HD_VAL, :] = d_valid.astype(jnp.float32)[0]
+        hits_ref[o + _HN_DELAY, :] = n_delay[0]
+        hits_ref[o + _HN_EN, :] = n_energy[0]
+        hits_ref[o + _HN_VAL, :] = n_valid.astype(jnp.float32)[0]
+        hits_ref[o + 6:o + 8, :] = jnp.zeros_like(hits_ref[o + 6:o + 8, :])
 
 
 def _interpret() -> bool:
@@ -325,7 +339,8 @@ def _bin_dot(hi_ids, lo_ids, hi_d, lo_d, e_eff, acc_dtype=jnp.bfloat16):
 
 
 def _make_bounce_hist_kernel(hi_rows: int, ir_length: int,
-                             in_kernel_rng: bool = False):
+                             in_kernel_rng: bool = False,
+                             n_listeners: int = 1):
     def kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
                out_state_ref, ir_ref, hits_scratch):
         @pl.when(pl.program_id(0) == 0)
@@ -346,10 +361,10 @@ def _make_bounce_hist_kernel(hi_rows: int, ir_length: int,
             u = bits24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
             _bounce_core(scal_ref, state_ref, u[0:1, :], u[1:2, :],
                          u[2:3, :], geo_ref, attrs_ref, out_state_ref,
-                         hits_scratch)
+                         hits_scratch, n_listeners)
         else:
             _bounce_kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
-                           out_state_ref, hits_scratch)
+                           out_state_ref, hits_scratch, n_listeners)
 
         sr = scal_ref[0, 4]
         tile = hits_scratch.shape[1]
@@ -363,13 +378,15 @@ def _make_bounce_hist_kernel(hi_rows: int, ir_length: int,
             bins = jnp.where(ok, bins, 0)
             return _bin_dot(hi_ids, lo_ids, bins // _LO, bins % _LO, e_eff)
 
-        ir_ref[:, :] += (
-            slot(hits_scratch[_HD_DELAY:_HD_DELAY + 1, :],
-                 hits_scratch[_HD_EN:_HD_EN + 1, :],
-                 hits_scratch[_HD_VAL:_HD_VAL + 1, :]) +
-            slot(hits_scratch[_HN_DELAY:_HN_DELAY + 1, :],
-                 hits_scratch[_HN_EN:_HN_EN + 1, :],
-                 hits_scratch[_HN_VAL:_HN_VAL + 1, :]))
+        for l in range(n_listeners):
+            o = l * _HIT_ROWS
+            ir_ref[l * hi_rows:(l + 1) * hi_rows, :] += (
+                slot(hits_scratch[o + _HD_DELAY:o + _HD_DELAY + 1, :],
+                     hits_scratch[o + _HD_EN:o + _HD_EN + 1, :],
+                     hits_scratch[o + _HD_VAL:o + _HD_VAL + 1, :]) +
+                slot(hits_scratch[o + _HN_DELAY:o + _HN_DELAY + 1, :],
+                     hits_scratch[o + _HN_EN:o + _HN_EN + 1, :],
+                     hits_scratch[o + _HN_VAL:o + _HN_VAL + 1, :]))
 
     return kernel
 
@@ -475,10 +492,12 @@ def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
 
     geo = pack_walls_rows(scene.a, scene.b)
     attrs = pack_wall_attrs_t(scene)
+    lis2 = params.listeners[1] if params.listeners.shape[0] > 1 \
+        else params.listeners[0]
     scal = jnp.stack([params.listeners[0, 0], params.listeners[0, 1],
                       params.listener_radius, params.speed_of_sound,
                       jnp.float32(sample_rate), jnp.float32(0),
-                      jnp.float32(0), jnp.float32(0)])[None, :]
+                      lis2[0], lis2[1]])[None, :]
     u_rows = None if u is None else \
         jnp.pad(jnp.moveaxis(u, -1, 1), [(0, 0), (0, 5), (0, rp - r)])
     return state0, u_rows, scal, geo, attrs, rp
@@ -499,8 +518,9 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
     PRNG instead of host-side threefry (faster; statistically equivalent
     but a different sample sequence — still fully deterministic per key).
     """
-    if params.listeners.shape[0] != 1 or scene.n_bands != 1:
-        raise ValueError("fused path supports one listener, one band")
+    n_l = params.listeners.shape[0]
+    if n_l > 2 or scene.n_bands != 1:
+        raise ValueError("fused path supports <=2 listeners, one band")
     tile_r = tile_r or auto_tile(scene.a.shape[0])
     if in_kernel_rng and _interpret():
         # the TPU-core PRNG primitives have no interpret-mode lowering;
@@ -526,7 +546,7 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
     hi_rows = _hist_rows(ir_length)
     grid = (rp // tile_r,)
     kernel = pl.pallas_call(
-        _make_bounce_hist_kernel(hi_rows, ir_length, in_kernel_rng),
+        _make_bounce_hist_kernel(hi_rows, ir_length, in_kernel_rng, n_l),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0),
@@ -542,14 +562,15 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
         out_specs=[
             pl.BlockSpec((_STATE_ROWS, tile_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hi_rows, _LO), lambda i: (0, 0),
+            pl.BlockSpec((n_l * hi_rows, _LO), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((_STATE_ROWS, rp), jnp.float32),
-            jax.ShapeDtypeStruct((hi_rows, _LO), jnp.float32),
+            jax.ShapeDtypeStruct((n_l * hi_rows, _LO), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((_HIT_ROWS, tile_r), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_l * _HIT_ROWS, tile_r),
+                                   jnp.float32)],
         interpret=_interpret(),
     )
 
@@ -557,9 +578,9 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
         state, ir_part = kernel(scal, state, u_b, geo, attrs)
         return state, ir_part
 
-    _, ir_parts = jax.lax.scan(body, state0, u_rows)  # [B, HI, LO]
-    ir = jnp.sum(ir_parts, axis=0).reshape(-1)[:ir_length]
-    return ir[None, :, None]
+    _, ir_parts = jax.lax.scan(body, state0, u_rows)  # [B, L*HI, LO]
+    ir = jnp.sum(ir_parts, axis=0).reshape(n_l, -1)[:, :ir_length]
+    return ir[:, :, None]
 
 
 @functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
@@ -583,6 +604,8 @@ def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
     def body(st, i):
         k = jax.random.fold_in(key, i)
         if exact_scatter:
+            if params.listeners.shape[0] != 1:
+                raise ValueError("exact_scatter path supports one listener")
             rows = trace_fused_rows(scene, params, k, n_rays=n_rays,
                                     max_bounces=max_bounces, tile_r=tile_r)
             ir = scatter_hits_rows(rows, sample_rate, ir_length)

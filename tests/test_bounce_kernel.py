@@ -133,3 +133,24 @@ def test_auto_tile_bounds():
     assert bk.auto_tile(8) == bk.DEF_TILE_R
     assert bk.auto_tile(1032) in (256, 512)
     assert bk.auto_tile(100000) == 256
+
+
+def test_stereo_fused_hist(setup):
+    room, p, key = setup
+    ears = np.stack([np.asarray([0.0, -3.68]),
+                     np.asarray([0.5, -3.68])]).astype(np.float32)
+    p2 = TraceParams.make(p.source, ears, 0.5, 343.0, 1.0)
+    T = 8000
+    stj = trace_accumulate(room.scene, p2, IRState.zeros(T, 2, 1), key,
+                           n_rays=R, max_bounces=B, sample_rate=8000,
+                           n_frames=1, backend="jnp")
+    stf = trace_accumulate(room.scene, p2, IRState.zeros(T, 2, 1), key,
+                           n_rays=R, max_bounces=B, sample_rate=8000,
+                           n_frames=1, backend="fused")
+    a, b = np.asarray(stf.sum), np.asarray(stj.sum)
+    assert a.shape == (2, T, 1)
+    for ear in range(2):
+        al, bl = a[ear].ravel(), b[ear].ravel()
+        assert abs(al.sum() - bl.sum()) / bl.sum() < 2e-2
+        assert np.linalg.norm(al - bl) / np.linalg.norm(bl) < 0.1
+    assert not np.allclose(a[0], a[1])  # ears hear different IRs

@@ -85,3 +85,14 @@ def test_cli_spectro_out(tmp_path):
     main(["trace", "--room", "smoll", *TINY, "--bands", "4",
           "--spectro-out", out2])
     assert os.path.exists(out2)
+
+
+def test_cli_legacy_bake(tmp_path):
+    from realisticaudioraytracing2d_tpu.utils.audio_io import noise_burst
+    dry = str(tmp_path / "dry.wav")
+    write_wav(dry, noise_burst(0.1, 8000, seed=9), 8000)
+    out = str(tmp_path / "wet_legacy.wav")
+    main(["bake", "--room", "smoll", *TINY, "--legacy",
+          "--in", dry, "--out", out])
+    y, rate = read_wav(out)
+    assert np.abs(y).max() > 0.5
