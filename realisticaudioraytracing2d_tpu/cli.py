@@ -23,8 +23,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-import math
-import sys
 import time
 
 import numpy as np
@@ -142,8 +140,18 @@ def cmd_trace(args):
     eng = Engine(room.scene, cfg)
     p = eng.params(room.source, room.listener)
     key = jax.random.PRNGKey(args.seed)
+    state = None
+    start_frame = 0
+    if args.ir_in:
+        # resume Monte-Carlo accumulation from a checkpoint (preemption
+        # recovery for long runs); frame keys continue past the saved count
+        from .utils.checkpoint import load_ir_state
+        state = load_ir_state(args.ir_in)
+        start_frame = int(state.frames)
+        key = jax.random.fold_in(key, start_frame)
+        print(f"resuming from {args.ir_in} at frame {start_frame}")
     t0 = time.perf_counter()
-    state = eng.trace_frames(p, key, n_frames=args.frames)
+    state = eng.trace_frames(p, key, n_frames=args.frames, state=state)
     jax.block_until_ready(state.sum)
     dt = time.perf_counter() - t0
     ir = np.asarray(state.normalized())[0, :, 0]
@@ -337,6 +345,8 @@ def main(argv=None):
                         "legacy muffle model for scalar IRs)")
     p.add_argument("--scene-out", default=None, help="scene/ray-path PNG")
     p.add_argument("--ir-out", default=None, help="IR state checkpoint npz")
+    p.add_argument("--ir-in", default=None,
+                   help="resume accumulation from an IR checkpoint npz")
     p.add_argument("--gain", type=float, default=1000.0)
     p.add_argument("--debug-rays", type=int, default=100)
     p.set_defaults(fn=cmd_trace)

@@ -18,7 +18,7 @@ one absorption value per band; scalar materials broadcast across bands.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 import numpy as np

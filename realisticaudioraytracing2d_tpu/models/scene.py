@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .materials import MATERIAL_ANECHOIC, AudioMaterial
+from .materials import AudioMaterial
 
 CIRCLE_RESOLUTION = 32  # SceneHelper.cs:26
 

@@ -23,7 +23,7 @@ BASELINE.json's north-star calls for.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -132,25 +132,49 @@ def _bounce_kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
 
 def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
                  out_state_ref, hits_ref, n_listeners=1):
-    """Bounce body; ``u0/u1/u2`` are this bounce's uniforms as [1, T]
-    values (transmission test / refraction jitter / diffuse angle).
-    Listener l (static count; coords in scal cols 0/1 and 6/7) writes its
-    direct/NEE hit rows at ``hits_ref[l*8 : l*8+6]``."""
+    """Ref-based bounce: load state rows, run :func:`_bounce_step`, store
+    the next state and hit rows. Listener l (static count; coords in scal
+    cols 0/1 and 6/7) writes its direct/NEE hit rows at
+    ``hits_ref[l*8 : l*8+6]``."""
+    vals = (state_ref[_PX:_PX + 1, :], state_ref[_PY:_PY + 1, :],
+            state_ref[_DX:_DX + 1, :], state_ref[_DY:_DY + 1, :],
+            state_ref[_EN:_EN + 1, :], state_ref[_TM:_TM + 1, :],
+            state_ref[_DS:_DS + 1, :], state_ref[_SP:_SP + 1, :],
+            state_ref[_DEP:_DEP + 1, :],
+            state_ref[_ALV:_ALV + 1, :] > 0.5)
+    new_vals, direct_hits, nee_hits = _bounce_step(
+        scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref, n_listeners)
+
+    for row, val in zip((_PX, _PY, _DX, _DY, _EN, _TM, _DS, _SP, _DEP),
+                        new_vals[:9]):
+        out_state_ref[row, :] = val[0]
+    out_state_ref[_ALV, :] = new_vals[9].astype(jnp.float32)[0]
+    out_state_ref[10:, :] = state_ref[10:, :]
+
+    for l, ((d_delay, d_energy, d_valid),
+            (n_delay, n_energy, n_valid)) in enumerate(
+                zip(direct_hits, nee_hits)):
+        o = l * _HIT_ROWS
+        hits_ref[o + _HD_DELAY, :] = d_delay[0]
+        hits_ref[o + _HD_EN, :] = d_energy[0]
+        hits_ref[o + _HD_VAL, :] = d_valid.astype(jnp.float32)[0]
+        hits_ref[o + _HN_DELAY, :] = n_delay[0]
+        hits_ref[o + _HN_EN, :] = n_energy[0]
+        hits_ref[o + _HN_VAL, :] = n_valid.astype(jnp.float32)[0]
+        hits_ref[o + 6:o + 8, :] = jnp.zeros_like(hits_ref[o + 6:o + 8, :])
+
+
+def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
+                 n_listeners=1):
+    """Pure bounce body on [1, T] row values; ``u0/u1/u2`` are this
+    bounce's uniforms (transmission test / refraction jitter / diffuse
+    angle). Returns ``(new_vals, direct_hits, nee_hits)`` with one hit
+    triple (delay, energy, valid) per listener per kind."""
     radius = scal_ref[0, 2]
     c = scal_ref[0, 3]
     listener_xy = [(scal_ref[0, 0], scal_ref[0, 1]),
                    (scal_ref[0, 6], scal_ref[0, 7])][:n_listeners]
-
-    px = state_ref[_PX:_PX + 1, :]       # [1, T]
-    py = state_ref[_PY:_PY + 1, :]
-    dx = state_ref[_DX:_DX + 1, :]
-    dy = state_ref[_DY:_DY + 1, :]
-    en = state_ref[_EN:_EN + 1, :]
-    tm = state_ref[_TM:_TM + 1, :]
-    ds = state_ref[_DS:_DS + 1, :]
-    sp = state_ref[_SP:_SP + 1, :]
-    dep = state_ref[_DEP:_DEP + 1, :]
-    alive = state_ref[_ALV:_ALV + 1, :] > 0.5
+    px, py, dx, dy, en, tm, ds, sp, dep, alive = vals
 
     wp = geo_ref.shape[0]
     tile = px.shape[1]
@@ -280,35 +304,165 @@ def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
     fpx = npx + jnp.where(transmit, ndx, nx) * EPS
     fpy = npy + jnp.where(transmit, ndy, ny) * EPS
 
-    # --- write back (dead rays frozen) ---------------------------------------
+    # --- next state (dead rays frozen) ----------------------------------------
     keep = nalive
-    out_state_ref[_PX, :] = jnp.where(keep, fpx, px)[0]
-    out_state_ref[_PY, :] = jnp.where(keep, fpy, py)[0]
-    out_state_ref[_DX, :] = jnp.where(keep, ndx, dx)[0]
-    out_state_ref[_DY, :] = jnp.where(keep, ndy, dy)[0]
-    out_state_ref[_EN, :] = jnp.where(keep, nen, en)[0]
-    out_state_ref[_TM, :] = jnp.where(keep, ntm, tm)[0]
-    out_state_ref[_DS, :] = jnp.where(keep, nds, ds)[0]
-    out_state_ref[_SP, :] = jnp.where(keep, nsp, sp)[0]
-    out_state_ref[_DEP, :] = jnp.where(keep, ndep, dep)[0]
-    out_state_ref[_ALV, :] = keep.astype(jnp.float32)[0]
-    out_state_ref[10:, :] = state_ref[10:, :]
-
-    for l, ((d_delay, d_energy, d_valid),
-            (n_delay, n_energy, n_valid)) in enumerate(
-                zip(direct_hits, nee_hits)):
-        o = l * _HIT_ROWS
-        hits_ref[o + _HD_DELAY, :] = d_delay[0]
-        hits_ref[o + _HD_EN, :] = d_energy[0]
-        hits_ref[o + _HD_VAL, :] = d_valid.astype(jnp.float32)[0]
-        hits_ref[o + _HN_DELAY, :] = n_delay[0]
-        hits_ref[o + _HN_EN, :] = n_energy[0]
-        hits_ref[o + _HN_VAL, :] = n_valid.astype(jnp.float32)[0]
-        hits_ref[o + 6:o + 8, :] = jnp.zeros_like(hits_ref[o + 6:o + 8, :])
+    new_vals = (jnp.where(keep, fpx, px), jnp.where(keep, fpy, py),
+                jnp.where(keep, ndx, dx), jnp.where(keep, ndy, dy),
+                jnp.where(keep, nen, en), jnp.where(keep, ntm, tm),
+                jnp.where(keep, nds, ds), jnp.where(keep, nsp, sp),
+                jnp.where(keep, ndep, dep), keep)
+    return new_vals, direct_hits, nee_hits
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _hist_slot(ir_ref, l_block, hi_rows, hi_ids, lo_ids, sr, ir_length,
+               hits):
+    """Accumulate one listener's direct+NEE hit values into its partial-IR
+    block (two-level one-hot MXU contraction)."""
+    total = None
+    for delay, energy, valid in hits:
+        bins = jnp.floor(delay * sr).astype(jnp.int32)
+        ok = valid & (bins >= 0) & (bins < ir_length)
+        e_eff = jnp.where(ok, energy, 0.0)
+        bins = jnp.where(ok, bins, 0)
+        part = _bin_dot(hi_ids, lo_ids, bins // _LO, bins % _LO, e_eff)
+        total = part if total is None else total + part
+    ir_ref[l_block * hi_rows:(l_block + 1) * hi_rows, :] += total
+
+
+def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
+                            max_bounces: int, n_rays: int,
+                            in_kernel_rng: bool = False):
+    """Whole-frame kernel: emission + all bounces + IR binning in one
+    pallas_call. Ray state lives purely in VMEM/registers for the entire
+    frame — no per-bounce HBM round trips, no per-bounce launches.
+    scal row 1 carries (src_x, src_y, gain, c). With ``in_kernel_rng``,
+    ``u_ref`` is a [1, 8] int32 seed and bounce uniforms come from the
+    TPU-core PRNG (one seed per tile; draws advance the stream)."""
+
+    def kernel(scal_ref, emit_ref, u_ref, geo_ref, attrs_ref, ir_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            ir_ref[:, :] = jnp.zeros_like(ir_ref)
+
+        if in_kernel_rng:
+            pltpu.prng_seed(u_ref[0, 0] + pl.program_id(0))
+
+        tile = emit_ref.shape[1]
+        i = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        ray_idx = i * tile + lane
+        angle = ((ray_idx.astype(jnp.float32) + emit_ref[0:1, :])
+                 * (2.0 * PI / n_rays))
+        src_x = scal_ref[1, 0]
+        src_y = scal_ref[1, 1]
+        gain = scal_ref[1, 2]
+        c = scal_ref[0, 3]
+        sr = scal_ref[0, 4]
+        ones = jnp.ones((1, tile), jnp.float32)
+        vals = (src_x * ones, src_y * ones,
+                jnp.cos(angle), jnp.sin(angle),
+                gain * ones, 0.0 * ones, 0.0 * ones, c * ones,
+                0.0 * ones, ray_idx < n_rays)
+
+        hi_ids = jax.lax.broadcasted_iota(jnp.int32, (hi_rows, tile), 0)
+        lo_ids = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
+
+        for b in range(max_bounces):
+            if in_kernel_rng:
+                bits = pltpu.bitcast(pltpu.prng_random_bits((8, tile)),
+                                     jnp.uint32)
+                bits24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+                u = bits24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+                u0, u1, u2 = u[0:1, :], u[1:2, :], u[2:3, :]
+            else:
+                u0 = u_ref[b * 8 + 0:b * 8 + 1, :]
+                u1 = u_ref[b * 8 + 1:b * 8 + 2, :]
+                u2 = u_ref[b * 8 + 2:b * 8 + 3, :]
+            vals, direct_hits, nee_hits = _bounce_step(
+                scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
+                n_listeners)
+            for l in range(n_listeners):
+                _hist_slot(ir_ref, l, hi_rows, hi_ids, lo_ids, sr,
+                           ir_length, [direct_hits[l], nee_hits[l]])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
+                                             "sample_rate", "ir_length",
+                                             "tile_r", "in_kernel_rng"))
+def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
+                         n_rays: int, max_bounces: int, sample_rate: int,
+                         ir_length: int, tile_r: int = 0,
+                         in_kernel_rng: bool = False) -> jax.Array:
+    """One Monte-Carlo frame -> IR ``[L, ir_length, 1]`` with the ENTIRE
+    frame (emission, every bounce, binning) in a single kernel launch."""
+    n_l = params.listeners.shape[0]
+    if n_l > 2 or scene.n_bands != 1:
+        raise ValueError("fused path supports <=2 listeners, one band")
+    tile_r = tile_r or auto_tile(scene.a.shape[0])
+    if in_kernel_rng and _interpret():
+        in_kernel_rng = False  # no interpret-mode lowering for the TPU PRNG
+    state0, u_rows, scal, geo, attrs, rp = _fused_setup(
+        scene, params, key, n_rays, max_bounces, tile_r, sample_rate,
+        skip_u=in_kernel_rng)
+    del state0
+    # scal row 1: source + gain
+    scal = jnp.concatenate([
+        scal,
+        jnp.stack([params.source[0], params.source[1],
+                   jnp.asarray(params.input_gain, jnp.float32),
+                   jnp.float32(0), jnp.float32(0), jnp.float32(0),
+                   jnp.float32(0), jnp.float32(0)])[None, :]])
+    # emission jitter row (same derivation as the setup path used)
+    if in_kernel_rng:
+        k_emit, _ = jax.random.split(key)
+        emit_jitter = jax.random.uniform(k_emit, (n_rays,),
+                                         dtype=jnp.float32)
+        n_tiles = rp // tile_r
+        u_flat = jax.random.randint(
+            key, (1, 8), minval=0,
+            maxval=jnp.iinfo(jnp.int32).max - n_tiles - max_bounces,
+            dtype=jnp.int32)
+        u_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        emit_jitter, _ = _rng.bounce_uniforms(key, max_bounces, n_rays)
+        u_flat = u_rows.reshape(max_bounces * 8, rp)
+        u_spec = pl.BlockSpec((max_bounces * 8, tile_r), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    emit = jnp.pad(emit_jitter, (0, rp - n_rays))[None, :]
+
+    wp = geo.shape[0]
+    hi_rows = _hist_rows(ir_length)
+    grid = (rp // tile_r,)
+    kernel = pl.pallas_call(
+        _make_frame_hist_kernel(hi_rows, ir_length, n_l, max_bounces,
+                                n_rays, in_kernel_rng),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            u_spec,
+            pl.BlockSpec((wp, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_l * hi_rows, _LO), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_l * hi_rows, _LO), jnp.float32),
+        interpret=_interpret(),
+    )
+    ir_part = kernel(scal, emit, u_flat, geo, attrs)
+    ir = ir_part.reshape(n_l, -1)[:, :ir_length]
+    return ir[:, :, None]
 
 
 # ---------------------------------------------------------------------------
@@ -610,7 +764,9 @@ def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
                                     max_bounces=max_bounces, tile_r=tile_r)
             ir = scatter_hits_rows(rows, sample_rate, ir_length)
         else:
-            ir = trace_frame_ir_fused(scene, params, k, n_rays=n_rays,
+            # whole-frame kernel: bit-identical to the per-bounce hist
+            # kernel (same uniforms) with one launch per frame
+            ir = trace_frame_ir_whole(scene, params, k, n_rays=n_rays,
                                       max_bounces=max_bounces,
                                       sample_rate=sample_rate,
                                       ir_length=ir_length, tile_r=tile_r,

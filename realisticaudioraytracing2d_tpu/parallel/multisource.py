@@ -13,8 +13,6 @@ nothing in the reference (it has no multi-source mode at all).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

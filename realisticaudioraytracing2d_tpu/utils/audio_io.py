@@ -8,7 +8,6 @@ dry clips used by tests and benchmarks.
 
 from __future__ import annotations
 
-import struct
 import wave
 from typing import Tuple
 

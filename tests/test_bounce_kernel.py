@@ -154,3 +154,24 @@ def test_stereo_fused_hist(setup):
         assert abs(al.sum() - bl.sum()) / bl.sum() < 2e-2
         assert np.linalg.norm(al - bl) / np.linalg.norm(bl) < 0.1
     assert not np.allclose(a[0], a[1])  # ears hear different IRs
+
+
+def test_whole_frame_kernel_bitwise_matches_per_bounce(setup):
+    room, p, key = setup
+    kw = dict(n_rays=R, max_bounces=B, sample_rate=8000, ir_length=8000)
+    a = np.asarray(bk.trace_frame_ir_whole(room.scene, p, key, **kw))
+    b = np.asarray(bk.trace_frame_ir_fused(room.scene, p, key, **kw))
+    np.testing.assert_array_equal(a, b)
+    assert a.sum() > 0
+
+
+def test_whole_frame_kernel_stereo(setup):
+    room, p, key = setup
+    ears = np.stack([np.asarray([0.0, -3.68]),
+                     np.asarray([0.5, -3.68])]).astype(np.float32)
+    p2 = TraceParams.make(p.source, ears, 0.5, 343.0, 1.0)
+    kw = dict(n_rays=R, max_bounces=B, sample_rate=8000, ir_length=8000)
+    a = np.asarray(bk.trace_frame_ir_whole(room.scene, p2, key, **kw))
+    b = np.asarray(bk.trace_frame_ir_fused(room.scene, p2, key, **kw))
+    assert a.shape == (2, 8000, 1)
+    np.testing.assert_array_equal(a, b)

@@ -96,3 +96,16 @@ def test_cli_legacy_bake(tmp_path):
           "--in", dry, "--out", out])
     y, rate = read_wav(out)
     assert np.abs(y).max() > 0.5
+
+
+def test_cli_resume_from_checkpoint(tmp_path):
+    ir1 = str(tmp_path / "ir1.npz")
+    main(["trace", "--room", "smoll", *TINY, "--ir-out", ir1])
+    ir2 = str(tmp_path / "ir2.npz")
+    main(["trace", "--room", "smoll", *TINY, "--ir-in", ir1,
+          "--ir-out", ir2])
+    from realisticaudioraytracing2d_tpu.utils.checkpoint import load_ir_state
+    st1 = load_ir_state(ir1)
+    st2 = load_ir_state(ir2)
+    assert int(st2.frames) == int(st1.frames) + 1  # TINY uses --frames 1
+    assert float(st2.sum.sum()) > float(st1.sum.sum())
