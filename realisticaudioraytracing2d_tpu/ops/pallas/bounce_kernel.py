@@ -20,8 +20,9 @@ The reference's ``asin`` for the diffuse angle is eliminated:
 ``diffAng = asin(2u-1)`` is only used through sin/cos, so
 ``sin = 2u-1, cos = sqrt(1-sin^2)`` is exact.
 
-Limits (by construction): n_bands == 1, one listener. The jnp path stays
-the general/semantic oracle; parity is tested in interpret mode.
+Limits (by construction): n_bands == 1, up to two listeners (stereo ear
+pair). The jnp path stays the general/semantic oracle; parity is tested
+in interpret mode.
 """
 
 from __future__ import annotations
@@ -407,7 +408,7 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
     tile_r = tile_r or auto_tile(scene.a.shape[0])
     if in_kernel_rng and _interpret():
         in_kernel_rng = False  # no interpret-mode lowering for the TPU PRNG
-    state0, u_rows, scal, geo, attrs, rp = _fused_setup(
+    state0, u_rows, scal, geo, attrs, rp, emit_jitter = _fused_setup(
         scene, params, key, n_rays, max_bounces, tile_r, sample_rate,
         skip_u=in_kernel_rng)
     del state0
@@ -418,11 +419,8 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
                    jnp.asarray(params.input_gain, jnp.float32),
                    jnp.float32(0), jnp.float32(0), jnp.float32(0),
                    jnp.float32(0), jnp.float32(0)])[None, :]])
-    # emission jitter row (same derivation as the setup path used)
+    # seeds / uniforms (emission jitter comes from the setup above)
     if in_kernel_rng:
-        k_emit, _ = jax.random.split(key)
-        emit_jitter = jax.random.uniform(k_emit, (n_rays,),
-                                         dtype=jnp.float32)
         n_tiles = rp // tile_r
         u_flat = jax.random.randint(
             key, (1, 8), minval=0,
@@ -431,7 +429,6 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
         u_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
     else:
-        emit_jitter, _ = _rng.bounce_uniforms(key, max_bounces, n_rays)
         u_flat = u_rows.reshape(max_bounces * 8, rp)
         u_spec = pl.BlockSpec((max_bounces * 8, tile_r), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
@@ -559,7 +556,7 @@ def trace_fused_rows(scene, params: TraceParams, key: jax.Array, *,
 
     tile_r = tile_r or auto_tile(scene.a.shape[0])
     r = n_rays
-    state0, u_rows, scal, geo, attrs, rp = _fused_setup(
+    state0, u_rows, scal, geo, attrs, rp, _ = _fused_setup(
         scene, params, key, n_rays, max_bounces, tile_r)
     wp = geo.shape[0]
     grid = (rp // tile_r,)
@@ -621,7 +618,7 @@ def scatter_hits_rows(hits_rows: jax.Array, sample_rate: int,
 def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
                  sample_rate=0.0, skip_u=False):
     """Shared state/operand packing for the fused kernels. Returns
-    (state0, u_rows, scal, geo, attrs, rp)."""
+    (state0, u_rows, scal, geo, attrs, rp, emit_jitter)."""
     r = n_rays
     rp = _round_up(max(r, tile_r), tile_r)
     if skip_u:
@@ -654,7 +651,7 @@ def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
                       lis2[0], lis2[1]])[None, :]
     u_rows = None if u is None else \
         jnp.pad(jnp.moveaxis(u, -1, 1), [(0, 0), (0, 5), (0, rp - r)])
-    return state0, u_rows, scal, geo, attrs, rp
+    return state0, u_rows, scal, geo, attrs, rp, emit_jitter
 
 
 @functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
@@ -680,7 +677,7 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
         # the TPU-core PRNG primitives have no interpret-mode lowering;
         # fall back to host-generated uniforms off-TPU
         in_kernel_rng = False
-    state0, u_rows, scal, geo, attrs, rp = _fused_setup(
+    state0, u_rows, scal, geo, attrs, rp, _ = _fused_setup(
         scene, params, key, n_rays, max_bounces, tile_r, sample_rate,
         skip_u=in_kernel_rng)
     if in_kernel_rng:

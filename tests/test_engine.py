@@ -125,3 +125,39 @@ def test_bake_multi_listener(small_setup):
     assert np.abs(wet).max() > 0
     assert wet.shape[0] == 2
     assert not np.allclose(wet[0], wet[1])
+
+
+def test_big_room_end_to_end():
+    """Big Room fixture: 10x geometry with inputGain=100 compensating the
+    inverse-square losses (Big Room.unity:161). The gain must bring the
+    captured energy to the same order as SmollRoom's."""
+    import dataclasses
+
+    big = art.rooms.big_room()
+    cfg = art.big_room_config(ray_count=4096)
+    cfg = dataclasses.replace(
+        cfg, audio=dataclasses.replace(cfg.audio, sample_rate=8000,
+                                       reverb_duration=1.5))
+    eng = Engine(big.scene, cfg)
+    p = eng.params(big.source, big.listener)
+    st = eng.trace_frames(p, jax.random.PRNGKey(0), n_frames=2)
+    ir = np.asarray(st.normalized())[0, :, 0]
+    assert ir.sum() > 0
+    # first arrival >= straight-line distance/c (no faster-than-geometry)
+    nz = np.nonzero(ir)[0]
+    d = np.linalg.norm(big.source - big.listener)
+    # Material slant wall has ior 0.6 -> slightly early arrivals possible,
+    # and border ior 0.01 shortcuts are blocked by wallDepth gating.
+    assert nz[0] >= (d - 50) / 343.0 * 8000 * 0.5
+    # energy comparable to a SmollRoom trace (gain compensates 10x scale)
+    small = art.rooms.smoll_room()
+    cfg_s = art.smoll_room_config(ray_count=4096)
+    cfg_s = dataclasses.replace(
+        cfg_s, audio=dataclasses.replace(cfg_s.audio, sample_rate=8000,
+                                         reverb_duration=1.5))
+    eng_s = Engine(small.scene, cfg_s)
+    st_s = eng_s.trace_frames(eng_s.params(small.source, small.listener),
+                              jax.random.PRNGKey(0), n_frames=2)
+    e_big = float(st.normalized().sum())
+    e_small = float(st_s.normalized().sum())
+    assert 0.02 < e_big / e_small < 50

@@ -126,3 +126,20 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_64_sources_stereo_mixdown():
+    # BASELINE config #4: 64 simultaneous sources sharing one scene,
+    # batched trace + mixdown to a stereo listener.
+    room = smoll_room()
+    rng_np = np.random.default_rng(11)
+    sources = np.stack([rng_np.uniform(-15, 15, 64),
+                        rng_np.uniform(-3, 8, 64)], -1).astype(np.float32)
+    ears = np.stack([[-0.2, -3.68], [0.2, -3.68]]).astype(np.float32)
+    params = TraceParams.make(sources, ears, 0.5, 343.0, 1.0)
+    ir = trace_sources_mixdown(room.scene, params, jax.random.PRNGKey(0),
+                               n_rays=128, max_bounces=4, sample_rate=SR,
+                               ir_length=IR_LEN)
+    assert ir.shape == (2, IR_LEN, 1)
+    assert float(ir.sum()) > 0
+    assert not np.allclose(np.asarray(ir[0]), np.asarray(ir[1]))
