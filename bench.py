@@ -131,6 +131,29 @@ def bench_sweep(n_rooms=64, n_rays=4096, max_bounces=6, ir_length=24000):
     return n_rooms / (time.perf_counter() - t0)
 
 
+def bench_stream_chunk(n_chunks=30):
+    """Full streaming step (retrace 15k rays + crossfaded convolution +
+    ring overlap-add/drain) steady-state cost per 0.1 s chunk — the
+    '60 Hz IR-update + streaming loop fully on TPU' north-star loop."""
+    import jax.random
+
+    import realisticaudioraytracing2d_tpu as art
+
+    room = art.rooms.smoll_room(pad_to=32)
+    cfg = art.smoll_room_config()
+    eng = art.Engine(room.scene, cfg)
+    p = eng.params(room.source, room.listener)
+    streamer = art.Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+    chunk = jnp.zeros((cfg.audio.chunk_samples,), jnp.float32).at[0].set(1.0)
+    _sync(streamer.process(chunk, p))          # compile
+    _sync(streamer.process(chunk, p))          # warm
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        out = streamer.process(chunk, p)
+    _sync(out)
+    return (time.perf_counter() - t0) / n_chunks * 1e3
+
+
 def main():
     backend = jax.default_backend()
     print(f"backend={backend} devices={jax.devices()}", file=sys.stderr)
@@ -139,6 +162,7 @@ def main():
     _, ref_frame_ms = bench_trace(n_rays=15000, max_bounces=5)
     ir_ms = bench_ir_build()
     xrt = bench_streaming_xrt()
+    chunk_ms = bench_stream_chunk()
     rooms_s = bench_sweep()
 
     print(f"trace frame @131k rays x 8 bounces: {frame_ms:.2f} ms; "
@@ -146,6 +170,8 @@ def main():
           f"(60Hz budget: {'OK' if ref_frame_ms < 16.6 else 'OVER'}); "
           f"IR scatter: {ir_ms:.2f} ms; "
           f"streaming conv: {xrt:.0f}x realtime @44.1kHz; "
+          f"full stream chunk (retrace+conv+ring): {chunk_ms:.1f} ms per "
+          f"100 ms chunk; "
           f"room sweep: {rooms_s:.1f} rooms/s (4096 rays x 6 bounces)",
           file=sys.stderr)
 
