@@ -40,7 +40,7 @@ params = eng.params(room.source, room.listener)
 # --- trace + debug views ----------------------------------------------------
 t0 = time.perf_counter()
 state = eng.trace_frames(params, key, n_frames=8)
-jax.block_until_ready(state.sum)
+float(state.sum.sum())  # readback = reliable sync barrier on the TPU relay
 print(f"traced 8 frames x 4096 rays in {time.perf_counter() - t0:.2f}s "
       f"(incl. compile)")
 

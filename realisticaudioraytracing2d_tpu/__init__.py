@@ -11,11 +11,12 @@ and room-dataset sweeps sharded over TPU meshes.
 
 Quick start::
 
+    import jax
     import realisticaudioraytracing2d_tpu as art
     room = art.rooms.smoll_room()
     eng = art.Engine(room.scene, art.smoll_room_config())
-    ir_state = eng.trace_frames(art.TraceParams.make(
-        room.source, room.listener, room.listener_radius), frames=8)
+    params = eng.params(room.source, room.listener)
+    ir_state = eng.trace_frames(params, jax.random.PRNGKey(0), n_frames=8)
     wet = eng.bake(dry_audio, ir_state)
 """
 

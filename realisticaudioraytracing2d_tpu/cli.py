@@ -137,8 +137,9 @@ def cmd_trace(args):
 
     room = _build_room(args)
     cfg = _config(args)
-    eng = Engine(room.scene, cfg)
-    p = eng.params(room.source, room.listener)
+    listeners, n_l = _listeners(args, room)
+    eng = Engine(room.scene, cfg, n_listeners=n_l)
+    p = eng.params(room.source, listeners)
     key = jax.random.PRNGKey(args.seed)
     state = None
     start_frame = 0
@@ -152,9 +153,8 @@ def cmd_trace(args):
         print(f"resuming from {args.ir_in} at frame {start_frame}")
     t0 = time.perf_counter()
     state = eng.trace_frames(p, key, n_frames=args.frames, state=state)
-    jax.block_until_ready(state.sum)
+    ir = np.asarray(state.normalized())[0, :, 0]  # readback = sync barrier
     dt = time.perf_counter() - t0
-    ir = np.asarray(state.normalized())[0, :, 0]
     print(f"traced {args.frames} frames x {args.rays} rays in {dt:.3f}s; "
           f"IR energy {ir.sum():.5f}, peak bin {ir.argmax()} "
           f"({ir.argmax() / cfg.audio.sample_rate * 1e3:.2f} ms)")
@@ -175,7 +175,7 @@ def cmd_trace(args):
                                    n_rays=cfg.sim.ray_count,
                                    max_bounces=cfg.sim.max_bounces)
             lst = legacy.LegacyIRState.zeros(
-                cfg.audio.ir_length // legacy.DEFAULT_WINDOW_SIZE, 1)
+                cfg.audio.ir_length // legacy.DEFAULT_WINDOW_SIZE, n_l)
             lst = legacy.accumulate_legacy(lst, hits,
                                            cfg.audio.sample_rate)
             img = viz.ir_spectrogram_image(lst.sum[0], lst.frames,
@@ -184,7 +184,8 @@ def cmd_trace(args):
         print(f"wrote {args.spectro_out}")
     if args.scene_out:
         _, dbg = eng.trace_debug(p, key, n_debug=args.debug_rays)
-        img = viz.render_scene(room.scene, room.source, room.listener,
+        lis0 = np.asarray(listeners, np.float32).reshape(-1, 2)[0]
+        img = viz.render_scene(room.scene, room.source, lis0,
                                room.listener_radius, dbg)
         viz.save_image(args.scene_out, img)
         print(f"wrote {args.scene_out}")
@@ -195,14 +196,19 @@ def cmd_trace(args):
 
 
 def _listeners(args, room):
-    """Mono listener or stereo ear pair (+-sep/2 on x)."""
-    import numpy as np
-    if args.stereo is None:
-        return room.listener, 1
-    sep = float(args.stereo)
-    ears = np.stack([room.listener - [sep / 2, 0.0],
-                     room.listener + [sep / 2, 0.0]]).astype(np.float32)
-    return ears, 2
+    """Listener array + count: honors --stereo (ear pair +-sep/2 on x)
+    and multi-listener scene JSON (``listeners: [[..], [..]]``)."""
+    base = np.asarray(room.listener, np.float32)
+    if getattr(args, "stereo", None) is not None:
+        if base.ndim > 1:
+            base = base.reshape(-1, 2)[0]
+        sep = float(args.stereo)
+        ears = np.stack([base - [sep / 2, 0.0],
+                         base + [sep / 2, 0.0]]).astype(np.float32)
+        return ears, 2
+    if base.ndim > 1:
+        return base.reshape(-1, 2), base.reshape(-1, 2).shape[0]
+    return base, 1
 
 
 def cmd_bake(args):
@@ -300,6 +306,9 @@ def cmd_stream(args):
 
 def cmd_sweep(args):
     import jax
+
+    if getattr(args, "stereo", None) is not None:
+        print("note: --stereo is ignored by sweep (mono listeners per room)")
 
     from .models.rooms import random_rooms
     from .parallel.mesh import make_mesh

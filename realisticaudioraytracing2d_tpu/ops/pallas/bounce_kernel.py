@@ -38,19 +38,26 @@ from .. import rng as _rng
 from ..geometry import EPS, INF, PI
 from ..trace import (ENERGY_CUTOFF, NEE_CONTRIB_CUTOFF, OCCLUSION_SLACK,
                      Hits, TraceParams)
+from .common import SUB as _SUB, interpret as _interpret, \
+    round_up as _round_up
 
 DEF_TILE_R = 2048
-_SUB = 8  # sublane multiple for the wall axis
 
 
 def auto_tile(n_walls: int) -> int:
     """Pick a ray-tile width that keeps the kernel's live [Wp, tile]
-    temporaries (~4 of them, f32) within the 16 MB scoped-VMEM budget."""
+    temporaries (~4 of them, f32) within the 16 MB scoped-VMEM budget.
+    Raises for wall counts beyond what one tile row can hold (~5k walls);
+    such scenes need the cluster-sweep plan of docs/ACCEL.md."""
     wp = _round_up(max(n_walls, _SUB), _SUB)
     budget = 10 * 2 ** 20  # leave headroom for state/one-hot/hist buffers
-    tile = budget // (wp * 4 * 4)
-    tile = max(256, min(DEF_TILE_R, (tile // 256) * 256))
-    return tile
+    tile = (budget // (wp * 4 * 4) // 128) * 128
+    if tile < 128:
+        raise ValueError(
+            f"{n_walls} walls exceed the fused kernel's VMEM budget "
+            f"(max ~{budget // (128 * 16)}); split the scene or use the "
+            f"jnp backend (see docs/ACCEL.md)")
+    return min(DEF_TILE_R, tile)
 
 # state rows
 _PX, _PY, _DX, _DY, _EN, _TM, _DS, _SP, _DEP, _ALV = range(10)
@@ -58,10 +65,6 @@ _STATE_ROWS = 16
 # hit-output rows
 _HD_DELAY, _HD_EN, _HD_VAL, _HN_DELAY, _HN_EN, _HN_VAL = range(6)
 _HIT_ROWS = 8
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 def pack_walls_rows(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -313,10 +316,6 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
                 jnp.where(keep, nds, ds), jnp.where(keep, nsp, sp),
                 jnp.where(keep, ndep, dep), keep)
     return new_vals, direct_hits, nee_hits
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _hist_slot(ir_ref, l_block, hi_rows, hi_ids, lo_ids, sr, ir_length,

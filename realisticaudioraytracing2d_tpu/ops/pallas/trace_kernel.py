@@ -27,13 +27,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import EPS, INF
+from .common import LANE, interpret as _interpret, round_up as _round_up
 
-LANE = 128
 DEF_TILE_R = 512
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 def pack_walls(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -55,8 +51,9 @@ def pack_walls(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.pad(rows, [(0, 0), (0, wp - w)]).astype(jnp.float32)
 
 
-def _nearest_kernel(rays_ref, walls_ref, tmin_ref, idx_ref):
-    """One ray tile vs all walls: min distance + argmin index."""
+def _tile_wall_t(rays_ref, walls_ref):
+    """[T, W] ray-segment distances for one ray tile vs the resident wall
+    table (the single source of the intersection math in this module)."""
     ox = rays_ref[:, 0:1]
     oy = rays_ref[:, 1:2]
     dx = rays_ref[:, 2:3]
@@ -72,34 +69,20 @@ def _nearest_kernel(rays_ref, walls_ref, tmin_ref, idx_ref):
     t1 = (v2x * oy - v2y * ox - cross_const) / safe
     t2 = ((oy * dx - ox * dy) - (ay * dx - ax * dy)) / safe
     valid = (jnp.abs(dotp) >= EPS) & (t1 >= EPS) & (t2 >= 0.0) & (t2 <= 1.0)
-    t = jnp.where(valid, t1, INF)
+    return jnp.where(valid, t1, INF)
+
+
+def _nearest_kernel(rays_ref, walls_ref, tmin_ref, idx_ref):
+    """One ray tile vs all walls: min distance + argmin index."""
+    t = _tile_wall_t(rays_ref, walls_ref)
     tmin_ref[:, 0] = jnp.min(t, axis=1)
     idx_ref[:, 0] = jnp.argmin(t, axis=1).astype(jnp.int32)
 
 
 def _occlusion_kernel(rays_ref, walls_ref, tmin_ref):
     """Occlusion variant: min distance only (checkVis needs just the min)."""
-    ox = rays_ref[:, 0:1]
-    oy = rays_ref[:, 1:2]
-    dx = rays_ref[:, 2:3]
-    dy = rays_ref[:, 3:4]
-    ax = walls_ref[0:1, :]
-    ay = walls_ref[1:2, :]
-    v2x = walls_ref[2:3, :]
-    v2y = walls_ref[3:4, :]
-    cross_const = walls_ref[4:5, :]
-
-    dotp = v2y * dx - v2x * dy
-    safe = jnp.where(jnp.abs(dotp) < EPS, 1.0, dotp)
-    t1 = (v2x * oy - v2y * ox - cross_const) / safe
-    t2 = ((oy * dx - ox * dy) - (ay * dx - ax * dy)) / safe
-    valid = (jnp.abs(dotp) >= EPS) & (t1 >= EPS) & (t2 >= 0.0) & (t2 <= 1.0)
-    t = jnp.where(valid, t1, INF)
+    t = _tile_wall_t(rays_ref, walls_ref)
     tmin_ref[:, 0] = jnp.min(t, axis=1)
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 @functools.partial(jax.jit, static_argnames=("tile_r",))

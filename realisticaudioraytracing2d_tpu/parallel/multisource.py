@@ -58,10 +58,14 @@ def trace_sources_mixdown_sharded(scene: Scene, params: TraceParams,
     """
     n_axis = mesh.shape[axis]
     sources = jnp.atleast_2d(params.source)
-    if sources.shape[0] % n_axis != 0:
+    n_src = sources.shape[0]
+    if n_src % n_axis != 0:
         raise ValueError(
-            f"{sources.shape[0]} sources not divisible by mesh axis "
+            f"{n_src} sources not divisible by mesh axis "
             f"{axis}={n_axis}")
+    # per-source gains shard together with the sources
+    gains = jnp.broadcast_to(jnp.asarray(params.input_gain, jnp.float32),
+                             (n_src,))
     keys = jax.random.split(key, n_axis)
 
     spec_in = P(axis)
@@ -69,10 +73,13 @@ def trace_sources_mixdown_sharded(scene: Scene, params: TraceParams,
 
     # check_vma off: see rays.py — replication is established by the psum.
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(spec_in, spec_in), out_specs=P(), check_vma=False)
-    def shard_fn(src_shard, key_shard):
+             in_specs=(spec_in, spec_in, spec_in), out_specs=P(),
+             check_vma=False)
+    def shard_fn(src_shard, gain_shard, key_shard):
         local = trace_sources_mixdown(
-            scene, params._replace(source=src_shard), key_shard[0],
+            scene,
+            params._replace(source=src_shard, input_gain=gain_shard),
+            key_shard[0],
             n_rays=n_rays, max_bounces=max_bounces,
             sample_rate=sample_rate, ir_length=ir_length)
         total = jax.lax.psum(local, axis)
@@ -80,4 +87,4 @@ def trace_sources_mixdown_sharded(scene: Scene, params: TraceParams,
             total = jax.lax.pmean(total, a)
         return total
 
-    return shard_fn(sources, keys)
+    return shard_fn(sources, gains, keys)

@@ -3,8 +3,11 @@
 IR construction is linear in hits, so sharding the Monte-Carlo ray batch
 over devices and ``psum``-ing the partial IRs is exact — the "model
 parallel" axis of this domain. Each device traces ``n_rays / n_dev`` rays
-with a distinct fold of the key (stratified emission stays stratified:
-device d takes every ``d``-th angular stratum via an index offset).
+with a distinct fold of the key; every device emits its own full-circle
+stratified fan of ``n_rays/n_dev`` strata, so the union is an unbiased
+estimator whose stratification granularity is per-device (coarser than a
+single ``n_rays``-stratum fan, with independent jitter making up the
+variance difference).
 """
 
 from __future__ import annotations
@@ -45,9 +48,9 @@ def trace_rays_sharded(scene: Scene, params: TraceParams, key: jax.Array,
         k = jax.random.fold_in(key, d)
         hits = trace_hits_only(scene, params, k, n_rays=local_rays,
                                max_bounces=max_bounces)
-        # Each shard's stratified fan covers the full circle with 1/n_dev
-        # of the strata; the psum of scatters is one full-resolution MC
-        # frame's IR (scaled by nothing: energies are per-ray).
+        # Each shard emits an independent full-circle fan; the psum of
+        # the partial scatters is one MC frame's IR (no rescaling:
+        # energies are per-ray).
         local_ir = irm.scatter_hits(hits, sample_rate, ir_length)
         total = jax.lax.psum(local_ir, axis)
         for a in other_axes:

@@ -71,11 +71,12 @@ class RingBuffer(NamedTuple):
 
 
 class StreamState(NamedTuple):
-    """Carried state of the streaming loop."""
+    """Carried state of the streaming loop. The stream position is the
+    ring's read head (both advance by exactly one chunk per step), which
+    wraps mod ring size — no unbounded absolute offset to overflow."""
 
     prev_ir: jax.Array        # [L, T, K] previous chunk's normalized IR
     ring: RingBuffer
-    sample_offset: jax.Array  # scalar int32, absolute stream position
     chunk_index: jax.Array    # scalar int32
 
 
@@ -87,7 +88,6 @@ def init_stream(ir_length: int, chunk_samples: int, n_listeners: int = 1,
     return StreamState(
         prev_ir=jnp.zeros((n_listeners, ir_length, n_bands), jnp.float32),
         ring=RingBuffer.zeros(size, n_listeners),
-        sample_offset=jnp.zeros((), jnp.int32),
         chunk_index=jnp.zeros((), jnp.int32))
 
 
@@ -142,13 +142,12 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
     # 2. convolve + crossfade
     wet = _crossfaded_wet(dry_chunk, prev_ir, cur_ir)           # [L, N+T]
 
-    # 3. overlap-add into the ring at the stream position, then drain one
-    #    chunk for output
-    ring = state.ring.push(wet, state.sample_offset)
+    # 3. overlap-add into the ring at the stream position (== the read
+    #    head: both advance one chunk per step), then drain one chunk
+    ring = state.ring.push(wet, state.ring.read_head)
     out, ring = ring.drain(n)
 
     new_state = StreamState(prev_ir=cur_ir, ring=ring,
-                            sample_offset=state.sample_offset + n,
                             chunk_index=state.chunk_index + 1)
     return out, new_state
 

@@ -20,8 +20,15 @@ import numpy as np
 from ..ops.ir import IRState
 
 
+def _norm(path: str) -> str:
+    """np.savez appends .npz when missing; normalize so save/load/sidecar
+    always agree on the final filename."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_pytree(path: str, tree: Any, meta: Dict | None = None) -> None:
     """Save an arbitrary pytree of arrays as npz + a json treedef."""
+    path = _norm(path)
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     np.savez_compressed(path, **arrays)
@@ -32,6 +39,7 @@ def save_pytree(path: str, tree: Any, meta: Dict | None = None) -> None:
 
 
 def load_ir_state(path: str) -> IRState:
+    path = _norm(path)
     with np.load(path) as z:
         return IRState(sum=jax.numpy.asarray(z["leaf_0"]),
                        frames=jax.numpy.asarray(z["leaf_1"]))

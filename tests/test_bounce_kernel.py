@@ -131,8 +131,12 @@ def test_fused_hist_bitwise_deterministic(setup):
 
 def test_auto_tile_bounds():
     assert bk.auto_tile(8) == bk.DEF_TILE_R
-    assert bk.auto_tile(1032) in (256, 512)
-    assert bk.auto_tile(100000) == 256
+    assert bk.auto_tile(1032) in (256, 384, 512, 640)
+    # tile * wp * 16B stays within the ~10MB working budget
+    for w in (8, 100, 1032, 4000):
+        assert bk.auto_tile(w) * ((w + 7) // 8 * 8) * 16 <= 10 * 2 ** 20
+    with pytest.raises(ValueError):
+        bk.auto_tile(100000)  # beyond one-tile VMEM: needs ACCEL.md plan
 
 
 def test_stereo_fused_hist(setup):

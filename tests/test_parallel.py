@@ -143,3 +143,28 @@ def test_64_sources_stereo_mixdown():
     assert ir.shape == (2, IR_LEN, 1)
     assert float(ir.sum()) > 0
     assert not np.allclose(np.asarray(ir[0]), np.asarray(ir[1]))
+
+
+def test_multisource_sharded_per_source_gains():
+    # regression: per-source input_gain must shard with the sources
+    room = smoll_room()
+    mesh = make_mesh((1, 8), ("rooms", "rays"))
+    sources = np.tile(np.asarray(room.source), (8, 1)).astype(np.float32)
+    sources[:, 0] += np.linspace(-2, 2, 8)
+    gains = np.linspace(0.5, 4.0, 8).astype(np.float32)
+    params = TraceParams.make(sources, room.listener, 0.5, 343.0, gains)
+    ir = trace_sources_mixdown_sharded(
+        room.scene, params, jax.random.PRNGKey(1), mesh, n_rays=128,
+        max_bounces=4, sample_rate=SR, ir_length=IR_LEN)
+    assert float(ir.sum()) > 0
+    # oracle: unsharded with the same per-shard key grouping
+    keys = jax.random.split(jax.random.PRNGKey(1), 8)
+    total = jnp.zeros_like(ir)
+    for i in range(8):
+        total = total + trace_sources_mixdown(
+            room.scene,
+            params._replace(source=sources[i:i + 1], input_gain=gains[i:i + 1]),
+            keys[i], n_rays=128, max_bounces=4, sample_rate=SR,
+            ir_length=IR_LEN)
+    np.testing.assert_allclose(np.asarray(ir), np.asarray(total),
+                               rtol=1e-4, atol=1e-7)

@@ -123,3 +123,22 @@ def test_stream_state_shapes(setup):
     st = init_stream(cfg.audio.ir_length, cfg.audio.chunk_samples, 2, 1)
     assert st.prev_ir.shape == (2, cfg.audio.ir_length, 1)
     assert st.ring.data.shape[0] == 2
+
+
+def test_stream_position_wraps_without_absolute_offset(setup):
+    # regression: the stream position is the ring read head (wraps mod
+    # size); many chunks must keep push/drain aligned with no drift.
+    room, cfg = setup
+    eng = Engine(room.scene, cfg)
+    p = eng.params(room.source, room.listener)
+    s = Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+    n = cfg.audio.chunk_samples
+    ring_size = s.state.ring.size
+    chunks_to_wrap = ring_size // n + 3
+    dry = jnp.ones((n,), jnp.float32) * 0.3
+    outs = [np.asarray(s.process(dry, p)) for _ in range(chunks_to_wrap)]
+    assert int(s.state.chunk_index) == chunks_to_wrap
+    # steady state: every chunk past the first IR-length has energy and
+    # nothing explodes after the ring wraps
+    assert all(np.all(np.isfinite(o)) for o in outs)
+    assert np.abs(outs[-1]).sum() > 0

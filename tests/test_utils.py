@@ -104,3 +104,14 @@ def test_profiling_helpers():
     assert m.summary()["x"] == 2.0
     assert ray_bounce_intersections(100, 5, 20) == 100 * 5 * 20 * 2
     assert ray_bounce_intersections(100, 5, 20, nee=False) == 100 * 5 * 20
+
+
+def test_checkpoint_extension_normalization(tmp_path):
+    # regression: saving without .npz must still be loadable by the same
+    # path (np.savez appends the suffix)
+    st = IRState(sum=jnp.ones((1, 8, 1)), frames=jnp.asarray(2, jnp.int32))
+    p = str(tmp_path / "ir_0002")           # no extension
+    checkpoint.save_ir_state(p, st)
+    st2 = checkpoint.load_ir_state(p)       # also no extension
+    np.testing.assert_array_equal(np.asarray(st2.sum), np.asarray(st.sum))
+    assert os.path.exists(p + ".npz") and os.path.exists(p + ".npz.json")
