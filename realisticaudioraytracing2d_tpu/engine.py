@@ -27,11 +27,11 @@ from .ops.trace import DebugPaths, Hits, TraceParams, trace, trace_hits_only
 
 
 def _fused_eligible(scene: Scene, params: TraceParams) -> bool:
-    """The fused Pallas path covers the flagship configuration (scalar
-    energy, single listener) and only pays off on real TPU hardware
-    (interpret mode elsewhere would be slower than XLA)."""
+    """The fused Pallas path covers <=2 listeners and <=16 bands, and only
+    pays off on real TPU hardware (interpret mode elsewhere would be
+    slower than XLA)."""
     return (jax.default_backend() == "tpu"
-            and scene.n_bands == 1
+            and scene.n_bands <= 16
             and params.listeners.shape[0] <= 2)
 
 
@@ -49,7 +49,8 @@ def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
     reference's ``rngStateOffset = Time.frameCount`` reseed,
     RayTraceManager.cs:197), so frames are independent MC samples.
 
-    ``backend``: "auto" routes the flagship config (1 listener, 1 band) to
+    ``backend``: "auto" routes supported configs (<=2 listeners, <=16
+    bands) to
     the fused Pallas bounce kernel with in-kernel MXU histogram on TPU
     (~4x faster than the XLA graph path); "jnp" forces the reference
     XLA-graph path; "fused" forces the kernel path.

@@ -83,18 +83,25 @@ def pack_walls_rows(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def pack_wall_attrs_t(scene) -> jax.Array:
-    """Wall attributes as an [8, Wp] matmul operand:
-    rows = nx, ny, absorption, scattering, transmission, ior, 0, 0."""
+    """Wall attributes as an [8(+Kp), Wp] matmul operand: rows 0-7 =
+    nx, ny, absorption(band 0), scattering, transmission, ior, 0, 0;
+    when the scene is banded (K > 1), rows 8..8+K hold the per-band
+    absorptions (padded to a sublane multiple)."""
     w = scene.a.shape[0]
+    k = scene.n_bands
     wp = _round_up(max(w, _SUB), _SUB)
     rows = jnp.stack([
         scene.normal[:, 0], scene.normal[:, 1],
         scene.absorption[:, 0], scene.scattering,
         scene.transmission, scene.ior,
         jnp.zeros((w,)), jnp.zeros((w,))])
-    out = jnp.zeros((8, wp), jnp.float32)
+    n_rows = 8 if k == 1 else _round_up(8 + k, _SUB)
+    out = jnp.zeros((n_rows, wp), jnp.float32)
     out = out.at[5, :].set(1.0)  # padded ior = 1: no div-by-zero downstream
-    return out.at[:, :w].set(rows.astype(jnp.float32))
+    out = out.at[:8, :w].set(rows.astype(jnp.float32))
+    if k > 1:
+        out = out.at[8:8 + k, :w].set(scene.absorption.T.astype(jnp.float32))
+    return out
 
 
 def _recip(x):
@@ -169,11 +176,12 @@ def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
 
 
 def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
-                 n_listeners=1):
-    """Pure bounce body on [1, T] row values; ``u0/u1/u2`` are this
-    bounce's uniforms (transmission test / refraction jitter / diffuse
-    angle). Returns ``(new_vals, direct_hits, nee_hits)`` with one hit
-    triple (delay, energy, valid) per listener per kind."""
+                 n_listeners=1, n_bands=1):
+    """Pure bounce body on [1, T] row values (energy is [K, T] for K
+    frequency bands); ``u0/u1/u2`` are this bounce's uniforms
+    (transmission test / refraction jitter / diffuse angle). Returns
+    ``(new_vals, direct_hits, nee_hits)`` with one hit triple
+    (delay[1,T], energy[K,T], valid[1,T]) per listener per kind."""
     radius = scal_ref[0, 2]
     c = scal_ref[0, 3]
     listener_xy = [(scal_ref[0, 0], scal_ref[0, 1]),
@@ -225,7 +233,7 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
                     preferred_element_type=jnp.float32)      # [8, T]
     w_nx = attrs[0:1, :]
     w_ny = attrs[1:2, :]
-    w_abs = attrs[2:3, :]
+    w_abs = attrs[2:3, :] if n_bands == 1 else attrs[8:8 + n_bands, :]
     w_scat = attrs[3:4, :]
     w_trans = attrs[4:5, :]
     w_ior = jnp.where(hit_wall, attrs[5:6, :], 1.0)
@@ -250,15 +258,16 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
                             (w_nx * tlx + w_ny * tly) * eff_sign * inv_dl)
         total_dn = nds + dist_l
         n_energy = en * (1.0 - w_abs) * cos_t * 0.5 * \
-            _recip(total_dn * total_dn)
+            _recip(total_dn * total_dn)                     # [K, T]
         n_valid = hit_wall & outside & visible & \
-            (n_energy > NEE_CONTRIB_CUTOFF)
+            (jnp.max(n_energy, axis=0, keepdims=True) > NEE_CONTRIB_CUTOFF)
         n_delay = ntm + dist_l * (1.0 / c)
         nee_hits.append((n_delay, n_energy, n_valid))
 
     # --- absorption + cutoff -------------------------------------------------
-    nen = en * jnp.where(hit_wall, 1.0 - w_abs, 1.0)
-    nalive = hit_wall & (nen >= ENERGY_CUTOFF)
+    nen = en * jnp.where(hit_wall, 1.0 - w_abs, 1.0)        # [K, T]
+    nalive = hit_wall & \
+        (jnp.max(nen, axis=0, keepdims=True) >= ENERGY_CUTOFF)
 
     # --- transmission / refraction -------------------------------------------
     entering = d_dot_n < 0.0
@@ -318,24 +327,25 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
     return new_vals, direct_hits, nee_hits
 
 
-def _hist_slot(ir_ref, l_block, hi_rows, hi_ids, lo_ids, sr, ir_length,
-               hits):
-    """Accumulate one listener's direct+NEE hit values into its partial-IR
-    block (two-level one-hot MXU contraction)."""
+def _hist_slot(ir_ref, block, hi_rows, hi_ids, lo_ids, sr, ir_length,
+               hits, band=0):
+    """Accumulate one (listener, band) block's direct+NEE hit values into
+    its partial-IR block (two-level one-hot MXU contraction). ``hits``
+    entries carry energy rows [K, T]; ``band`` selects the row."""
     total = None
     for delay, energy, valid in hits:
         bins = jnp.floor(delay * sr).astype(jnp.int32)
         ok = valid & (bins >= 0) & (bins < ir_length)
-        e_eff = jnp.where(ok, energy, 0.0)
+        e_eff = jnp.where(ok, energy[band:band + 1, :], 0.0)
         bins = jnp.where(ok, bins, 0)
         part = _bin_dot(hi_ids, lo_ids, bins // _LO, bins % _LO, e_eff)
         total = part if total is None else total + part
-    ir_ref[l_block * hi_rows:(l_block + 1) * hi_rows, :] += total
+    ir_ref[block * hi_rows:(block + 1) * hi_rows, :] += total
 
 
 def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
                             max_bounces: int, n_rays: int,
-                            in_kernel_rng: bool = False):
+                            in_kernel_rng: bool = False, n_bands: int = 1):
     """Whole-frame kernel: emission + all bounces + IR binning in one
     pallas_call. Ray state lives purely in VMEM/registers for the entire
     frame — no per-bounce HBM round trips, no per-bounce launches.
@@ -363,9 +373,10 @@ def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
         c = scal_ref[0, 3]
         sr = scal_ref[0, 4]
         ones = jnp.ones((1, tile), jnp.float32)
+        en0 = gain * jnp.ones((n_bands, tile), jnp.float32)
         vals = (src_x * ones, src_y * ones,
                 jnp.cos(angle), jnp.sin(angle),
-                gain * ones, 0.0 * ones, 0.0 * ones, c * ones,
+                en0, 0.0 * ones, 0.0 * ones, c * ones,
                 0.0 * ones, ray_idx < n_rays)
 
         hi_ids = jax.lax.broadcasted_iota(jnp.int32, (hi_rows, tile), 0)
@@ -384,10 +395,12 @@ def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
                 u2 = u_ref[b * 8 + 2:b * 8 + 3, :]
             vals, direct_hits, nee_hits = _bounce_step(
                 scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
-                n_listeners)
+                n_listeners, n_bands)
             for l in range(n_listeners):
-                _hist_slot(ir_ref, l, hi_rows, hi_ids, lo_ids, sr,
-                           ir_length, [direct_hits[l], nee_hits[l]])
+                for kb in range(n_bands):
+                    _hist_slot(ir_ref, l * n_bands + kb, hi_rows, hi_ids,
+                               lo_ids, sr, ir_length,
+                               [direct_hits[l], nee_hits[l]], band=kb)
 
     return kernel
 
@@ -402,9 +415,13 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
     """One Monte-Carlo frame -> IR ``[L, ir_length, 1]`` with the ENTIRE
     frame (emission, every bounce, binning) in a single kernel launch."""
     n_l = params.listeners.shape[0]
-    if n_l > 2 or scene.n_bands != 1:
-        raise ValueError("fused path supports <=2 listeners, one band")
+    n_k = scene.n_bands
+    if n_l > 2 or n_k > 16:
+        raise ValueError("fused path supports <=2 listeners, <=16 bands")
     tile_r = tile_r or auto_tile(scene.a.shape[0])
+    if n_k > 1:
+        # banded: K hist blocks + [K, T] energy rows need extra VMEM
+        tile_r = max(128, min(tile_r, (tile_r // n_k // 128) * 128 * 2))
     if in_kernel_rng and _interpret():
         in_kernel_rng = False  # no interpret-mode lowering for the TPU PRNG
     state0, u_rows, scal, geo, attrs, rp, emit_jitter = _fused_setup(
@@ -438,7 +455,7 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
     grid = (rp // tile_r,)
     kernel = pl.pallas_call(
         _make_frame_hist_kernel(hi_rows, ir_length, n_l, max_bounces,
-                                n_rays, in_kernel_rng),
+                                n_rays, in_kernel_rng, n_k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((2, 8), lambda i: (0, 0),
@@ -448,17 +465,19 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
             u_spec,
             pl.BlockSpec((wp, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, wp), lambda i: (0, 0),
+            pl.BlockSpec((attrs.shape[0], wp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_l * hi_rows, _LO), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((n_l * n_k * hi_rows, _LO),
+                               lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_l * hi_rows, _LO), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_l * n_k * hi_rows, _LO),
+                                       jnp.float32),
         interpret=_interpret(),
     )
     ir_part = kernel(scal, emit, u_flat, geo, attrs)
-    ir = ir_part.reshape(n_l, -1)[:, :ir_length]
-    return ir[:, :, None]
+    ir = ir_part.reshape(n_l, n_k, -1)[:, :, :ir_length]
+    return jnp.moveaxis(ir, 1, 2)                    # [L, T, K]
 
 
 # ---------------------------------------------------------------------------

@@ -179,3 +179,40 @@ def test_whole_frame_kernel_stereo(setup):
     b = np.asarray(bk.trace_frame_ir_fused(room.scene, p2, key, **kw))
     assert a.shape == (2, 8000, 1)
     np.testing.assert_array_equal(a, b)
+
+
+def test_banded_fused_matches_jnp():
+    # Per-band parity of the banded whole-frame kernel with the jnp oracle
+    room = smoll_room(n_bands=4)
+    p = TraceParams.make(room.source, np.asarray([0.0, -3.68]), 0.5,
+                         343.0, 1.0)
+    key = jax.random.PRNGKey(3)
+    T = 8000
+    kw = dict(n_rays=R, max_bounces=B, sample_rate=8000, n_frames=1)
+    stj = trace_accumulate(room.scene, p, IRState.zeros(T, 1, 4), key,
+                           backend="jnp", **kw)
+    stf = trace_accumulate(room.scene, p, IRState.zeros(T, 1, 4), key,
+                           backend="fused", **kw)
+    a, b = np.asarray(stf.sum), np.asarray(stj.sum)
+    assert a.shape == (1, T, 4)
+    for k in range(4):
+        ak, bk = a[0, :, k], b[0, :, k]
+        assert bk.sum() > 0
+        assert abs(ak.sum() - bk.sum()) / bk.sum() < 1e-2
+        assert np.linalg.norm(ak - bk) / np.linalg.norm(bk) < 0.05
+    # banded materials absorb more in high bands -> monotone band sums
+    sums = a[0].sum(axis=0)
+    assert np.all(np.diff(sums) < 0)
+
+
+def test_banded_stereo_fused():
+    room = smoll_room(n_bands=3)
+    ears = np.stack([[0.0, -3.68], [0.5, -3.68]]).astype(np.float32)
+    p = TraceParams.make(room.source, ears, 0.5, 343.0, 1.0)
+    st = trace_accumulate(room.scene, p, IRState.zeros(4000, 2, 3),
+                          jax.random.PRNGKey(0), n_rays=512, max_bounces=4,
+                          sample_rate=8000, n_frames=1, backend="fused")
+    a = np.asarray(st.sum)
+    assert a.shape == (2, 4000, 3)
+    assert a.sum() > 0
+    assert not np.allclose(a[0], a[1])
