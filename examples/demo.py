@@ -88,8 +88,7 @@ eng_b = art.Engine(room_b.scene, cfg_b)
 state_b = eng_b.trace_frames(eng_b.params(room_b.source, room_b.listener),
                              key, n_frames=4)
 viz.save_image(os.path.join(args.out, "spectrogram.png"),
-               viz.ir_spectrogram_image(state_b.sum[0], state_b.frames,
-                                        gain=2000.0))
+               viz.ir_spectrogram_image(state_b.sum[0], state_b.frames))
 wet_b = np.asarray(eng_b.bake(jax.numpy.asarray(dry), state_b))
 audio_io.write_wav(os.path.join(args.out, "bake_banded.wav"), wet_b,
                    cfg_b.audio.sample_rate)

@@ -165,8 +165,7 @@ def cmd_trace(args):
         print(f"wrote {args.out}")
     if args.spectro_out:
         if room.scene.n_bands > 1:
-            img = viz.ir_spectrogram_image(state.sum[0], state.frames,
-                                           gain=args.gain)
+            img = viz.ir_spectrogram_image(state.sum[0], state.frames)
         else:
             # scalar IR: derive the legacy muffled spectrogram
             from .ops import legacy
@@ -178,8 +177,7 @@ def cmd_trace(args):
                 cfg.audio.ir_length // legacy.DEFAULT_WINDOW_SIZE, n_l)
             lst = legacy.accumulate_legacy(lst, hits,
                                            cfg.audio.sample_rate)
-            img = viz.ir_spectrogram_image(lst.sum[0], lst.frames,
-                                           gain=args.gain)
+            img = viz.ir_spectrogram_image(lst.sum[0], lst.frames)
         viz.save_image(args.spectro_out, img)
         print(f"wrote {args.spectro_out}")
     if args.scene_out:

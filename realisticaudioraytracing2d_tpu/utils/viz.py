@@ -35,16 +35,24 @@ def ir_waveform_image(ir_accum, frames, gain: float = 1000.0,
     return img[::-1]  # texture y-up -> image row 0 on top
 
 
-def ir_spectrogram_image(ir_banded, frames, gain: float = 50.0,
+def ir_spectrogram_image(ir_banded, frames, gain: float | None = None,
                          width: int = 1024,
                          height: int = 256) -> np.ndarray:
     """Banded IR [T, K] as a time x frequency intensity map (legacy DrawIR
-    spectrogram semantics: pixel = amp * green)."""
+    spectrogram semantics: pixel = amp * green). ``gain=None`` auto-scales
+    on a cube-root curve so the reverb tail stays visible next to the
+    direct-path peak."""
     ir = np.asarray(ir_banded) / max(1, int(frames))
     t, k = ir.shape
     xs = np.minimum((np.arange(width) * t) // width, t - 1)
     ys = np.minimum((np.arange(height) * k) // height, k - 1)
-    amp = np.clip(ir[np.ix_(xs, ys)].T * gain, 0.0, 1.0)  # [H, W]
+    amp = ir[np.ix_(xs, ys)].T                               # [H, W]
+    if gain is None:
+        peak = float(amp.max())
+        amp = np.cbrt(amp / peak) if peak > 0 else amp
+    else:
+        amp = amp * gain
+    amp = np.clip(amp, 0.0, 1.0)
     return amp[::-1, :, None] * GREEN
 
 
