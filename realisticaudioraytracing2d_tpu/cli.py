@@ -158,14 +158,16 @@ def cmd_trace(args):
     print(f"traced {args.frames} frames x {args.rays} rays in {dt:.3f}s; "
           f"IR energy {ir.sum():.5f}, peak bin {ir.argmax()} "
           f"({ir.argmax() / cfg.audio.sample_rate * 1e3:.2f} ms)")
+    wf_gain = 1000.0 if args.gain is None else args.gain
     if args.out:
         img = viz.ir_waveform_image(state.sum[0], state.frames,
-                                    gain=args.gain)
+                                    gain=wf_gain)
         viz.save_image(args.out, img)
         print(f"wrote {args.out}")
     if args.spectro_out:
         if room.scene.n_bands > 1:
-            img = viz.ir_spectrogram_image(state.sum[0], state.frames)
+            img = viz.ir_spectrogram_image(state.sum[0], state.frames,
+                                           gain=args.gain)
         else:
             # scalar IR: derive the legacy muffled spectrogram
             from .ops import legacy
@@ -177,7 +179,8 @@ def cmd_trace(args):
                 cfg.audio.ir_length // legacy.DEFAULT_WINDOW_SIZE, n_l)
             lst = legacy.accumulate_legacy(lst, hits,
                                            cfg.audio.sample_rate)
-            img = viz.ir_spectrogram_image(lst.sum[0], lst.frames)
+            img = viz.ir_spectrogram_image(lst.sum[0], lst.frames,
+                                           gain=args.gain)
         viz.save_image(args.spectro_out, img)
         print(f"wrote {args.spectro_out}")
     if args.scene_out:
@@ -354,7 +357,9 @@ def main(argv=None):
     p.add_argument("--ir-out", default=None, help="IR state checkpoint npz")
     p.add_argument("--ir-in", default=None,
                    help="resume accumulation from an IR checkpoint npz")
-    p.add_argument("--gain", type=float, default=1000.0)
+    p.add_argument("--gain", type=float, default=None,
+                   help="display gain (waveform default 1000; spectrogram "
+                        "default auto-scale)")
     p.add_argument("--debug-rays", type=int, default=100)
     p.set_defaults(fn=cmd_trace)
 

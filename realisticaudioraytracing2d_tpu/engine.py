@@ -26,13 +26,20 @@ from .ops import rng as _rng
 from .ops.trace import DebugPaths, Hits, TraceParams, trace, trace_hits_only
 
 
-def _fused_eligible(scene: Scene, params: TraceParams) -> bool:
+def _fused_eligible(scene: Scene, params: TraceParams,
+                    ir_length: int) -> bool:
     """The fused Pallas path covers <=2 listeners and <=16 bands, and only
     pays off on real TPU hardware (interpret mode elsewhere would be
-    slower than XLA)."""
-    return (jax.default_backend() == "tpu"
-            and scene.n_bands <= 16
-            and params.listeners.shape[0] <= 2)
+    slower than XLA). The VMEM-resident histogram block scales with
+    listeners x bands x IR length; configs whose block would crowd the
+    16 MB scoped budget fall back to the jnp path instead of failing to
+    compile."""
+    if (jax.default_backend() != "tpu" or scene.n_bands > 16
+            or params.listeners.shape[0] > 2):
+        return False
+    hi_rows = ((ir_length + 511) // 512 + 1 + 7) // 8 * 8
+    hist_bytes = params.listeners.shape[0] * scene.n_bands * hi_rows *         512 * 4
+    return hist_bytes <= 5 * 2 ** 20
 
 
 @partial(jax.jit,
@@ -56,7 +63,8 @@ def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
     XLA-graph path; "fused" forces the kernel path.
     """
     use_fused = (backend == "fused" or
-                 (backend == "auto" and _fused_eligible(scene, params)))
+                 (backend == "auto"
+                  and _fused_eligible(scene, params, state.ir_length)))
     if use_fused:
         from .ops.pallas.bounce_kernel import trace_accumulate_fused
         return trace_accumulate_fused(

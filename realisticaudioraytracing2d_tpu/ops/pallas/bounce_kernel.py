@@ -20,9 +20,10 @@ The reference's ``asin`` for the diffuse angle is eliminated:
 ``diffAng = asin(2u-1)`` is only used through sin/cos, so
 ``sin = 2u-1, cos = sqrt(1-sin^2)`` is exact.
 
-Limits (by construction): n_bands == 1, up to two listeners (stereo ear
-pair). The jnp path stays the general/semantic oracle; parity is tested
-in interpret mode.
+Limits (by construction): up to two listeners (stereo ear pair) and up
+to 16 frequency bands in the whole-frame histogram path (the per-bounce
+kernels remain scalar-energy). The jnp path stays the general/semantic
+oracle; parity is tested in interpret mode.
 """
 
 from __future__ import annotations
@@ -230,7 +231,7 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
     # --- wall attributes via one-hot matmul ----------------------------------
     onehot = (wall_ids == idx).astype(jnp.float32)           # [Wp, T]
     attrs = jnp.dot(attrs_ref[:, :], onehot,
-                    preferred_element_type=jnp.float32)      # [8, T]
+                    preferred_element_type=jnp.float32)      # [8(+Kp), T]
     w_nx = attrs[0:1, :]
     w_ny = attrs[1:2, :]
     w_abs = attrs[2:3, :] if n_bands == 1 else attrs[8:8 + n_bands, :]
@@ -327,20 +328,31 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
     return new_vals, direct_hits, nee_hits
 
 
-def _hist_slot(ir_ref, block, hi_rows, hi_ids, lo_ids, sr, ir_length,
-               hits, band=0):
-    """Accumulate one (listener, band) block's direct+NEE hit values into
-    its partial-IR block (two-level one-hot MXU contraction). ``hits``
-    entries carry energy rows [K, T]; ``band`` selects the row."""
-    total = None
+def _hist_listener(ir_ref, listener, n_bands, hi_rows, hi_ids, lo_ids,
+                   sr, ir_length, hits):
+    """Accumulate one listener's direct+NEE hit values into its per-band
+    partial-IR blocks. Bin indices, validity masks and the lo-side one-hot
+    are band-invariant and computed once per hit kind; only the hi-side
+    energy row varies per band."""
+    acc = [None] * n_bands
     for delay, energy, valid in hits:
         bins = jnp.floor(delay * sr).astype(jnp.int32)
         ok = valid & (bins >= 0) & (bins < ir_length)
-        e_eff = jnp.where(ok, energy[band:band + 1, :], 0.0)
         bins = jnp.where(ok, bins, 0)
-        part = _bin_dot(hi_ids, lo_ids, bins // _LO, bins % _LO, e_eff)
-        total = part if total is None else total + part
-    ir_ref[block * hi_rows:(block + 1) * hi_rows, :] += total
+        hi_d = bins // _LO
+        lo_d = bins % _LO
+        bt = (lo_ids == lo_d).astype(jnp.bfloat16)              # [LO, T]
+        hi_hot = hi_ids == hi_d                                  # [HI, T]
+        for kb in range(n_bands):
+            e_eff = jnp.where(ok, energy[kb:kb + 1, :], 0.0)
+            a = jnp.where(hi_hot, e_eff, 0.0).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                a, bt, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [HI, LO]
+            acc[kb] = part if acc[kb] is None else acc[kb] + part
+    for kb in range(n_bands):
+        block = listener * n_bands + kb
+        ir_ref[block * hi_rows:(block + 1) * hi_rows, :] += acc[kb]
 
 
 def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
@@ -397,10 +409,9 @@ def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
                 scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
                 n_listeners, n_bands)
             for l in range(n_listeners):
-                for kb in range(n_bands):
-                    _hist_slot(ir_ref, l * n_bands + kb, hi_rows, hi_ids,
+                _hist_listener(ir_ref, l, n_bands, hi_rows, hi_ids,
                                lo_ids, sr, ir_length,
-                               [direct_hits[l], nee_hits[l]], band=kb)
+                               [direct_hits[l], nee_hits[l]])
 
     return kernel
 
@@ -761,7 +772,8 @@ def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
                            n_frames: int = 1, tile_r: int = 0,
                            exact_scatter: bool = False,
                            in_kernel_rng: bool = False):
-    """Fused-kernel counterpart of ``engine.trace_accumulate`` (L=K=1):
+    """Fused-kernel counterpart of ``engine.trace_accumulate``
+    (<=2 listeners, <=16 bands):
     n_frames of trace + binning, one jit. Default binning is the in-kernel
     MXU histogram (bf16 one-hots, f32 accumulation — per-hit rounding
     ~0.4%, which vanishes in the Monte-Carlo average); ``exact_scatter``

@@ -196,10 +196,11 @@ def test_banded_fused_matches_jnp():
     a, b = np.asarray(stf.sum), np.asarray(stj.sum)
     assert a.shape == (1, T, 4)
     for k in range(4):
-        ak, bk = a[0, :, k], b[0, :, k]
-        assert bk.sum() > 0
-        assert abs(ak.sum() - bk.sum()) / bk.sum() < 1e-2
-        assert np.linalg.norm(ak - bk) / np.linalg.norm(bk) < 0.05
+        band_f, band_j = a[0, :, k], b[0, :, k]
+        assert band_j.sum() > 0
+        assert abs(band_f.sum() - band_j.sum()) / band_j.sum() < 1e-2
+        assert np.linalg.norm(band_f - band_j) / \
+            np.linalg.norm(band_j) < 0.05
     # banded materials absorb more in high bands -> monotone band sums
     sums = a[0].sum(axis=0)
     assert np.all(np.diff(sums) < 0)
