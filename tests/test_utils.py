@@ -115,3 +115,11 @@ def test_checkpoint_extension_normalization(tmp_path):
     st2 = checkpoint.load_ir_state(p)       # also no extension
     np.testing.assert_array_equal(np.asarray(st2.sum), np.asarray(st.sum))
     assert os.path.exists(p + ".npz") and os.path.exists(p + ".npz.json")
+
+
+def test_device_trace_context(tmp_path):
+    from realisticaudioraytracing2d_tpu.utils.profiling import device_trace
+    d = str(tmp_path / "trace")
+    with device_trace(d):
+        _ = jnp.sum(jnp.ones(16)).block_until_ready()
+    assert os.path.isdir(d)
