@@ -416,6 +416,134 @@ def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
     return kernel
 
 
+def _make_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
+                      max_bounces: int, n_rays: int, n_bands: int,
+                      tile: int):
+    """Multi-frame kernel: grid = (frames, ray tiles); every frame's
+    emission, bounces, uniforms (TPU-core PRNG) and IR binning run
+    entirely on-core, accumulating into one VMEM-resident partial IR.
+    The only HBM inputs are the wall tables and a per-frame seed row."""
+
+    def kernel(scal_ref, seed_ref, geo_ref, attrs_ref, ir_ref):
+        f = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when((f == 0) & (i == 0))
+        def _():
+            ir_ref[:, :] = jnp.zeros_like(ir_ref)
+
+        pltpu.prng_seed(seed_ref[0, 0, 0] + i)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        ray_idx = i * tile + lane
+
+        def draw(rows):
+            bits = pltpu.bitcast(pltpu.prng_random_bits((rows, tile)),
+                                 jnp.uint32)
+            b24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+            return b24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+        emit = draw(8)[0:1, :]
+        angle = ((ray_idx.astype(jnp.float32) + emit)
+                 * (2.0 * PI / n_rays))
+        src_x = scal_ref[1, 0]
+        src_y = scal_ref[1, 1]
+        gain = scal_ref[1, 2]
+        c = scal_ref[0, 3]
+        sr = scal_ref[0, 4]
+        ones = jnp.ones((1, tile), jnp.float32)
+        en0 = gain * jnp.ones((n_bands, tile), jnp.float32)
+        vals = (src_x * ones, src_y * ones,
+                jnp.cos(angle), jnp.sin(angle),
+                en0, 0.0 * ones, 0.0 * ones, c * ones,
+                0.0 * ones, ray_idx < n_rays)
+
+        hi_ids = jax.lax.broadcasted_iota(jnp.int32, (hi_rows, tile), 0)
+        lo_ids = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
+
+        for b in range(max_bounces):
+            u = draw(8)
+            vals, direct_hits, nee_hits = _bounce_step(
+                scal_ref, vals, u[0:1, :], u[1:2, :], u[2:3, :],
+                geo_ref, attrs_ref, n_listeners, n_bands)
+            for l in range(n_listeners):
+                _hist_listener(ir_ref, l, n_bands, hi_rows, hi_ids,
+                               lo_ids, sr, ir_length,
+                               [direct_hits[l], nee_hits[l]])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
+                                             "sample_rate", "ir_length",
+                                             "n_frames", "tile_r"))
+def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
+                         n_rays: int, max_bounces: int, sample_rate: int,
+                         ir_length: int, n_frames: int,
+                         tile_r: int = 0) -> jax.Array:
+    """``n_frames`` Monte-Carlo frames in ONE kernel launch (frames on the
+    grid's leading axis, all RNG on-core). Returns the frame-SUMMED IR
+    ``[L, ir_length, K]``. TPU-only (the core PRNG has no interpret-mode
+    lowering); statistically equivalent to the host-RNG paths but a
+    different (still key-deterministic) sample stream."""
+    n_l = params.listeners.shape[0]
+    n_k = scene.n_bands
+    if n_l > 2 or n_k > 16:
+        raise ValueError("fused path supports <=2 listeners, <=16 bands")
+    if _interpret():
+        raise NotImplementedError("mega kernel is TPU-only")
+    tile_r = tile_r or auto_tile(scene.a.shape[0])
+    if n_k > 1:
+        tile_r = max(128, min(tile_r, (tile_r // n_k // 128) * 128 * 2))
+    rp = _round_up(max(n_rays, tile_r), tile_r)
+    n_tiles = rp // tile_r
+
+    geo = pack_walls_rows(scene.a, scene.b)
+    attrs = pack_wall_attrs_t(scene)
+    lis2 = params.listeners[1] if n_l > 1 else params.listeners[0]
+    scal = jnp.stack([params.listeners[0, 0], params.listeners[0, 1],
+                      params.listener_radius, params.speed_of_sound,
+                      jnp.float32(sample_rate), jnp.float32(0),
+                      lis2[0], lis2[1]])[None, :]
+    scal = jnp.concatenate([
+        scal,
+        jnp.stack([params.source[0], params.source[1],
+                   jnp.asarray(params.input_gain, jnp.float32),
+                   jnp.float32(0), jnp.float32(0), jnp.float32(0),
+                   jnp.float32(0), jnp.float32(0)])[None, :]])
+    # one int32 seed row per frame; kernel offsets by tile id
+    seeds = jax.random.randint(
+        key, (n_frames, 1, 8), minval=0,
+        maxval=jnp.iinfo(jnp.int32).max - n_tiles - 1, dtype=jnp.int32)
+
+    wp = geo.shape[0]
+    hi_rows = _hist_rows(ir_length)
+    kernel = pl.pallas_call(
+        _make_mega_kernel(hi_rows, ir_length, n_l, max_bounces, n_rays,
+                          n_k, tile_r),
+        grid=(n_frames, n_tiles),
+        in_specs=[
+            pl.BlockSpec((2, 8), lambda f, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8), lambda f, i: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, 8), lambda f, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((attrs.shape[0], wp), lambda f, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_l * n_k * hi_rows, _LO),
+                               lambda f, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_l * n_k * hi_rows, _LO),
+                                       jnp.float32),
+        interpret=False,
+    )
+    ir_part = kernel(scal, seeds, geo, attrs)
+    ir = ir_part.reshape(n_l, n_k, -1)[:, :, :ir_length]
+    return jnp.moveaxis(ir, 1, 2)                    # [L, T, K]
+
+
 @functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
                                              "sample_rate", "ir_length",
                                              "tile_r", "in_kernel_rng"))
@@ -777,10 +905,24 @@ def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
     n_frames of trace + binning, one jit. Default binning is the in-kernel
     MXU histogram (bf16 one-hots, f32 accumulation — per-hit rounding
     ~0.4%, which vanishes in the Monte-Carlo average); ``exact_scatter``
-    switches to the f32 XLA scatter (slower on TPU: scalar-core bound)."""
+    switches to the f32 XLA scatter (slower on TPU: scalar-core bound).
+
+    On real TPU the default path is the multi-frame "mega" kernel — one
+    launch for all frames with on-core PRNG (a different, still
+    key-deterministic sample stream); off-TPU (interpret mode) and for
+    ``exact_scatter``/``in_kernel_rng`` overrides, the per-frame scan of
+    the whole-frame kernel runs instead."""
     from ..ir import IRState
 
     ir_length = state.ir_length
+
+    if not (exact_scatter or in_kernel_rng or _interpret()):
+        ir = trace_frames_ir_mega(
+            scene, params, key, n_rays=n_rays, max_bounces=max_bounces,
+            sample_rate=sample_rate, ir_length=ir_length,
+            n_frames=n_frames, tile_r=tile_r)
+        return IRState(sum=state.sum + ir,
+                       frames=state.frames + n_frames)
 
     def body(st, i):
         k = jax.random.fold_in(key, i)

@@ -217,3 +217,17 @@ def test_banded_stereo_fused():
     assert a.shape == (2, 4000, 3)
     assert a.sum() > 0
     assert not np.allclose(a[0], a[1])
+
+
+def test_mega_kernel_tpu_only(setup):
+    # off-TPU the mega kernel refuses (no interpret-mode PRNG) and
+    # trace_accumulate_fused transparently falls back to the scan path
+    room, p, key = setup
+    with pytest.raises(NotImplementedError):
+        bk.trace_frames_ir_mega(room.scene, p, key, n_rays=256,
+                                max_bounces=2, sample_rate=8000,
+                                ir_length=4000, n_frames=1)
+    st = bk.trace_accumulate_fused(room.scene, p, IRState.zeros(4000, 1, 1),
+                                   key, n_rays=256, max_bounces=4,
+                                   sample_rate=8000, n_frames=2)
+    assert int(st.frames) == 2 and float(st.sum.sum()) > 0
