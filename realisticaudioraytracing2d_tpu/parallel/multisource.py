@@ -23,17 +23,45 @@ from ..ops.trace import TraceParams, trace_hits_only
 
 
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
-                                   "ir_length"))
+                                   "ir_length", "backend"))
 def trace_sources_mixdown(scene: Scene, params: TraceParams,
                           key: jax.Array, *, n_rays: int, max_bounces: int,
-                          sample_rate: int, ir_length: int) -> jax.Array:
+                          sample_rate: int, ir_length: int,
+                          backend: str = "auto") -> jax.Array:
     """Trace S sources (``params.source`` shaped [S, 2], per-source gain
     allowed via broadcastable ``input_gain``) and return the summed IR
-    ``[L, T, K]`` at the shared listener(s)."""
+    ``[L, T, K]`` at the shared listener(s).
+
+    ``backend="auto"`` routes each source through the fused TPU kernel
+    (scan over sources; source pose/gain are traced values, so one
+    compile); off-TPU it vmaps the jnp path."""
+    from ..engine import _fused_eligible
+    from ..ops.pallas.bounce_kernel import trace_frames_ir_mega
+
     sources = jnp.atleast_2d(params.source)
     n_src = sources.shape[0]
     gains = jnp.broadcast_to(jnp.asarray(params.input_gain), (n_src,))
     keys = jax.random.split(key, n_src)
+
+    use_fused = (backend == "fused" or
+                 (backend == "auto"
+                  and _fused_eligible(scene, params, ir_length)))
+    if use_fused:
+        n_l = params.listeners.shape[0]
+
+        def body(acc, xs):
+            src, gain, k = xs
+            p = params._replace(source=src, input_gain=gain)
+            ir = trace_frames_ir_mega(scene, p, k, n_rays=n_rays,
+                                      max_bounces=max_bounces,
+                                      sample_rate=sample_rate,
+                                      ir_length=ir_length, n_frames=1)
+            return acc + ir, None
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((n_l, ir_length, scene.n_bands), jnp.float32),
+            (sources, gains, keys))
+        return total
 
     def one(src, gain, k):
         p = params._replace(source=src, input_gain=gain)

@@ -22,18 +22,47 @@ from ..ops.trace import TraceParams, trace_hits_only
 
 
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
-                                   "ir_length", "n_frames"))
+                                   "ir_length", "n_frames", "backend"))
 def sweep_rooms(scenes: Scene, sources: jax.Array, listeners: jax.Array,
                 key: jax.Array, *, n_rays: int, max_bounces: int,
                 sample_rate: int, ir_length: int, n_frames: int = 1,
                 listener_radius: float = 0.5, speed_of_sound: float = 343.0,
-                input_gain: float = 1.0) -> jax.Array:
-    """vmap a whole room batch on one device: returns IRs
+                input_gain: float = 1.0, backend: str = "auto") -> jax.Array:
+    """Sweep a whole room batch on one device: returns IRs
     ``[n_rooms, L, T, K]``. ``scenes`` is a stacked Scene (leading room
     axis), ``sources``/``listeners`` are ``[n_rooms, 2]`` (listeners may be
-    ``[n_rooms, L, 2]``)."""
+    ``[n_rooms, L, 2]``).
+
+    ``backend="auto"`` scans rooms through the fused TPU mega kernel
+    (room geometry is a traced value — one compile for the batch);
+    off-TPU it vmaps the jnp path."""
     n_rooms = sources.shape[0]
     keys = jax.random.split(key, n_rooms)
+
+    p0 = TraceParams.make(sources[0], listeners[0], listener_radius,
+                          speed_of_sound, input_gain)
+    from ..engine import _fused_eligible
+    use_fused = (backend == "fused" or
+                 (backend == "auto"
+                  and _fused_eligible(_index_scene(scenes, 0), p0,
+                                      ir_length)))
+    if use_fused:
+        from ..ops.pallas.bounce_kernel import trace_frames_ir_mega
+
+        def one_room_fused(xs):
+            scene, src, lis, k = xs
+            p = TraceParams.make(src, lis, listener_radius,
+                                 speed_of_sound, input_gain)
+            ir = trace_frames_ir_mega(scene, p, k, n_rays=n_rays,
+                                      max_bounces=max_bounces,
+                                      sample_rate=sample_rate,
+                                      ir_length=ir_length,
+                                      n_frames=n_frames)
+            return None, ir / n_frames
+
+        _, irs = jax.lax.scan(lambda c, xs: one_room_fused(xs), None,
+                              (scenes, sources, listeners, keys))
+        return irs
 
     def one_room(scene, src, lis, k):
         p = TraceParams.make(src, lis, listener_radius, speed_of_sound,
@@ -51,6 +80,10 @@ def sweep_rooms(scenes: Scene, sources: jax.Array, listeners: jax.Array,
         return state.normalized()
 
     return jax.vmap(one_room)(scenes, sources, listeners, keys)
+
+
+def _index_scene(scenes: Scene, i: int) -> Scene:
+    return jax.tree_util.tree_map(lambda x: x[i], scenes)
 
 
 def sweep_rooms_sharded(scenes: Scene, sources: jax.Array,
