@@ -122,10 +122,50 @@ def test_graft_entry_single_chip():
 
 
 def test_graft_dryrun_multichip():
+    # Backend-already-initialized-as-CPU case (this pytest process): the
+    # config.update route raises internally, the hard device check passes,
+    # and the dry run proceeds inline.
     import sys
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_graft_dryrun_routes_to_subprocess(monkeypatch):
+    # Backend initialized on the WRONG platform / too few devices (the
+    # driver's round-1 failure): must re-exec into a clean subprocess, not
+    # run on whatever backend is live.
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    calls = []
+    monkeypatch.setattr(ge, "_cpu_backend_ready", lambda n: False)
+    monkeypatch.setattr(ge, "_dryrun_subprocess",
+                        lambda n: calls.append(n))
+    monkeypatch.delenv(ge._CHILD_ENV_FLAG, raising=False)
+    ge.dryrun_multichip(8)
+    assert calls == [8]
+
+
+def test_graft_dryrun_child_never_respawns(monkeypatch):
+    # A clean child that STILL can't get the CPU backend must raise, not
+    # fork another child.
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    monkeypatch.setattr(ge, "_cpu_backend_ready", lambda n: False)
+    monkeypatch.setenv(ge._CHILD_ENV_FLAG, "1")
+    with pytest.raises(RuntimeError, match="subprocess still"):
+        ge.dryrun_multichip(8)
+
+
+def test_graft_dryrun_subprocess_real():
+    # One real end-to-end re-exec: env-forced CPU backend in a fresh
+    # interpreter (the path the driver's initialized-on-TPU process takes).
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge._dryrun_subprocess(2)
 
 
 def test_64_sources_stereo_mixdown():
