@@ -37,6 +37,11 @@ def _fused_eligible(scene: Scene, params: TraceParams,
     if (jax.default_backend() != "tpu" or scene.n_bands > 16
             or params.listeners.shape[0] > 2):
         return False
+    from .ops.pallas.bounce_kernel import auto_tile
+    try:
+        auto_tile(scene.a.shape[0])  # raises past the ~5k-wall VMEM budget
+    except ValueError:
+        return False
     hi_rows = ((ir_length + 511) // 512 + 1 + 7) // 8 * 8
     hist_bytes = params.listeners.shape[0] * scene.n_bands * hi_rows *         512 * 4
     return hist_bytes <= 5 * 2 ** 20

@@ -511,10 +511,18 @@ def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
                    jnp.asarray(params.input_gain, jnp.float32),
                    jnp.float32(0), jnp.float32(0), jnp.float32(0),
                    jnp.float32(0), jnp.float32(0)])[None, :]])
-    # one int32 seed row per frame; kernel offsets by tile id
-    seeds = jax.random.randint(
-        key, (n_frames, 1, 8), minval=0,
-        maxval=jnp.iinfo(jnp.int32).max - n_tiles - 1, dtype=jnp.int32)
+    # One base draw, then structurally disjoint seeds: (frame f, tile i)
+    # seeds the core PRNG with base + f*n_tiles + i (kernel adds i), so no
+    # two streams can collide by construction — independent per-frame draws
+    # had a birthday-collision window of ~n_frames^2*n_tiles/2^31 that
+    # would silently correlate Monte-Carlo samples across frames.
+    base = jax.random.randint(
+        key, (), minval=0,
+        maxval=jnp.iinfo(jnp.int32).max - n_frames * n_tiles - 1,
+        dtype=jnp.int32)
+    seeds = jnp.broadcast_to(
+        (base + jnp.arange(n_frames, dtype=jnp.int32) * n_tiles
+         )[:, None, None], (n_frames, 1, 8))
 
     wp = geo.shape[0]
     hi_rows = _hist_rows(ir_length)
@@ -576,10 +584,13 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
                    jnp.float32(0), jnp.float32(0)])[None, :]])
     # seeds / uniforms (emission jitter comes from the setup above)
     if in_kernel_rng:
+        # Single seed per frame; the kernel seeds each tile's stream at
+        # seed + program_id and all bounce draws advance that one stream,
+        # so tile streams are disjoint by construction within the frame.
         n_tiles = rp // tile_r
         u_flat = jax.random.randint(
             key, (1, 8), minval=0,
-            maxval=jnp.iinfo(jnp.int32).max - n_tiles - max_bounces,
+            maxval=jnp.iinfo(jnp.int32).max - n_tiles - 1,
             dtype=jnp.int32)
         u_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -838,12 +849,17 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
         scene, params, key, n_rays, max_bounces, tile_r, sample_rate,
         skip_u=in_kernel_rng)
     if in_kernel_rng:
-        # one int32 seed row per bounce; kernel offsets by program_id
+        # one int32 seed row per bounce; kernel offsets by program_id.
+        # Seeds are base + b*n_tiles (structurally disjoint streams per
+        # (bounce, tile) — see trace_frames_ir_mega's seed note).
         n_tiles = rp // tile_r
-        seeds = jax.random.randint(
-            key, (max_bounces, 1, 8), minval=0,
-            maxval=jnp.iinfo(jnp.int32).max - n_tiles - max_bounces,
+        base = jax.random.randint(
+            key, (), minval=0,
+            maxval=jnp.iinfo(jnp.int32).max - max_bounces * n_tiles - 1,
             dtype=jnp.int32)
+        seeds = jnp.broadcast_to(
+            (base + jnp.arange(max_bounces, dtype=jnp.int32) * n_tiles
+             )[:, None, None], (max_bounces, 1, 8))
         u_rows = seeds
         u_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
