@@ -218,14 +218,15 @@ def cmd_bake(args):
 
     from .engine import Engine
     from .ops.convolve import load_samples
-    from .utils.audio_io import read_wav, write_wav
+    from .utils.audio_io import (builtin_clip_path, read_wav,
+                                 write_wav)
 
     room = _build_room(args)
     cfg = _config(args)
     listeners, n_l = _listeners(args, room)
     eng = Engine(room.scene, cfg, n_listeners=n_l)
     p = eng.params(room.source, listeners)
-    x, rate = read_wav(args.infile)
+    x, rate = read_wav(args.infile or builtin_clip_path())
     dry = np.asarray(load_samples(jnp.asarray(x), rate,
                                   cfg.audio.sample_rate))
     if args.legacy:
@@ -275,13 +276,14 @@ def cmd_stream(args):
     from .engine import Engine
     from .ops.convolve import load_samples
     from .streaming import Streamer
-    from .utils.audio_io import read_wav, write_wav
+    from .utils.audio_io import (builtin_clip_path, read_wav,
+                                 write_wav)
 
     room = _build_room(args)
     cfg = _config(args)
     listeners, n_l = _listeners(args, room)
     eng = Engine(room.scene, cfg, n_listeners=n_l)
-    x, rate = read_wav(args.infile)
+    x, rate = read_wav(args.infile or builtin_clip_path())
     dry = jnp.asarray(load_samples(jnp.asarray(x), rate,
                                    cfg.audio.sample_rate))
     vel = np.asarray([float(v) for v in args.move_listener.split(",")]) \
@@ -296,7 +298,15 @@ def cmd_stream(args):
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk)
     t0 = time.perf_counter()
-    wet = np.asarray(streamer.stream_clip(dry, poses))
+    if args.duration is not None:
+        # timed stream: the clip wraps at its end while config.audio.loop
+        # is set (RayTraceManager.cs:74-77), else pads with silence
+        total_chunks = max(1, int(round(args.duration / chunk_dt)))
+        wet = np.asarray(streamer.stream_clip(dry, poses,
+                                              total_chunks=total_chunks))
+    else:
+        # play the clip once and flush the reverb tail
+        wet = np.asarray(streamer.stream_clip(dry, poses, loop=False))
     dt = time.perf_counter() - t0
     write_wav(args.out, wet.T if n_l > 1 else wet[0],
               cfg.audio.sample_rate)
@@ -365,7 +375,8 @@ def main(argv=None):
 
     p = sub.add_parser("bake", help="offline convolution bake")
     _common(p)
-    p.add_argument("--in", dest="infile", required=True)
+    p.add_argument("--in", dest="infile", default=None,
+                   help="dry WAV (default: bundled assets/dry_clip.wav)")
     p.add_argument("--out", required=True)
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--legacy", action="store_true",
@@ -374,11 +385,16 @@ def main(argv=None):
 
     p = sub.add_parser("stream", help="chunked streaming convolution")
     _common(p)
-    p.add_argument("--in", dest="infile", required=True)
+    p.add_argument("--in", dest="infile", default=None,
+                   help="dry WAV (default: bundled assets/dry_clip.wav)")
     p.add_argument("--out", required=True)
     p.add_argument("--move-listener", default=None,
                    help="listener velocity 'vx,vy' (m/s)")
     p.add_argument("--frames-per-chunk", type=int, default=1)
+    p.add_argument("--duration", type=float, default=None,
+                   help="stream for this many seconds; the clip loops at "
+                        "its end while audio.loop is set "
+                        "(RayTraceManager.cs:74-77)")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("sweep", help="IR dataset over procedural rooms")

@@ -186,22 +186,56 @@ class Streamer:
         return out
 
     def stream_clip(self, dry: jax.Array, params_fn, scene_fn=None,
-                    pad_tail: bool = True):
+                    pad_tail: bool = True, loop: Optional[bool] = None,
+                    total_chunks: Optional[int] = None):
         """Stream a whole clip; ``params_fn(chunk_index) -> TraceParams``
         supplies (possibly moving) poses and optional
         ``scene_fn(chunk_index) -> Scene`` supplies per-chunk geometry
-        (dynamic obstacles). Returns wet audio [L, total]."""
+        (dynamic obstacles). Returns wet audio [L, total].
+
+        ``loop`` selects the end-of-clip behavior of the reference
+        (``RayTraceManager.cs:74-77``): when set, the dry feed restarts at
+        the clip head and streaming continues for ``total_chunks`` chunks
+        (which must be given — a looped stream has no natural end); when
+        clear, the clip plays once and the reverb tail is flushed
+        (``pad_tail``). ``loop=None`` honors ``config.audio.loop`` for
+        timed streams (``total_chunks`` given) and plays once otherwise —
+        a bare ``stream_clip(dry)`` is always a finite single pass."""
         n = self.config.audio.chunk_samples
         total = dry.shape[-1]
+        if loop is None:
+            loop = self.config.audio.loop and total_chunks is not None
+        if loop:
+            if total_chunks is None:
+                raise ValueError(
+                    "loop=True streams forever; pass total_chunks")
+            n_steps = total_chunks
+        else:
+            n_chunks = (total + n - 1) // n
+            tail = (self.config.audio.ir_length + n - 1) // n if pad_tail \
+                else 0
+            n_steps = (n_chunks + tail) if total_chunks is None \
+                else total_chunks
         chunks = []
-        n_chunks = (total + n - 1) // n
-        tail_chunks = (self.config.audio.ir_length + n - 1) // n if pad_tail \
-            else 0
-        for i in range(n_chunks + tail_chunks):
-            lo = i * n
-            piece = dry[lo:lo + n] if lo < total else jnp.zeros(0)
-            if piece.shape[-1] < n:
-                piece = jnp.pad(piece, (0, n - piece.shape[-1]))
+        for i in range(n_steps):
+            piece = dry_chunk(dry, i, n, loop)
             scene_i = scene_fn(i) if scene_fn is not None else None
             chunks.append(self.process(piece, params_fn(i), scene_i))
         return jnp.concatenate(chunks, axis=-1)
+
+
+def dry_chunk(dry: jax.Array, i: int, n: int, loop: bool) -> jax.Array:
+    """Chunk ``i`` of the dry feed. Looping wraps the clip modulo its
+    length — the seam chunk is tail-of-clip + head-of-clip, exactly the
+    reference's ``sampleOffset`` reset (RayTraceManager.cs:74-77); without
+    loop the post-clip feed is silence (tail flush)."""
+    total = dry.shape[-1]
+    lo = i * n
+    if loop:
+        idx = (lo + jnp.arange(n)) % total
+        return dry[..., idx]
+    piece = dry[..., lo:lo + n] if lo < total else dry[..., :0]
+    if piece.shape[-1] < n:
+        pad = [(0, 0)] * (piece.ndim - 1) + [(0, n - piece.shape[-1])]
+        piece = jnp.pad(piece, pad)
+    return piece

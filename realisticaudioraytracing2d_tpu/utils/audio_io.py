@@ -77,3 +77,18 @@ def noise_burst(duration: float, sample_rate: int, seed: int = 0,
     env *= np.minimum(1.0, (n - np.arange(n)) / max(1, n * 0.05))
     return (amplitude * env *
             rng.standard_normal(n).astype(np.float32)).astype(np.float32)
+
+
+def builtin_clip_path() -> str:
+    """Path to the bundled 1 s / 48 kHz dry test clip (two clicks + a
+    plucked arpeggio). The reference ships mp3 clips as its de-facto
+    aural fixtures (``Assets/Script/bruh.mp3`` etc.); this image has no
+    codec deps, so the framework bundles an uncompressed WAV instead —
+    `bake`/`stream` work out of the box without synthesizing input."""
+    import os
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "dry_clip.wav")
+
+
+def load_builtin_clip() -> Tuple[np.ndarray, int]:
+    return read_wav(builtin_clip_path())

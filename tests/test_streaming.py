@@ -11,6 +11,7 @@ import pytest
 import realisticaudioraytracing2d_tpu as art
 from realisticaudioraytracing2d_tpu.engine import Engine
 from realisticaudioraytracing2d_tpu.ops import convolve as cv
+from realisticaudioraytracing2d_tpu.ops.trace import TraceParams
 from realisticaudioraytracing2d_tpu.streaming import (RingBuffer, Streamer,
                                                       init_stream,
                                                       stream_chunk)
@@ -165,3 +166,65 @@ def test_stereo_stream_matches_mono_streams(setup):
         # same keys -> same traced rays; the ear's channel must match the
         # standalone mono stream exactly up to float reduction order
         np.testing.assert_allclose(wet2[ear], wet1, rtol=1e-4, atol=1e-7)
+
+
+def test_dry_chunk_loop_wraps_at_seam():
+    # Seam chunk = tail-of-clip + head-of-clip, the functional equivalent
+    # of the reference's sampleOffset reset (RayTraceManager.cs:74-77).
+    from realisticaudioraytracing2d_tpu.streaming import dry_chunk
+    dry = jnp.arange(10, dtype=jnp.float32)
+    n = 4
+    np.testing.assert_array_equal(np.asarray(dry_chunk(dry, 0, n, True)),
+                                  [0, 1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(dry_chunk(dry, 2, n, True)),
+                                  [8, 9, 0, 1])  # the seam
+    np.testing.assert_array_equal(np.asarray(dry_chunk(dry, 5, n, True)),
+                                  [0, 1, 2, 3])  # second wrap (20 % 10)
+    # no loop: silence after the clip end
+    np.testing.assert_array_equal(np.asarray(dry_chunk(dry, 2, n, False)),
+                                  [8, 9, 0, 0])
+    np.testing.assert_array_equal(np.asarray(dry_chunk(dry, 5, n, False)),
+                                  [0, 0, 0, 0])
+
+
+def test_stream_clip_loop_continuous_across_seam():
+    # A looped clip must keep producing wet signal past the clip end; the
+    # unlooped stream decays to reverb tail only.
+    import dataclasses
+    room = art.rooms.smoll_room()
+    cfg = art.smoll_room_config(ray_count=512)
+    # IR must cover SmollRoom's ~63 ms first arrival (repo physics quirk)
+    cfg = dataclasses.replace(
+        cfg, audio=dataclasses.replace(cfg.audio, reverb_duration=0.1,
+                                       chunk_duration=0.05, loop=True))
+    n = cfg.audio.chunk_samples
+    # 3-chunk dry clip of constant noise
+    dry = jnp.asarray(np.random.default_rng(3).normal(
+        size=3 * n).astype(np.float32) * 0.5)
+    params = TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0)
+
+    def run(loop, total):
+        s = Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+        return np.asarray(s.stream_clip(dry, lambda i: params, loop=loop,
+                                        total_chunks=total))[0]
+
+    looped = run(True, 8)
+    once = run(False, 8)
+    assert looped.shape[-1] == 8 * n
+    e = (looped.reshape(8, n) ** 2).sum(axis=1)
+    # steady state: every post-warmup chunk keeps full energy across the
+    # 3-chunk seam (chunks 3, 6 restart the clip)
+    assert e[3:].min() > 0.3 * e[1:3].max()
+    # the single-shot stream is silent once clip + tail have flushed
+    e1 = (once.reshape(8, n) ** 2).sum(axis=1)
+    assert e1[6:].max() < 1e-10
+    assert e[6:].min() > 1e-4
+
+
+def test_stream_clip_loop_requires_total_chunks():
+    room = art.rooms.smoll_room()
+    cfg = art.smoll_room_config(ray_count=512)
+    s = Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+    params = TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0)
+    with pytest.raises(ValueError, match="total_chunks"):
+        s.stream_clip(jnp.zeros(100), lambda i: params, loop=True)

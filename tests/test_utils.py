@@ -123,3 +123,52 @@ def test_device_trace_context(tmp_path):
     with device_trace(d):
         _ = jnp.sum(jnp.ones(16)).block_until_ready()
     assert os.path.isdir(d)
+
+
+def test_checkpoint_rejects_wrong_kind(tmp_path):
+    # Feeding a sweep dataset (or any non-IRState npz) to load_ir_state
+    # must error, not silently misload leaves (round-1 VERDICT weak #6).
+    import jax.numpy as jnp
+    p = str(tmp_path / "sweep.npz")
+    dataset = {"irs": jnp.ones((4, 1, 16, 1)), "meta": jnp.zeros((4,))}
+    checkpoint.save_pytree(p, dataset, kind="sweep")
+    with pytest.raises(ValueError, match="not an IRState"):
+        checkpoint.load_ir_state(p)
+
+
+def test_checkpoint_rejects_missing_sidecar(tmp_path):
+    import numpy as np
+    p = str(tmp_path / "bare.npz")
+    np.savez(p, leaf_0=np.ones(3), leaf_1=np.zeros(()))
+    with pytest.raises(ValueError, match="sidecar"):
+        checkpoint.load_ir_state(p)
+
+
+def test_checkpoint_rejects_shape_mismatch(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    p = str(tmp_path / "small.npz")
+    small = {"irs": jnp.ones((4, 1, 16, 1))}
+    checkpoint.save_pytree(p, small, kind="sweep")
+    like = {"irs": jax.ShapeDtypeStruct((8, 1, 16, 1), jnp.float32)}
+    with pytest.raises(ValueError, match="shape"):
+        checkpoint.load_pytree(p, like, kind="sweep")
+
+
+def test_sweep_dataset_checkpoint_roundtrip(tmp_path):
+    # The 1024-room dataset target: save a sweep output pytree and resume
+    # it through the generic load_pytree with a prototype.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    p = str(tmp_path / "rooms1024.npz")
+    irs = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1024, 1, 32, 1)).astype(np.float32))
+    state = {"irs": irs, "rooms_done": jnp.asarray(1024, jnp.int32)}
+    checkpoint.save_pytree(p, state, meta={"n_rays": 4096}, kind="sweep")
+    like = {"irs": jax.ShapeDtypeStruct((1024, 1, 32, 1), jnp.float32),
+            "rooms_done": jax.ShapeDtypeStruct((), jnp.int32)}
+    got = checkpoint.load_pytree(p, like, kind="sweep")
+    np.testing.assert_array_equal(np.asarray(got["irs"]), np.asarray(irs))
+    assert int(got["rooms_done"]) == 1024
+    assert checkpoint.read_sidecar(p)["meta"]["n_rays"] == 4096
