@@ -315,6 +315,41 @@ def cmd_stream(args):
           f"({xrt:.2f}x realtime) -> {args.out}")
 
 
+def cmd_live(args):
+    """Producer/consumer live pipeline: TPU streaming producer + an audio
+    thread draining the native ring at DSP-buffer cadence — the
+    ``AudioManager.OnAudioFilterRead`` contract (AudioManager.cs:56-69)
+    driven end to end, with underruns reported instead of hidden."""
+    import jax
+    import jax.numpy as jnp
+
+    from .engine import Engine
+    from .live import LivePlayer
+    from .ops.convolve import load_samples
+    from .utils.audio_io import (builtin_clip_path, read_wav, write_wav)
+
+    room = _build_room(args)
+    cfg = _config(args)
+    listeners, n_l = _listeners(args, room)
+    eng = Engine(room.scene, cfg, n_listeners=n_l)
+    x, rate = read_wav(args.infile or builtin_clip_path())
+    dry = jnp.asarray(load_samples(jnp.asarray(x), rate,
+                                   cfg.audio.sample_rate))
+    total_chunks = max(1, int(round(args.duration
+                                    / cfg.audio.chunk_duration)))
+    player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(args.seed),
+                        n_listeners=n_l,
+                        frames_per_chunk=args.frames_per_chunk,
+                        dsp_buffer=args.dsp_buffer)
+    rep = player.run(dry, total_chunks=total_chunks,
+                     realtime=args.realtime,
+                     params=eng.params(room.source, listeners))
+    if args.out:
+        write_wav(args.out, rep.audio.T if n_l > 1 else rep.audio[0],
+                  cfg.audio.sample_rate)
+    print(f"live: {rep.summary()}" + (f" -> {args.out}" if args.out else ""))
+
+
 def cmd_sweep(args):
     import jax
 
@@ -396,6 +431,23 @@ def main(argv=None):
                         "its end while audio.loop is set "
                         "(RayTraceManager.cs:74-77)")
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("live", help="producer/consumer live audio pipeline "
+                                    "(audio thread drains the native ring)")
+    _common(p)
+    p.add_argument("--in", dest="infile", default=None,
+                   help="dry WAV (default: bundled assets/dry_clip.wav)")
+    p.add_argument("--out", default=None, help="record what the audio "
+                                               "thread heard")
+    p.add_argument("--duration", type=float, default=2.0)
+    p.add_argument("--frames-per-chunk", type=int, default=1)
+    p.add_argument("--dsp-buffer", type=int, default=1024,
+                   help="audio callback granularity (reference "
+                        "m_DSPBufferSize = 1024)")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace the audio thread on the wall clock "
+                        "(underruns counted when the producer lags)")
+    p.set_defaults(fn=cmd_live)
 
     p = sub.add_parser("sweep", help="IR dataset over procedural rooms")
     _common(p)

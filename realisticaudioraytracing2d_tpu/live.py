@@ -1,0 +1,221 @@
+"""Live audio pipeline: sim-clock producer + audio-clock consumer thread.
+
+The reference actually *plays* its wet audio: `ProcessChunk` pushes each
+convolved chunk into a mutex-protected ring buffer on the main/sim thread
+(``RayTraceManager.cs:91-123`` -> ``AudioManager.PushSamples``,
+``AudioManager.cs:45-54``) while Unity's audio thread drains it at DSP-
+buffer granularity — 1024 samples per callback
+(``AudioManager.OnAudioFilterRead``, ``AudioManager.cs:56-69``;
+``ProjectSettings/AudioManager.asset`` m_DSPBufferSize) — duplicating mono
+to all channels and zeroing what it consumed.
+
+This module reproduces that two-clock contract end to end: a producer
+loop runs the TPU streaming step (trace -> crossfaded convolution) and
+overlap-adds wet chunks into the host :class:`~.native.NativeRingBuffer`;
+a real consumer thread drains fixed DSP buffers on the audio clock. A
+sample index is *drainable* once the chunk whose head covers it has been
+pushed (later chunks only add reverb tail into already-final regions —
+the overlap-add identity); draining past that frontier is an **underrun**
+(the real callback would emit the partial sum), which is counted, not
+hidden.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import EngineConfig
+from .models.scene import Scene
+from .native import NativeRingBuffer
+from .ops import ir as irm
+from .ops import rng as _rng
+from .streaming import _crossfaded_wet, dry_chunk
+from .ops.trace import TraceParams
+
+
+@partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
+                                   "frames_per_chunk"))
+def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
+              dry: jax.Array, key: jax.Array, chunk_index: jax.Array, *,
+              n_rays: int, max_bounces: int, sample_rate: int,
+              frames_per_chunk: int = 1):
+    """One live step fully on-device: retrace a fresh IR for this chunk and
+    return ``(wet[L, N+T], cur_ir)`` — the crossfaded convolution output
+    *including* its reverb tail, ready for host overlap-add (the
+    ``ProcessChunk`` dispatch, RayTraceManager.cs:100-122)."""
+    from .engine import trace_accumulate
+
+    l, t, k = prev_ir.shape
+    ir_state = trace_accumulate(
+        scene, params, irm.IRState.zeros(t, l, k),
+        _rng.frame_key(key, chunk_index), n_rays=n_rays,
+        max_bounces=max_bounces, sample_rate=sample_rate,
+        n_frames=frames_per_chunk)
+    cur_ir = ir_state.normalized()
+    prev = jnp.where(chunk_index == 0, cur_ir, prev_ir)
+    return _crossfaded_wet(dry, prev, cur_ir), cur_ir
+
+
+@dataclass
+class LiveReport:
+    """What happened during a live run (the observability the reference
+    lacks — it silently plays partial buffers)."""
+
+    audio: np.ndarray            # [L, consumed] what the audio thread heard
+    underruns: int = 0           # callbacks that outran the producer
+    callbacks: int = 0           # total audio-thread drains
+    chunks: int = 0              # producer chunks pushed
+    producer_seconds: float = 0.0
+    realtime_factor: float = 0.0  # produced audio seconds / producer wall s
+    max_lead_samples: int = 0    # peak producer lead over the consumer
+
+    def summary(self) -> str:
+        return (f"{self.chunks} chunks, {self.callbacks} callbacks "
+                f"({self.underruns} underruns), producer "
+                f"{self.realtime_factor:.2f}x realtime, peak lead "
+                f"{self.max_lead_samples} samples")
+
+
+class LivePlayer:
+    """Producer/consumer driver for the live pipeline.
+
+    ``realtime=True`` paces the consumer on the wall clock (one drain per
+    ``dsp_buffer / sample_rate`` seconds, exactly like the audio thread) —
+    underruns happen whenever the producer is slower than realtime.
+    ``realtime=False`` paces the consumer on the producer's frontier
+    (integrity mode: every sample is final when read), which is the mode
+    tests use to check the threaded path is lossless.
+    """
+
+    def __init__(self, scene: Scene, config: EngineConfig, key: jax.Array,
+                 n_listeners: int = 1, frames_per_chunk: int = 1,
+                 dsp_buffer: int = 1024):
+        self.scene = scene
+        self.config = config
+        self.key = key
+        self.n_listeners = n_listeners
+        self.frames_per_chunk = frames_per_chunk
+        self.dsp_buffer = dsp_buffer
+        n = config.audio.chunk_samples
+        t = config.audio.ir_length
+        # ring sized like the reference: reverb + 1 s of slack
+        # (AudioManager.cs:30-32), floored to hold chunk + tail + a buffer
+        size = max(t + 2 * n + dsp_buffer,
+                   t + config.audio.sample_rate)
+        self.ring = NativeRingBuffer(size, n_listeners)
+
+    def run(self, dry: jax.Array, total_chunks: int,
+            loop: Optional[bool] = None, realtime: bool = False,
+            params_fn: Optional[Callable[[int], TraceParams]] = None,
+            params: Optional[TraceParams] = None) -> LiveReport:
+        cfg = self.config
+        n = cfg.audio.chunk_samples
+        t = cfg.audio.ir_length
+        sr = cfg.audio.sample_rate
+        loop = cfg.audio.loop if loop is None else loop
+        if params_fn is None:
+            if params is None:
+                raise ValueError("pass params or params_fn")
+            params_fn = lambda i: params  # noqa: E731
+
+        frontier = 0                      # samples final & drainable
+        frontier_lock = threading.Condition()
+        stop = threading.Event()
+        report = LiveReport(audio=np.zeros((self.n_listeners, 0),
+                                           np.float32))
+        total_samples = total_chunks * n
+        prev_ir = jnp.zeros((self.n_listeners, t, self.scene.n_bands),
+                            jnp.float32)
+        producer_err = []
+
+        def producer():
+            nonlocal frontier, prev_ir
+            t0 = time.perf_counter()
+            try:
+                for i in range(total_chunks):
+                    piece = dry_chunk(dry, i, n, loop)
+                    if piece.ndim == 1 and self.n_listeners > 1:
+                        pass  # wet_chunk broadcasts mono dry per listener
+                    wet, prev_ir = wet_chunk(
+                        self.scene, params_fn(i), prev_ir, piece,
+                        self.key, jnp.asarray(i, jnp.int32),
+                        n_rays=cfg.sim.ray_count,
+                        max_bounces=cfg.sim.max_bounces,
+                        sample_rate=sr,
+                        frames_per_chunk=self.frames_per_chunk)
+                    wet_np = np.asarray(wet)  # device->host readback
+                    if wet_np.ndim == 1:
+                        wet_np = wet_np[None, :]
+                    self.ring.push(wet_np, i * n)
+                    with frontier_lock:
+                        frontier = (i + 1) * n
+                        frontier_lock.notify_all()
+                    report.chunks = i + 1
+                    if stop.is_set():
+                        break
+            except Exception as e:          # pragma: no cover - surfaced
+                producer_err.append(e)
+            finally:
+                report.producer_seconds = time.perf_counter() - t0
+                with frontier_lock:
+                    frontier_lock.notify_all()
+
+        out = []
+
+        def consumer():
+            consumed = 0
+            next_tick = time.perf_counter()
+            period = self.dsp_buffer / sr
+            while consumed < total_samples and not producer_err:
+                if realtime:
+                    next_tick += period
+                    delay = next_tick - time.perf_counter()
+                    if delay > 0:
+                        time.sleep(delay)
+                    with frontier_lock:
+                        if frontier < min(consumed + self.dsp_buffer,
+                                          total_samples):
+                            report.underruns += 1
+                            if frontier <= consumed:
+                                # nothing final yet: the real callback
+                                # would emit silence; skip this tick
+                                continue
+                else:
+                    with frontier_lock:
+                        while (frontier < min(consumed + self.dsp_buffer,
+                                              total_samples)
+                               and not producer_err):
+                            frontier_lock.wait(timeout=60.0)
+                want = min(self.dsp_buffer, total_samples - consumed)
+                buf = self.ring.drain(want)   # read + zero (add-then-zero)
+                out.append(buf)
+                consumed += want
+                report.callbacks += 1
+                with frontier_lock:
+                    report.max_lead_samples = max(
+                        report.max_lead_samples, frontier - consumed)
+
+        tp = threading.Thread(target=producer, name="sim-producer")
+        tc = threading.Thread(target=consumer, name="audio-consumer")
+        tp.start()
+        tc.start()
+        tc.join()
+        stop.set()
+        tp.join()
+        if producer_err:
+            raise producer_err[0]
+        report.audio = (np.concatenate(out, axis=-1) if out
+                        else report.audio)
+        produced_s = report.chunks * n / sr
+        report.realtime_factor = (produced_s / report.producer_seconds
+                                  if report.producer_seconds > 0 else 0.0)
+        return report

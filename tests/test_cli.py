@@ -131,3 +131,13 @@ def test_builtin_clip_exists_and_reads():
     x, sr = load_builtin_clip()
     assert sr == 48000 and x.shape[0] == 48000
     assert np.abs(x).max() > 0.9  # the delay-readable clicks
+
+
+def test_cli_live(tmp_path, capsys):
+    out = str(tmp_path / "live.wav")
+    main(["live", "--room", "smoll", *TINY, "--out", out,
+          "--duration", "0.3", "--dsp-buffer", "256"])
+    txt = capsys.readouterr().out
+    assert "underruns" in txt and os.path.exists(out)
+    x, rate = read_wav(out)
+    assert rate == 8000 and len(x) == 3 * 800  # 3 chunks of 0.1 s @ 8 kHz

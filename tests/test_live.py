@@ -1,0 +1,96 @@
+"""Live pipeline tests: sim-clock producer + real audio-clock consumer
+thread against the native ring buffer — the ``AudioManager`` contract
+(``AudioManager.cs:45-69``) exercised producer/consumer-style instead of
+single-threaded."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import realisticaudioraytracing2d_tpu as art
+from realisticaudioraytracing2d_tpu.live import LivePlayer
+from realisticaudioraytracing2d_tpu.ops.trace import TraceParams
+from realisticaudioraytracing2d_tpu.streaming import Streamer
+
+
+@pytest.fixture(scope="module")
+def live_cfg():
+    room = art.rooms.smoll_room()
+    cfg = art.smoll_room_config(ray_count=512)
+    cfg = dataclasses.replace(
+        cfg, audio=dataclasses.replace(cfg.audio, reverb_duration=0.1,
+                                       chunk_duration=0.05))
+    params = TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0)
+    return room, cfg, params
+
+
+def test_live_threaded_matches_single_threaded_stream(live_cfg):
+    # Integrity mode: the audio thread's concatenated drains must equal
+    # the single-threaded stream_clip output sample for sample (the
+    # overlap-add frontier logic loses nothing across the thread handoff).
+    room, cfg, params = live_cfg
+    n = cfg.audio.chunk_samples
+    total = 6
+    dry = jnp.asarray(np.random.default_rng(0).normal(
+        size=3 * n).astype(np.float32) * 0.3)
+
+    player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(1))
+    rep = player.run(dry, total_chunks=total, loop=False, realtime=False,
+                     params=params)
+    assert rep.underruns == 0
+    assert rep.chunks == total
+    assert rep.audio.shape == (1, total * n)
+
+    streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(1))
+    ref = np.asarray(streamer.stream_clip(dry, lambda i: params,
+                                          loop=False, total_chunks=total))
+    np.testing.assert_allclose(rep.audio, ref, atol=1e-6)
+    assert np.abs(rep.audio).max() > 0
+
+
+def test_live_dsp_buffer_cadence(live_cfg):
+    # Drains happen at DSP-buffer granularity (1024 samples, the
+    # reference's m_DSPBufferSize): callback count is ceil(total/1024).
+    room, cfg, params = live_cfg
+    n = cfg.audio.chunk_samples
+    total = 4
+    dry = jnp.asarray(np.random.default_rng(2).normal(
+        size=2 * n).astype(np.float32) * 0.3)
+    player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(0),
+                        dsp_buffer=1024)
+    rep = player.run(dry, total_chunks=total, loop=False, realtime=False,
+                     params=params)
+    assert rep.callbacks == -(-total * n // 1024)
+    assert rep.underruns == 0
+
+
+def test_live_realtime_mode_counts_underruns_not_crashes(live_cfg):
+    # Wall-clock pacing with an artificially slow producer: the consumer
+    # keeps its cadence, reports underruns, and the run still completes.
+    room, cfg, params = live_cfg
+    n = cfg.audio.chunk_samples
+
+    player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(0),
+                        dsp_buffer=max(256, n // 4))
+    slow_params = params
+
+    calls = []
+
+    def slow_fn(i):
+        import time
+        if i > 0:
+            time.sleep(0.2)  # slower than the 0.05 s chunk cadence
+        calls.append(i)
+        return slow_params
+
+    dry = jnp.asarray(np.random.default_rng(3).normal(
+        size=2 * n).astype(np.float32) * 0.3)
+    rep = player.run(dry, total_chunks=4, loop=False, realtime=True,
+                     params_fn=slow_fn)
+    assert rep.chunks == 4
+    assert rep.underruns > 0          # producer demonstrably outrun
+    assert rep.audio.shape[-1] == 4 * n
+    assert "underruns" in rep.summary()
