@@ -113,8 +113,11 @@ def bench_streaming_xrt(sample_rate=44100, reverb=1.5, chunk=0.1,
     return (n_chunks * chunk) / dt
 
 
-def bench_sweep(n_rooms=64, n_rays=4096, max_bounces=6, ir_length=24000):
-    """Room-dataset generation rate (config #5 scaled to one chip)."""
+def bench_sweep(n_rooms=1024, n_rays=4096, max_bounces=6, ir_length=24000):
+    """Room-dataset generation rate (config #5: the full 1024-room dataset
+    in ONE launch of the rooms-batched mega kernel — rooms ride the
+    leading grid axis, so per-dispatch relay latency is amortized across
+    the whole dataset, which is how a real dataset job runs)."""
     import jax.random
 
     from realisticaudioraytracing2d_tpu.models.rooms import random_rooms

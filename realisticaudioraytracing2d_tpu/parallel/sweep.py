@@ -47,22 +47,17 @@ def sweep_rooms(scenes: Scene, sources: jax.Array, listeners: jax.Array,
                   and _fused_eligible(_index_scene(scenes, 0), p0,
                                       ir_length)))
     if use_fused:
-        from ..ops.pallas.bounce_kernel import trace_frames_ir_mega
-
-        def one_room_fused(xs):
-            scene, src, lis, k = xs
-            p = TraceParams.make(src, lis, listener_radius,
-                                 speed_of_sound, input_gain)
-            ir = trace_frames_ir_mega(scene, p, k, n_rays=n_rays,
-                                      max_bounces=max_bounces,
-                                      sample_rate=sample_rate,
-                                      ir_length=ir_length,
-                                      n_frames=n_frames)
-            return None, ir / n_frames
-
-        _, irs = jax.lax.scan(lambda c, xs: one_room_fused(xs), None,
-                              (scenes, sources, listeners, keys))
-        return irs
+        # whole dataset in ONE kernel launch: rooms are the leading grid
+        # axis of the mega kernel (replaces the round-1 serial scan that
+        # paid one launch sequence per room)
+        from ..ops.pallas.bounce_kernel import trace_rooms_ir_mega
+        irs = trace_rooms_ir_mega(
+            scenes, sources, listeners, key, n_rays=n_rays,
+            max_bounces=max_bounces, sample_rate=sample_rate,
+            ir_length=ir_length, n_frames=n_frames,
+            listener_radius=listener_radius,
+            speed_of_sound=speed_of_sound, input_gain=input_gain)
+        return irs / n_frames
 
     def one_room(scene, src, lis, k):
         p = TraceParams.make(src, lis, listener_radius, speed_of_sound,
