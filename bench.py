@@ -159,6 +159,42 @@ def bench_stream_chunk(n_chunks=30):
     return (time.perf_counter() - t0) / n_chunks * 1e3
 
 
+def bench_accel(n_boxes=10000, n_rays=131072, max_bounces=6):
+    """Large-scene path (docs/ACCEL.md): cluster-early-out + Morton ray
+    re-sort vs brute force on a 40k-wall procedural city. Reports
+    (accel_ms, brute-equivalent G wall tests/s, speedup)."""
+    import jax.random
+
+    import realisticaudioraytracing2d_tpu as art
+    from realisticaudioraytracing2d_tpu.models.rooms import city_scene
+    from realisticaudioraytracing2d_tpu.ops.pallas.bounce_kernel import (
+        trace_frames_ir_accel_sorted)
+
+    room = city_scene(n_boxes=n_boxes)
+    params = art.TraceParams.make(room.source, room.listener,
+                                  room.listener_radius, 343.0, 100.0)
+    kw = dict(n_rays=n_rays, max_bounces=max_bounces, sample_rate=16000,
+              ir_length=24000, n_frames=4, cluster_size=128)
+
+    def timed(**extra):
+        ir = trace_frames_ir_accel_sorted(room.scene, params,
+                                          jax.random.PRNGKey(0), **kw,
+                                          **extra)
+        _sync(ir)
+        t0 = time.perf_counter()
+        ir = trace_frames_ir_accel_sorted(room.scene, params,
+                                          jax.random.PRNGKey(1), **kw,
+                                          **extra)
+        _sync(ir)
+        return time.perf_counter() - t0
+
+    t_brute = timed(early_out=False)
+    t_accel = timed(early_out=True)
+    tests = n_rays * max_bounces * 2 * room.scene.n_walls * kw["n_frames"]
+    return (t_accel * 1e3, tests / t_accel / 1e9, t_brute / t_accel,
+            room.scene.n_walls)
+
+
 def main():
     backend = jax.default_backend()
     print(f"backend={backend} devices={jax.devices()}", file=sys.stderr)
@@ -169,6 +205,7 @@ def main():
     xrt = bench_streaming_xrt()
     chunk_ms = bench_stream_chunk()
     rooms_s = bench_sweep()
+    accel_ms, accel_gts, accel_speedup, accel_walls = bench_accel()
 
     print(f"trace frame @131k rays x 8 bounces: {frame_ms:.2f} ms; "
           f"@reference workload 15k x 5: {ref_frame_ms:.2f} ms "
@@ -177,7 +214,10 @@ def main():
           f"streaming conv: {xrt:.0f}x realtime @44.1kHz; "
           f"full stream chunk (retrace+conv+ring): {chunk_ms:.1f} ms per "
           f"100 ms chunk; "
-          f"room sweep: {rooms_s:.1f} rooms/s (4096 rays x 6 bounces)",
+          f"room sweep: {rooms_s:.1f} rooms/s (4096 rays x 6 bounces); "
+          f"large scene ({accel_walls} walls): {accel_ms:.0f} ms/4 frames, "
+          f"{accel_gts:.0f} G tests/s brute-equivalent, "
+          f"{accel_speedup:.1f}x over brute",
           file=sys.stderr)
 
     result = {

@@ -42,9 +42,22 @@ def _fused_eligible(scene: Scene, params: TraceParams,
         auto_tile(scene.a.shape[0])  # raises past the ~5k-wall VMEM budget
     except ValueError:
         return False
+    return _hist_fits(scene, params, ir_length)
+
+
+def _hist_fits(scene, params: TraceParams, ir_length: int) -> bool:
     hi_rows = ((ir_length + 511) // 512 + 1 + 7) // 8 * 8
     hist_bytes = params.listeners.shape[0] * scene.n_bands * hi_rows *         512 * 4
     return hist_bytes <= 5 * 2 ** 20
+
+
+def _accel_eligible(scene, params: TraceParams, ir_length: int) -> bool:
+    """Large-scene cluster-early-out path (per-bounce kernel + Morton ray
+    re-sort, docs/ACCEL.md): any wall count, but scalar energy (K = 1) and
+    <=2 listeners only; TPU only."""
+    return (jax.default_backend() == "tpu" and scene.n_bands == 1
+            and params.listeners.shape[0] <= 2
+            and _hist_fits(scene, params, ir_length))
 
 
 @partial(jax.jit,
@@ -64,8 +77,11 @@ def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
     ``backend``: "auto" routes supported configs (<=2 listeners, <=16
     bands) to
     the fused Pallas bounce kernel with in-kernel MXU histogram on TPU
-    (~4x faster than the XLA graph path); "jnp" forces the reference
-    XLA-graph path; "fused" forces the kernel path.
+    (~4x faster than the XLA graph path); scenes past the fused kernel's
+    ~5k-wall VMEM ceiling route to the cluster-early-out accel path
+    (per-bounce kernel + Morton ray re-sort, any wall count, K = 1);
+    "jnp" forces the reference XLA-graph path; "fused"/"accel" force the
+    respective kernel paths.
     """
     use_fused = (backend == "fused" or
                  (backend == "auto"
@@ -76,6 +92,17 @@ def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
             scene, params, state, key, n_rays=n_rays,
             max_bounces=max_bounces, sample_rate=sample_rate,
             n_frames=n_frames)
+    use_accel = (backend == "accel" or
+                 (backend == "auto"
+                  and _accel_eligible(scene, params, state.ir_length)))
+    if use_accel:
+        from .ops.pallas.bounce_kernel import trace_frames_ir_accel_sorted
+        ir = trace_frames_ir_accel_sorted(
+            scene, params, key, n_rays=n_rays, max_bounces=max_bounces,
+            sample_rate=sample_rate, ir_length=state.ir_length,
+            n_frames=n_frames)
+        return irm.IRState(sum=state.sum + ir,
+                           frames=state.frames + n_frames)
 
     def body(st, i):
         hits = trace_hits_only(scene, params, _rng.frame_key(key, i),

@@ -158,3 +158,30 @@ def random_rooms(n_rooms: int, seed: int = 0, n_obstacles: int = 3,
     return (Scene.stack(scenes),
             np.asarray(sources, np.float32),
             np.asarray(listeners, np.float32))
+
+
+def city_scene(n_boxes: int = 2500, seed: int = 0, extent: float = 500.0,
+               n_bands: int = 1) -> "RoomSetup":
+    """Large-scene fixture: a bordered 'city' of randomly placed/rotated
+    box obstacles — ``4*n_boxes + 4`` walls. Exists to exercise the
+    cluster-early-out acceleration path (docs/ACCEL.md) at wall counts far
+    beyond the reference's scenes (its max is ~20 segments,
+    ``Assets/Scenes/SmollRoom.unity``)."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder(n_bands=n_bands)
+    b.add_box(MATERIAL_BORDER,
+              Transform2D(position=(0.0, 0.0), scale=(1.0, 1.0)),
+              size=(2 * extent, 2 * extent))
+    for _ in range(n_boxes):
+        tf = Transform2D(
+            position=(float(rng.uniform(-extent * 0.95, extent * 0.95)),
+                      float(rng.uniform(-extent * 0.95, extent * 0.95))),
+            angle=float(rng.uniform(0, np.pi)))
+        b.add_box(MATERIAL_INTERIOR, tf,
+                  size=(float(rng.uniform(1.0, 8.0)),
+                        float(rng.uniform(1.0, 8.0))))
+    return RoomSetup(scene=b.build(),
+                     source=np.asarray([0.0, 0.0], np.float32),
+                     listener=np.asarray([extent * 0.2, extent * 0.1],
+                                         np.float32),
+                     listener_radius=2.0)

@@ -58,6 +58,9 @@ def _load() -> Optional[ctypes.CDLL]:
             f32p, ctypes.c_int, ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             i32p, i32p]
+        lib.art_morton_clusters.restype = ctypes.c_int
+        lib.art_morton_clusters.argtypes = [f32p, ctypes.c_int,
+                                            ctypes.c_int, i32p, f32p]
         lib.art_ring_create.restype = ctypes.c_void_p
         lib.art_ring_create.argtypes = [ctypes.c_int, ctypes.c_int]
         lib.art_ring_destroy.argtypes = [ctypes.c_void_p]
@@ -179,6 +182,61 @@ def build_grid(segments: np.ndarray, xmin: float, ymin: float, cell: float,
                 counts[ci] += 1
                 worst = max(worst, int(counts[ci]))
     return cells, counts, worst
+
+
+def morton_clusters(segments: np.ndarray, cluster_size: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sort walls by Morton code of their centroid and emit per-cluster
+    AABBs over runs of ``cluster_size`` sorted walls (the chunk-early-out
+    kernel's input, see ops/accel.py). Degenerate padding segments sort
+    last; padding-only clusters get an inverted AABB (never slab-hit).
+    Returns ``(order[N] int32 permutation, aabb[n_clusters, 4] f32
+    (xmin, ymin, xmax, ymax))``."""
+    segs = np.ascontiguousarray(segments, np.float32).reshape(-1, 6)
+    n = segs.shape[0]
+    n_clusters = -(-n // cluster_size)
+    order = np.empty((n,), np.int32)
+    aabb = np.empty((n_clusters, 4), np.float32)
+    lib = _load()
+    if lib is not None:
+        got = lib.art_morton_clusters(_f32(segs), n, cluster_size,
+                                      _i32(order), _f32(aabb))
+        assert got == n_clusters
+        return order, aabb
+    # NumPy fallback (same key construction as the C++)
+    a, b = segs[:, 0:2], segs[:, 2:4]
+    degen = np.all(a == b, axis=1)
+    valid = ~degen
+    lo = a[valid].min(0).astype(np.float64) if valid.any() else np.zeros(2)
+    hi = a[valid].max(0).astype(np.float64) if valid.any() else np.ones(2)
+    lo = np.minimum(lo, b[valid].min(0)) if valid.any() else lo
+    hi = np.maximum(hi, b[valid].max(0)) if valid.any() else hi
+    span = np.where(hi > lo, hi - lo, 1.0)
+    cen = 0.5 * (a + b)
+    q = ((cen - lo) / span * 65535.0).clip(0, 65535).astype(np.uint64)
+
+    def part1by1(x):
+        x &= np.uint64(0xFFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+        return x
+
+    key = part1by1(q[:, 0]) | (part1by1(q[:, 1]) << np.uint64(1))
+    key[degen] = np.uint64(0x1FFFFFFFF)
+    order[:] = np.argsort(key, kind="stable").astype(np.int32)
+    aabb[:, :2] = np.float32(1e30)
+    aabb[:, 2:] = np.float32(-1e30)
+    for c in range(n_clusters):
+        ids = order[c * cluster_size:(c + 1) * cluster_size]
+        ids = ids[~degen[ids]]
+        if len(ids) == 0:
+            continue
+        pts = np.concatenate([a[ids], b[ids]], axis=0)
+        aabb[c, :2] = pts.min(0)
+        aabb[c, 2:] = pts.max(0)
+    return order, aabb
 
 
 class NativeRingBuffer:

@@ -14,6 +14,7 @@
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in the image).
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -128,6 +129,79 @@ int art_build_grid(const float* segs /*n*6*/, int n_segs,
     }
   }
   return worst;
+}
+
+// ---------------------------------------------------------------------------
+// Morton-order wall clustering (host side)
+// ---------------------------------------------------------------------------
+// Sorts walls by the Morton (Z-order) code of their centroid and emits
+// per-cluster AABBs over runs of `cluster_size` sorted walls — the input
+// of the TPU chunk-early-out kernel (ops/accel.py): phase 1 slab-tests the
+// cluster AABBs, phase 2 only runs the dense wall pass for clusters some
+// ray in the tile can hit. Degenerate segments (a == b: the scene's
+// padding) sort last and clusters holding only padding get an inverted
+// AABB (+inf, -inf) no slab test can pass, so they are always skipped.
+// Returns the cluster count (= ceil(n_segs / cluster_size)).
+
+static inline uint32_t art_part1by1(uint32_t x) {
+  x &= 0x0000ffffu;
+  x = (x | (x << 8)) & 0x00ff00ffu;
+  x = (x | (x << 4)) & 0x0f0f0f0fu;
+  x = (x | (x << 2)) & 0x33333333u;
+  x = (x | (x << 1)) & 0x55555555u;
+  return x;
+}
+
+int art_morton_clusters(const float* segs /*n*6*/, int n_segs,
+                        int cluster_size, int32_t* out_order /*n*/,
+                        float* out_aabb /*ceil(n/cs)*4*/) {
+  const float inf = 1e30f;
+  float xmin = inf, ymin = inf, xmax = -inf, ymax = -inf;
+  std::vector<uint8_t> degen(n_segs);
+  for (int i = 0; i < n_segs; ++i) {
+    const float* s = segs + i * 6;
+    degen[i] = (s[0] == s[2] && s[1] == s[3]);
+    if (degen[i]) continue;
+    xmin = std::fmin(xmin, std::fmin(s[0], s[2]));
+    xmax = std::fmax(xmax, std::fmax(s[0], s[2]));
+    ymin = std::fmin(ymin, std::fmin(s[1], s[3]));
+    ymax = std::fmax(ymax, std::fmax(s[1], s[3]));
+  }
+  const float sx = (xmax > xmin) ? 65535.f / (xmax - xmin) : 0.f;
+  const float sy = (ymax > ymin) ? 65535.f / (ymax - ymin) : 0.f;
+  std::vector<uint64_t> keyed(n_segs);
+  for (int i = 0; i < n_segs; ++i) {
+    uint64_t key;
+    if (degen[i]) {
+      key = 0x1FFFFFFFFull;  // > any 32-bit Morton code: padding sorts last
+    } else {
+      const float* s = segs + i * 6;
+      const float cx = 0.5f * (s[0] + s[2]);
+      const float cy = 0.5f * (s[1] + s[3]);
+      const uint32_t qx = (uint32_t)((cx - xmin) * sx);
+      const uint32_t qy = (uint32_t)((cy - ymin) * sy);
+      key = art_part1by1(qx) | (art_part1by1(qy) << 1);
+    }
+    keyed[i] = (key << 20) | (uint32_t)i;  // stable; caps n_segs at 2^20
+  }
+  std::sort(keyed.begin(), keyed.end());
+  const int n_clusters = (n_segs + cluster_size - 1) / cluster_size;
+  for (int c = 0; c < n_clusters; ++c) {
+    float* bb = out_aabb + c * 4;
+    bb[0] = inf; bb[1] = inf; bb[2] = -inf; bb[3] = -inf;
+  }
+  for (int i = 0; i < n_segs; ++i) {
+    const int src = (int)(keyed[i] & 0xfffffu);
+    out_order[i] = src;
+    if (degen[src]) continue;
+    const float* s = segs + src * 6;
+    float* bb = out_aabb + (i / cluster_size) * 4;
+    bb[0] = std::fmin(bb[0], std::fmin(s[0], s[2]));
+    bb[1] = std::fmin(bb[1], std::fmin(s[1], s[3]));
+    bb[2] = std::fmax(bb[2], std::fmax(s[0], s[2]));
+    bb[3] = std::fmax(bb[3], std::fmax(s[1], s[3]));
+  }
+  return n_clusters;
 }
 
 // ---------------------------------------------------------------------------

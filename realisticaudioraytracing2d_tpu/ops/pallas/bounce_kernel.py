@@ -143,7 +143,7 @@ def _bounce_kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
 
 
 def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
-                 out_state_ref, hits_ref, n_listeners=1):
+                 out_state_ref, hits_ref, n_listeners=1, passes=None):
     """Ref-based bounce: load state rows, run :func:`_bounce_step`, store
     the next state and hit rows. Listener l (static count; coords in scal
     cols 0/1 and 6/7) writes its direct/NEE hit rows at
@@ -155,7 +155,8 @@ def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
             state_ref[_DEP:_DEP + 1, :],
             state_ref[_ALV:_ALV + 1, :] > 0.5)
     new_vals, direct_hits, nee_hits = _bounce_step(
-        scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref, n_listeners)
+        scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref, n_listeners,
+        passes=passes)
 
     for row, val in zip((_PX, _PY, _DX, _DY, _EN, _TM, _DS, _SP, _DEP),
                         new_vals[:9]):
@@ -177,12 +178,18 @@ def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
 
 
 def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
-                 n_listeners=1, n_bands=1):
+                 n_listeners=1, n_bands=1, passes=None):
     """Pure bounce body on [1, T] row values (energy is [K, T] for K
     frequency bands); ``u0/u1/u2`` are this bounce's uniforms
     (transmission test / refraction jitter / diffuse angle). Returns
     ``(new_vals, direct_hits, nee_hits)`` with one hit triple
-    (delay[1,T], energy[K,T], valid[1,T]) per listener per kind."""
+    (delay[1,T], energy[K,T], valid[1,T]) per listener per kind.
+
+    ``passes`` (default: dense brute force over the whole wall table)
+    plugs in the large-scene cluster-early-out implementations of the
+    three wall sweeps — nearest-hit, attribute gather, NEE occlusion
+    (see :func:`_cluster_passes`). Semantics are identical either way;
+    only which wall chunks get *computed* changes."""
     radius = scal_ref[0, 2]
     c = scal_ref[0, 3]
     listener_xy = [(scal_ref[0, 0], scal_ref[0, 1]),
@@ -193,11 +200,14 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
     tile = px.shape[1]
 
     # --- nearest wall --------------------------------------------------------
-    t = _wall_pass(px, py, dx, dy, geo_ref)                 # [Wp, T]
-    closest = jnp.min(t, axis=0, keepdims=True)             # [1, T]
-    wall_ids = jax.lax.broadcasted_iota(jnp.int32, (wp, tile), 0)
-    idx = jnp.min(jnp.where(t == closest, wall_ids, jnp.int32(wp)),
-                  axis=0, keepdims=True)                    # [1, T]
+    if passes is None:
+        t = _wall_pass(px, py, dx, dy, geo_ref)             # [Wp, T]
+        closest = jnp.min(t, axis=0, keepdims=True)         # [1, T]
+        wall_ids = jax.lax.broadcasted_iota(jnp.int32, (wp, tile), 0)
+        idx = jnp.min(jnp.where(t == closest, wall_ids, jnp.int32(wp)),
+                      axis=0, keepdims=True)                # [1, T]
+    else:
+        closest, idx = passes["nearest"](px, py, dx, dy, alive)
     hit_wall = (closest < INF) & alive
 
     # --- direct listener capture (wallDepth == 0) ----------------------------
@@ -229,9 +239,12 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
     nds = ds + adv
 
     # --- wall attributes via one-hot matmul ----------------------------------
-    onehot = (wall_ids == idx).astype(jnp.float32)           # [Wp, T]
-    attrs = jnp.dot(attrs_ref[:, :], onehot,
-                    preferred_element_type=jnp.float32)      # [8(+Kp), T]
+    if passes is None:
+        onehot = (wall_ids == idx).astype(jnp.float32)       # [Wp, T]
+        attrs = jnp.dot(attrs_ref[:, :], onehot,
+                        preferred_element_type=jnp.float32)  # [8(+Kp), T]
+    else:
+        attrs = passes["gather"](idx, hit_wall)
     w_nx = attrs[0:1, :]
     w_ny = attrs[1:2, :]
     w_abs = attrs[2:3, :] if n_bands == 1 else attrs[8:8 + n_bands, :]
@@ -252,9 +265,13 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
         dist_l = (tlx * tlx + tly * tly) * inv_dl
         vdx = (lis_x - sx) * inv_dl
         vdy = (lis_y - sy) * inv_dl
-        t_occ = _wall_pass(sx, sy, vdx, vdy, geo_ref)        # [Wp, T]
-        visible = jnp.min(t_occ, axis=0, keepdims=True) >= \
-            dist_l - OCCLUSION_SLACK
+        if passes is None:
+            t_occ = _wall_pass(sx, sy, vdx, vdy, geo_ref)    # [Wp, T]
+            visible = jnp.min(t_occ, axis=0, keepdims=True) >= \
+                dist_l - OCCLUSION_SLACK
+        else:
+            visible = passes["occl"](sx, sy, vdx, vdy, dist_l,
+                                     hit_wall & outside)
         cos_t = jnp.maximum(0.0,
                             (w_nx * tlx + w_ny * tly) * eff_sign * inv_dl)
         total_dn = nds + dist_l
@@ -1112,6 +1129,612 @@ def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
     state, _ = jax.lax.scan(body, state,
                             jnp.arange(n_frames, dtype=jnp.int32))
     return state
+
+
+# ---------------------------------------------------------------------------
+# Large-scene acceleration: Morton-clustered wall chunks with tile-level
+# early-out (docs/ACCEL.md plan, round-2). The wall table is sorted by the
+# Morton code of each wall's centroid (host: native.morton_clusters; under
+# jit: cluster_scene_jnp) and processed in chunks of `cluster_size` rows.
+# Phase 1 slab-tests the chunk's AABB against every ray in the tile
+# (~10 flops/ray); phase 2 — the dense [chunk, tile] wall pass — only runs
+# under a lax.cond when SOME lane can hit the chunk. Because chunk
+# temporaries are [cluster_size, tile] instead of [walls, tile], VMEM use
+# no longer scales with wall count: this path removes auto_tile's ~5k-wall
+# ceiling entirely (geo/attrs tables stay resident: ~64 B/wall).
+# ---------------------------------------------------------------------------
+
+ACCEL_CLUSTER = 256  # walls per chunk (multiple of the 8-row sublane tile)
+
+
+def _slab_inv(d):
+    """Reciprocal for AABB slab tests that never produces inf*0 NaNs:
+    clamp |d| away from zero, keep the sign."""
+    mag = jnp.maximum(jnp.abs(d), 1e-12)
+    return jnp.where(d >= 0.0, 1.0, -1.0) * _recip(mag)
+
+
+def _cluster_passes(geo_ref, attrs_ref, aabb_ref, n_clusters: int,
+                    cluster_size: int, scratch, early_out: bool = True,
+                    order_ref=None):
+    """Build the chunk-early-out implementations of the three wall sweeps
+    consumed by :func:`_bounce_step`. Results are identical to the dense
+    passes (same per-wall math, same min/tie-breaking order — chunks run
+    in sorted-index order); only whether a chunk's [cs, T] computation
+    *executes* differs. Mosaic has no value-returning conditional, so the
+    running state (closest/idx/attr-accumulator/visibility) lives in VMEM
+    scratch refs updated under ``@pl.when`` (``scratch`` = (closest[1,T]
+    f32, idx[1,T] i32, acc[rows,T] f32, vis[1,T] f32))."""
+    cs = cluster_size
+    wp = n_clusters * cs
+    cl_s, idx_s, acc_s, vis_s = scratch
+
+    def visit(c):
+        """Map loop index -> cluster id. ``order_ref`` ([1, n_clusters]
+        SMEM, per tile) visits clusters near-to-far from the tile's ray
+        neighborhood so the running ``closest`` tightens immediately and
+        far chunks fail their slab test — without it the Morton order
+        visits the tile's own neighborhood late and the early-out barely
+        fires for omnidirectional bounces."""
+        return c if order_ref is None else order_ref[0, 0, c]
+
+    def slab_hit(ox, oy, inv_dx, inv_dy, c, tmax):
+        x0 = aabb_ref[c, 0]
+        y0 = aabb_ref[c, 1]
+        x1 = aabb_ref[c, 2]
+        y1 = aabb_ref[c, 3]
+        tx0 = (x0 - ox) * inv_dx
+        tx1 = (x1 - ox) * inv_dx
+        ty0 = (y0 - oy) * inv_dy
+        ty1 = (y1 - oy) * inv_dy
+        tnear = jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1))
+        tfar = jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1))
+        # 1e-3 slack absorbs slab-vs-wall-pass rounding at chunk borders
+        return (tfar >= EPS) & (tnear <= jnp.minimum(tfar, tmax) + 1e-3)
+
+    def nearest(px, py, dx, dy, alive):
+        tile = px.shape[1]
+        inv_dx = _slab_inv(dx)
+        inv_dy = _slab_inv(dy)
+        cl_s[0:1, :] = jnp.full((1, tile), INF, jnp.float32)
+        idx_s[0:1, :] = jnp.full((1, tile), wp, jnp.int32)
+
+        def body(c, carry):
+            cc = visit(c)
+
+            def do():
+                closest = cl_s[0:1, :]
+                chunk = geo_ref[pl.ds(cc * cs, cs), :]
+                t = _wall_pass(px, py, dx, dy, chunk)        # [cs, T]
+                cmin = jnp.min(t, axis=0, keepdims=True)
+                ids = jax.lax.broadcasted_iota(
+                    jnp.int32, (cs, tile), 0) + cc * cs
+                cidx = jnp.min(jnp.where(t == cmin, ids, jnp.int32(wp)),
+                               axis=0, keepdims=True)
+                # strict < keeps the lowest-index winner on exact ties:
+                # near-to-far visit order could otherwise flip the dense
+                # path's tie-break (parity with _wall_pass + global min)
+                better = cmin < closest
+                eq = (cmin == closest) & (cidx < idx_s[0:1, :])
+                cl_s[0:1, :] = jnp.where(better, cmin, closest)
+                idx_s[0:1, :] = jnp.where(better | eq, cidx,
+                                          idx_s[0:1, :])
+
+            if early_out:
+                hit = slab_hit(px, py, inv_dx, inv_dy, cc,
+                               cl_s[0:1, :]) & alive
+                pl.when(jnp.any(hit))(do)
+            else:
+                do()
+            return carry
+
+        jax.lax.fori_loop(0, n_clusters, body, 0)
+        return cl_s[0:1, :], idx_s[0:1, :]
+
+    def gather(idx, relevant):
+        rows = attrs_ref.shape[0]
+        tile = idx.shape[1]
+        acc_s[:, :] = jnp.zeros((rows, tile), jnp.float32)
+
+        def body(c, carry):
+            lo = c * cs
+
+            def do():
+                ids = jax.lax.broadcasted_iota(
+                    jnp.int32, (cs, tile), 0) + lo
+                onehot = (ids == idx).astype(jnp.float32)    # [cs, T]
+                chunk = attrs_ref[:, pl.ds(lo, cs)]          # [rows, cs]
+                acc_s[:, :] += jnp.dot(chunk, onehot,
+                                       preferred_element_type=jnp.float32)
+
+            if early_out:
+                inc = relevant & (idx >= lo) & (idx < lo + cs)
+                pl.when(jnp.any(inc))(do)
+            else:
+                do()
+            return carry
+
+        jax.lax.fori_loop(0, n_clusters, body, 0)
+        return acc_s[:, :]
+
+    def occl(sx, sy, vdx, vdy, dist, relevant):
+        inv_dx = _slab_inv(vdx)
+        inv_dy = _slab_inv(vdy)
+        vis_s[0:1, :] = relevant.astype(jnp.float32)
+
+        def body(c, carry):
+            cc = visit(c)
+
+            def do():
+                chunk = geo_ref[pl.ds(cc * cs, cs), :]
+                t = _wall_pass(sx, sy, vdx, vdy, chunk)
+                blocked = jnp.min(t, axis=0, keepdims=True) < \
+                    dist - OCCLUSION_SLACK
+                vis_s[0:1, :] = jnp.where(blocked, 0.0, vis_s[0:1, :])
+
+            if early_out:
+                hit = slab_hit(sx, sy, inv_dx, inv_dy, cc, dist) & \
+                    (vis_s[0:1, :] > 0.5)
+                pl.when(jnp.any(hit))(do)
+            else:
+                do()
+            return carry
+
+        jax.lax.fori_loop(0, n_clusters, body, 0)
+        return vis_s[0:1, :] > 0.5
+
+    return {"nearest": nearest, "gather": gather, "occl": occl}
+
+
+def cluster_scene_jnp(scene, cluster_size: int = ACCEL_CLUSTER):
+    """Morton-sort a scene's walls and emit per-cluster AABBs, entirely in
+    jnp (usable under jit with a traced scene — e.g. dynamic obstacles;
+    one argsort of [W] keys, amortized over every frame in the call).
+    Returns ``(sorted_scene, aabb[n_clusters, 4])``. Same key construction
+    as the host builder ``native.morton_clusters`` (artnative.cpp)."""
+    w = scene.a.shape[0]
+    wp = _round_up(w, cluster_size)
+    scene = scene.pad_to(wp)
+    n_clusters = wp // cluster_size
+    degen = jnp.all(scene.a == scene.b, axis=1)
+    big = jnp.float32(1e30)
+    pts_lo = jnp.minimum(scene.a, scene.b)
+    pts_hi = jnp.maximum(scene.a, scene.b)
+    lo = jnp.min(jnp.where(degen[:, None], big, pts_lo), axis=0)
+    hi = jnp.max(jnp.where(degen[:, None], -big, pts_hi), axis=0)
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+    cen = 0.5 * (scene.a + scene.b)
+    q = jnp.clip((cen - lo) / span * 65535.0, 0, 65535).astype(jnp.uint32)
+
+    def part1by1(x):
+        x = x & jnp.uint32(0xFFFF)
+        x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+        x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+        x = (x | (x << 2)) & jnp.uint32(0x33333333)
+        x = (x | (x << 1)) & jnp.uint32(0x55555555)
+        return x
+
+    key = part1by1(q[:, 0]) | (part1by1(q[:, 1]) << 1)
+    key = jnp.where(degen, jnp.uint32(0xFFFFFFFF), key)
+    order = jnp.argsort(key, stable=True)
+    sorted_scene = jax.tree_util.tree_map(
+        lambda x: jnp.take(x, order, axis=0), scene)
+    d_s = jnp.take(degen, order, axis=0)
+    lo_s = jnp.where(d_s[:, None], big,
+                     jnp.minimum(sorted_scene.a, sorted_scene.b))
+    hi_s = jnp.where(d_s[:, None], -big,
+                     jnp.maximum(sorted_scene.a, sorted_scene.b))
+    aabb = jnp.concatenate([
+        jnp.min(lo_s.reshape(n_clusters, cluster_size, 2), axis=1),
+        jnp.max(hi_s.reshape(n_clusters, cluster_size, 2), axis=1),
+    ], axis=-1)                                   # [C, 4] xmin ymin xmax ymax
+    return sorted_scene, aabb
+
+
+def _make_accel_kernel(hi_rows: int, ir_length: int, n_listeners: int,
+                       max_bounces: int, n_rays: int, in_kernel_rng: bool,
+                       n_bands: int, n_clusters: int, cluster_size: int,
+                       tile: int, early_out: bool = True):
+    """Accel kernel: emission + all bounces + binning with the
+    cluster-early-out wall sweeps. Grid = (frames, ray tiles); with
+    ``in_kernel_rng`` ``u_ref`` is a per-frame seed row (+tile id on-core,
+    all uniforms drawn in-kernel), else ``u_ref`` carries host-generated
+    uniforms (the interpret-mode parity path, single frame)."""
+
+    def kernel(scal_ref, u_ref, geo_ref, attrs_ref, aabb_ref, ir_ref,
+               cl_s, idx_s, acc_s, vis_s):
+        f = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when((f == 0) & (i == 0))
+        def _():
+            ir_ref[:, :] = jnp.zeros_like(ir_ref)
+
+        passes = _cluster_passes(geo_ref, attrs_ref, aabb_ref,
+                                 n_clusters, cluster_size,
+                                 (cl_s, idx_s, acc_s, vis_s), early_out)
+
+        def draw(rows):
+            bits = pltpu.bitcast(pltpu.prng_random_bits((rows, tile)),
+                                 jnp.uint32)
+            b24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+            return b24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        ray_idx = i * tile + lane
+        if in_kernel_rng:
+            pltpu.prng_seed(u_ref[0, 0, 0] + i)
+            emit = draw(8)[0:1, :]
+        else:
+            emit = u_ref[max_bounces * 8:max_bounces * 8 + 1, :]
+        angle = ((ray_idx.astype(jnp.float32) + emit)
+                 * (2.0 * PI / n_rays))
+        src_x = scal_ref[1, 0]
+        src_y = scal_ref[1, 1]
+        gain = scal_ref[1, 2]
+        c = scal_ref[0, 3]
+        sr = scal_ref[0, 4]
+        ones = jnp.ones((1, tile), jnp.float32)
+        en0 = gain * jnp.ones((n_bands, tile), jnp.float32)
+        vals = (src_x * ones, src_y * ones,
+                jnp.cos(angle), jnp.sin(angle),
+                en0, 0.0 * ones, 0.0 * ones, c * ones,
+                0.0 * ones, ray_idx < n_rays)
+
+        hi_ids = jax.lax.broadcasted_iota(jnp.int32, (hi_rows, tile), 0)
+        lo_ids = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
+
+        for b in range(max_bounces):
+            if in_kernel_rng:
+                u = draw(8)
+                u0, u1, u2 = u[0:1, :], u[1:2, :], u[2:3, :]
+            else:
+                u0 = u_ref[b * 8 + 0:b * 8 + 1, :]
+                u1 = u_ref[b * 8 + 1:b * 8 + 2, :]
+                u2 = u_ref[b * 8 + 2:b * 8 + 3, :]
+            vals, direct_hits, nee_hits = _bounce_step(
+                scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
+                n_listeners, n_bands, passes=passes)
+            for l in range(n_listeners):
+                _hist_listener(ir_ref, l, n_bands, hi_rows, hi_ids,
+                               lo_ids, sr, ir_length,
+                               [direct_hits[l], nee_hits[l]])
+
+    return kernel
+
+
+_ACCEL_MAX_CLUSTERS = 2048  # bounds the SMEM AABB/visit-order tables
+
+
+def accel_cluster_size(n_walls: int,
+                       cluster_size: int = ACCEL_CLUSTER) -> int:
+    """Grow the chunk size until the (python-unrolled) cluster loop stays
+    within the code-size bound; the kernel handles any wall count."""
+    cs = cluster_size
+    while _round_up(max(n_walls, cs), cs) // cs > _ACCEL_MAX_CLUSTERS:
+        cs *= 2
+    return cs
+
+
+def accel_tile(cluster_size: int = ACCEL_CLUSTER, n_walls: int = 0,
+               n_bands: int = 1) -> int:
+    """Ray-tile width for the accel kernel: live temporaries are
+    [cluster_size, tile] (~6 live f32 arrays through the wall pass +
+    histogram), plus the VMEM-resident geo/attrs tables (~64 B/wall) —
+    the only wall-count-dependent term, and a mild one (3 MB at 40k
+    walls)."""
+    wp = _round_up(max(n_walls, cluster_size), cluster_size)
+    tables = wp * 4 * (8 + 8 + (0 if n_bands == 1 else n_bands + 8))
+    budget = 9 * 2 ** 20 - tables
+    t = (budget // (cluster_size * 4 * 6) // 128) * 128
+    return max(256, min(DEF_TILE_R, t))
+
+
+@functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
+                                             "sample_rate", "ir_length",
+                                             "n_frames", "cluster_size",
+                                             "tile_r", "in_kernel_rng",
+                                             "early_out"))
+def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
+                          n_rays: int, max_bounces: int, sample_rate: int,
+                          ir_length: int, n_frames: int = 1,
+                          cluster_size: int = ACCEL_CLUSTER,
+                          tile_r: int = 0, in_kernel_rng: bool = True,
+                          early_out: bool = True) -> jax.Array:
+    """Large-scene path: ``n_frames`` Monte-Carlo frames through the
+    cluster-early-out kernel, one launch. Returns the frame-SUMMED IR
+    ``[L, ir_length, K]``. No wall-count ceiling (chunk temporaries are
+    [cluster_size, tile]); the scene is Morton-clustered in-jit.
+
+    ``in_kernel_rng=False`` uses host-threefry uniforms (single frame) —
+    the interpret-mode parity path, bit-comparable to
+    :func:`trace_frame_ir_whole` on the same pre-sorted scene."""
+    n_l = params.listeners.shape[0]
+    n_k = scene.n_bands
+    if n_l > 2 or n_k > 16:
+        raise ValueError("fused path supports <=2 listeners, <=16 bands")
+    if _interpret() and in_kernel_rng:
+        raise NotImplementedError(
+            "on-core PRNG is TPU-only; use in_kernel_rng=False off-TPU")
+    if not in_kernel_rng and n_frames != 1:
+        raise ValueError("host-uniform accel path is single-frame")
+
+    cluster_size = accel_cluster_size(scene.a.shape[0], cluster_size)
+    scene_s, aabb = cluster_scene_jnp(scene, cluster_size)
+    tile_r = tile_r or accel_tile(cluster_size, scene.a.shape[0], n_k)
+    if n_k > 1:
+        tile_r = max(128, min(tile_r, (tile_r // n_k // 128) * 128 * 2))
+    rp = _round_up(max(n_rays, tile_r), tile_r)
+    n_tiles = rp // tile_r
+
+    geo = pack_walls_rows(scene_s.a, scene_s.b)       # [Wp, 8], Wp % cs == 0
+    attrs = pack_wall_attrs_t(scene_s)
+    scal = _pack_scal2(params.source, params.listeners,
+                       params.listener_radius, params.speed_of_sound,
+                       params.input_gain, sample_rate)
+    wp = geo.shape[0]
+    n_clusters = wp // cluster_size
+    aabb8 = jnp.pad(aabb, [(0, 0), (0, 4)])           # [C, 8] scalar table
+
+    if in_kernel_rng:
+        base = jax.random.randint(
+            key, (), minval=0,
+            maxval=jnp.iinfo(jnp.int32).max - n_frames * n_tiles - 1,
+            dtype=jnp.int32)
+        u_in = jnp.broadcast_to(
+            (base + jnp.arange(n_frames, dtype=jnp.int32) * n_tiles
+             )[:, None, None], (n_frames, 1, 8))
+        u_spec = pl.BlockSpec((1, 1, 8), lambda f, i: (f, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        emit_jitter, u = _rng.bounce_uniforms(key, max_bounces, n_rays)
+        u_rows = jnp.pad(jnp.moveaxis(u, -1, 1),
+                         [(0, 0), (0, 5), (0, rp - n_rays)])
+        emit_row = jnp.pad(emit_jitter, (0, rp - n_rays))[None, :]
+        u_in = jnp.concatenate(
+            [u_rows.reshape(max_bounces * 8, rp), emit_row])
+        u_spec = pl.BlockSpec((max_bounces * 8 + 1, tile_r),
+                              lambda f, i: (0, i),
+                              memory_space=pltpu.VMEM)
+
+    hi_rows = _hist_rows(ir_length)
+    kernel = pl.pallas_call(
+        _make_accel_kernel(hi_rows, ir_length, n_l, max_bounces, n_rays,
+                           in_kernel_rng, n_k, n_clusters, cluster_size,
+                           tile_r, early_out),
+        grid=(n_frames, n_tiles),
+        in_specs=[
+            pl.BlockSpec((2, 8), lambda f, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            u_spec,
+            pl.BlockSpec((wp, 8), lambda f, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((attrs.shape[0], wp), lambda f, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_clusters, 8), lambda f, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((n_l * n_k * hi_rows, _LO),
+                               lambda f, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_l * n_k * hi_rows, _LO),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, tile_r), jnp.float32),
+            pltpu.VMEM((1, tile_r), jnp.int32),
+            pltpu.VMEM((attrs.shape[0], tile_r), jnp.float32),
+            pltpu.VMEM((1, tile_r), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )
+    ir_part = kernel(scal, u_in, geo, attrs, aabb8)
+    ir = ir_part.reshape(n_l, n_k, -1)[:, :, :ir_length]
+    return jnp.moveaxis(ir, 1, 2)                    # [L, T, K]
+
+
+def _make_accel_bounce_kernel(hi_rows: int, ir_length: int,
+                              n_listeners: int, n_clusters: int,
+                              cluster_size: int, early_out: bool = True):
+    """Per-bounce accel kernel (state in/out through HBM): one bounce of
+    the cluster-early-out sweep + in-kernel MXU histogram. Exists so the
+    host loop can RE-SORT the ray state between bounces (Morton key of
+    position, dead rays last) — tiles stay spatially coherent at every
+    depth, which is what makes the chunk skip rate hold up after bounce 1
+    (docs/ACCEL.md round-2 plan), and all-dead tail tiles skip every
+    chunk."""
+
+    def kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref, aabb_ref,
+               order_ref, out_state_ref, ir_ref, hits_scratch, cl_s,
+               idx_s, acc_s, vis_s):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            ir_ref[:, :] = jnp.zeros_like(ir_ref)
+
+        passes = _cluster_passes(geo_ref, attrs_ref, aabb_ref,
+                                 n_clusters, cluster_size,
+                                 (cl_s, idx_s, acc_s, vis_s), early_out,
+                                 order_ref=order_ref)
+        _bounce_core(scal_ref, state_ref, u_ref[0:1, :], u_ref[1:2, :],
+                     u_ref[2:3, :], geo_ref, attrs_ref, out_state_ref,
+                     hits_scratch, n_listeners, passes=passes)
+
+        sr = scal_ref[0, 4]
+        tile = hits_scratch.shape[1]
+        hi_ids = jax.lax.broadcasted_iota(jnp.int32, (hi_rows, tile), 0)
+        lo_ids = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
+
+        def slot(delay_row, energy_row, valid_row):
+            bins = jnp.floor(delay_row * sr).astype(jnp.int32)
+            ok = (valid_row > 0.5) & (bins >= 0) & (bins < ir_length)
+            e_eff = jnp.where(ok, energy_row, 0.0)
+            bins = jnp.where(ok, bins, 0)
+            return _bin_dot(hi_ids, lo_ids, bins // _LO, bins % _LO, e_eff)
+
+        for l in range(n_listeners):
+            o = l * _HIT_ROWS
+            ir_ref[l * hi_rows:(l + 1) * hi_rows, :] += (
+                slot(hits_scratch[o + _HD_DELAY:o + _HD_DELAY + 1, :],
+                     hits_scratch[o + _HD_EN:o + _HD_EN + 1, :],
+                     hits_scratch[o + _HD_VAL:o + _HD_VAL + 1, :]) +
+                slot(hits_scratch[o + _HN_DELAY:o + _HN_DELAY + 1, :],
+                     hits_scratch[o + _HN_EN:o + _HN_EN + 1, :],
+                     hits_scratch[o + _HN_VAL:o + _HN_VAL + 1, :]))
+
+    return kernel
+
+
+def _morton_ray_keys(px, py, alive, lo, span, dx=None, dy=None):
+    """Sort key per ray: Morton code of position (major) with a 5-bit
+    direction bucket (minor) for alive rays, max for dead rays — tiles
+    become position+direction-coherent *beams* (fewer clusters along each
+    tile's paths) and dead rays compact into tail tiles that skip every
+    wall chunk."""
+    q = jnp.clip((jnp.stack([px, py], -1) - lo) / span * 1023.0,
+                 0, 1023).astype(jnp.uint32)
+
+    def part(x):
+        x = x & jnp.uint32(0x3FF)
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    key = part(q[..., 0]) | (part(q[..., 1]) << 1)
+    if dx is not None:
+        ang = jnp.arctan2(dy, dx)                 # [-pi, pi]
+        db = jnp.clip(((ang + PI) * (32.0 / (2.0 * PI))),
+                      0, 31).astype(jnp.uint32)
+        key = (key << 5) | db
+    return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+
+
+@functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
+                                             "sample_rate", "ir_length",
+                                             "n_frames", "cluster_size",
+                                             "tile_r", "early_out"))
+def trace_frames_ir_accel_sorted(scene, params: TraceParams,
+                                 key: jax.Array, *, n_rays: int,
+                                 max_bounces: int, sample_rate: int,
+                                 ir_length: int, n_frames: int = 1,
+                                 cluster_size: int = ACCEL_CLUSTER,
+                                 tile_r: int = 0,
+                                 early_out: bool = True) -> jax.Array:
+    """Large-scene path with per-bounce ray re-sort: each bounce is one
+    kernel launch; between launches the [16, R] ray state columns are
+    permuted by the Morton code of ray position (XLA argsort — ~R log R
+    scalar work, trivial next to the wall sweep). Keeps every tile a
+    spatial neighborhood at every bounce depth, so the cluster early-out
+    skip rate survives decoherence. Host-threefry uniforms (works in
+    interpret mode too); single-band, <=2 listeners; frame-SUMMED IR
+    ``[L, ir_length, 1]``."""
+    n_l = params.listeners.shape[0]
+    if n_l > 2 or scene.n_bands != 1:
+        raise ValueError("accel-sorted path supports <=2 listeners, K=1")
+    cluster_size = accel_cluster_size(scene.a.shape[0], cluster_size)
+    scene_s, aabb = cluster_scene_jnp(scene, cluster_size)
+    tile_r = tile_r or accel_tile(cluster_size, scene.a.shape[0])
+
+    geo = pack_walls_rows(scene_s.a, scene_s.b)
+    attrs = pack_wall_attrs_t(scene_s)
+    wp = geo.shape[0]
+    n_clusters = wp // cluster_size
+    aabb8 = jnp.pad(aabb, [(0, 0), (0, 4)])
+    # scene bounds for the re-sort quantization
+    lo = aabb[:, :2].min(axis=0)
+    hi = aabb[:, 2:].max(axis=0)
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+
+    hi_rows = _hist_rows(ir_length)
+    rp = _round_up(max(n_rays, tile_r), tile_r)
+    grid = (rp // tile_r,)
+    kernel = pl.pallas_call(
+        _make_accel_bounce_kernel(hi_rows, ir_length, n_l, n_clusters,
+                                  cluster_size, early_out),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_STATE_ROWS, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((attrs.shape[0], wp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_clusters, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_STATE_ROWS, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_l * hi_rows, _LO), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_STATE_ROWS, rp), jnp.float32),
+            jax.ShapeDtypeStruct((n_l * hi_rows, _LO), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_l * _HIT_ROWS, tile_r), jnp.float32),
+            pltpu.VMEM((1, tile_r), jnp.float32),
+            pltpu.VMEM((1, tile_r), jnp.int32),
+            pltpu.VMEM((attrs.shape[0], tile_r), jnp.float32),
+            pltpu.VMEM((1, tile_r), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )
+
+    scal = _pack_scal2(params.source, params.listeners,
+                       params.listener_radius, params.speed_of_sound,
+                       params.input_gain, sample_rate)
+
+    n_tiles = rp // tile_r
+    cen = 0.5 * (aabb[:, :2] + aabb[:, 2:])              # [C, 2]
+
+    def tile_cluster_order(state):
+        """Per-tile near-to-far cluster visit order: distance from the
+        tile's alive-ray centroid to each cluster center. [n_tiles, C]."""
+        px = state[_PX].reshape(n_tiles, tile_r)
+        py = state[_PY].reshape(n_tiles, tile_r)
+        w = (state[_ALV] > 0.5).reshape(n_tiles, tile_r).astype(
+            jnp.float32)
+        denom = jnp.maximum(1.0, w.sum(-1, keepdims=True))
+        cx = (px * w).sum(-1, keepdims=True) / denom     # [n_tiles, 1]
+        cy = (py * w).sum(-1, keepdims=True) / denom
+        d2 = (cx - cen[None, :, 0]) ** 2 + (cy - cen[None, :, 1]) ** 2
+        return jnp.argsort(d2, axis=1).astype(jnp.int32)[:, None, :]
+
+    def one_frame(k):
+        state0, u_rows, _scal, _geo, _attrs, rp2, _em = _fused_setup(
+            scene_s, params, k, n_rays, max_bounces, tile_r, sample_rate)
+
+        def bounce(state, u_b):
+            corder = tile_cluster_order(state)
+            state, ir_part = kernel(scal, state, u_b, geo, attrs, aabb8,
+                                    corder)
+            # re-sort: Morton of position; dead rays -> tail tiles
+            # position-only keys: direction sub-bucketing measured
+            # slower (it spreads each tile across more neighborhoods)
+            keys = _morton_ray_keys(state[_PX], state[_PY],
+                                    state[_ALV] > 0.5, lo, span)
+            order = jnp.argsort(keys)
+            return jnp.take(state, order, axis=1), ir_part
+
+        _, ir_parts = jax.lax.scan(bounce, state0, u_rows)
+        return jnp.sum(ir_parts, axis=0)                 # [L*HI, LO]
+
+    def frame_body(acc, i):
+        return acc + one_frame(jax.random.fold_in(key, i)), None
+
+    acc0 = jnp.zeros((n_l * hi_rows, _LO), jnp.float32)
+    total, _ = jax.lax.scan(frame_body, acc0,
+                            jnp.arange(n_frames, dtype=jnp.int32))
+    ir = total.reshape(n_l, -1)[:, :ir_length]
+    return ir[:, :, None]
 
 
 @functools.partial(jax.jit,

@@ -231,3 +231,96 @@ def test_mega_kernel_tpu_only(setup):
                                    key, n_rays=256, max_bounces=4,
                                    sample_rate=8000, n_frames=2)
     assert int(st.frames) == 2 and float(st.sum.sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# Large-scene acceleration (cluster early-out + Morton re-sort), interpret
+# ---------------------------------------------------------------------------
+
+def _city():
+    from realisticaudioraytracing2d_tpu.models.rooms import city_scene
+    return city_scene(n_boxes=40, seed=1, extent=60.0)
+
+
+def test_accel_sorted_early_out_is_lossless():
+    # The AABB early-out may only SKIP computation, never change results:
+    # with identical uniforms and re-sorts, early_out on/off must be
+    # bit-identical (covers the slab test's conservativeness).
+    from realisticaudioraytracing2d_tpu.ops.pallas.bounce_kernel import (
+        trace_frames_ir_accel_sorted)
+    room = _city()
+    params = TraceParams.make(room.source, room.listener,
+                              room.listener_radius, 343.0, 10.0)
+    kw = dict(n_rays=512, max_bounces=3, sample_rate=8000, ir_length=2048,
+              n_frames=1, cluster_size=128)
+    key = jax.random.PRNGKey(4)
+    a = np.asarray(trace_frames_ir_accel_sorted(
+        room.scene, params, key, early_out=True, **kw))
+    b = np.asarray(trace_frames_ir_accel_sorted(
+        room.scene, params, key, early_out=False, **kw))
+    assert a.sum() > 0
+    np.testing.assert_array_equal(a, b)
+
+
+def test_accel_whole_frame_matches_dense_kernel_bitwise():
+    # Chunked wall sweeps on the Morton-sorted scene == the dense kernel
+    # on the same sorted scene (same host uniforms): bit parity.
+    from realisticaudioraytracing2d_tpu.ops.pallas.bounce_kernel import (
+        cluster_scene_jnp, trace_frame_ir_whole, trace_frames_ir_accel)
+    room = _city()
+    params = TraceParams.make(room.source, room.listener,
+                              room.listener_radius, 343.0, 10.0)
+    key = jax.random.PRNGKey(2)
+    kw = dict(n_rays=512, max_bounces=3, sample_rate=8000, ir_length=2048)
+    acc = trace_frames_ir_accel(room.scene, params, key, n_frames=1,
+                                cluster_size=128, in_kernel_rng=False,
+                                **kw)
+    scene_s, _ = cluster_scene_jnp(room.scene, 128)
+    dense = trace_frame_ir_whole(scene_s, params, key, **kw)
+    a, d = np.asarray(acc), np.asarray(dense)
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, d, atol=1e-6)
+
+
+def test_accel_sorted_statistical_parity_with_oracle():
+    # Different uniform->ray pairing after re-sorts => statistical parity
+    # with the jnp oracle: total IR energy within Monte-Carlo noise.
+    from realisticaudioraytracing2d_tpu.ops import ir as irm
+    from realisticaudioraytracing2d_tpu.ops.pallas.bounce_kernel import (
+        trace_frames_ir_accel_sorted)
+    from realisticaudioraytracing2d_tpu.engine import trace_accumulate
+    room = _city()
+    params = TraceParams.make(room.source, room.listener,
+                              room.listener_radius, 343.0, 10.0)
+    kw = dict(n_rays=4096, max_bounces=4, sample_rate=8000)
+    key = jax.random.PRNGKey(7)
+    acc = np.asarray(trace_frames_ir_accel_sorted(
+        room.scene, params, key, ir_length=2048, n_frames=2,
+        cluster_size=128, **kw))
+    oracle = trace_accumulate(room.scene, params,
+                              irm.IRState.zeros(2048, 1, 1), key,
+                              n_frames=2, backend="jnp", **kw)
+    eo = float(np.asarray(oracle.sum).sum())
+    ea = float(acc.sum())
+    assert eo > 0
+    assert abs(ea - eo) / eo < 0.15
+
+
+def test_cluster_scene_jnp_matches_native_builder():
+    # The in-jit clustering and the host C++ builder produce the same
+    # wall order and AABBs (same Morton key construction).
+    from realisticaudioraytracing2d_tpu import native
+    from realisticaudioraytracing2d_tpu.ops.pallas.bounce_kernel import (
+        cluster_scene_jnp)
+    room = _city()
+    scene = room.scene.pad_to(
+        ((room.scene.n_walls + 127) // 128) * 128)
+    segs = np.concatenate([np.asarray(scene.a), np.asarray(scene.b),
+                           np.asarray(scene.normal)], -1)
+    order, aabb = native.morton_clusters(segs, 128)
+    scene_s, aabb_j = cluster_scene_jnp(room.scene, 128)
+    np.testing.assert_allclose(np.asarray(scene_s.a),
+                               np.asarray(scene.a)[order], atol=0)
+    valid = aabb[:, 0] <= aabb[:, 2]
+    np.testing.assert_allclose(np.asarray(aabb_j)[valid], aabb[valid],
+                               rtol=1e-6)

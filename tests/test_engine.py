@@ -163,15 +163,17 @@ def test_big_room_end_to_end():
     assert 0.02 < e_big / e_small < 50
 
 
-def test_auto_backend_big_scene_falls_back_to_jnp(monkeypatch):
+def test_auto_backend_big_scene_routing(monkeypatch):
     # >5k walls exceed the fused kernel's VMEM tile budget (auto_tile
-    # raises); backend="auto" must route to the jnp path instead of
-    # raising, even on TPU. Mock the backend so CPU CI exercises the
-    # TPU-only eligibility branch (round-1 VERDICT weak #2).
-    from realisticaudioraytracing2d_tpu.engine import _fused_eligible
+    # raises): backend="auto" must route K=1 scenes to the accel path and
+    # banded scenes to jnp — never raise (round-1 VERDICT weak #2). Mock
+    # the backend so CPU CI exercises the TPU-only eligibility branches.
+    from realisticaudioraytracing2d_tpu import engine as eng_mod
     from realisticaudioraytracing2d_tpu.models.materials import (
         MATERIAL_BORDER)
     from realisticaudioraytracing2d_tpu.models.scene import SceneBuilder
+    from realisticaudioraytracing2d_tpu.ops.pallas import (
+        bounce_kernel as bk)
     from realisticaudioraytracing2d_tpu.ops.trace import TraceParams
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
@@ -182,11 +184,32 @@ def test_auto_backend_big_scene_falls_back_to_jnp(monkeypatch):
     big = b.build(pad_to=6016)
     p = TraceParams.make(np.array([0.0, 0.0]), np.array([1.0, 0.0]),
                          0.5, 343.0, 1.0)
-    assert _fused_eligible(small, p, 512)      # mock sanity: TPU branch on
-    assert not _fused_eligible(big, p, 512)    # wall count disqualifies
+    assert eng_mod._fused_eligible(small, p, 512)   # mock sanity
+    assert not eng_mod._fused_eligible(big, p, 512)
+    assert eng_mod._accel_eligible(big, p, 512)
 
+    # auto on the big K=1 scene dispatches the accel kernel
+    calls = []
+
+    def fake_accel(scene, params, key, **kw):
+        calls.append(kw)
+        return jnp.zeros((1, kw["ir_length"], 1), jnp.float32)
+
+    monkeypatch.setattr(bk, "trace_frames_ir_accel_sorted", fake_accel)
     state = irm.IRState.zeros(512, 1, 1)
     out = trace_accumulate(big, p, state, jax.random.PRNGKey(0),
                            n_rays=128, max_bounces=2, sample_rate=8000,
                            n_frames=1, backend="auto")
+    assert calls and calls[0]["ir_length"] == 512
+    assert int(out.frames) == 1
+
+    # banded big scene: accel ineligible -> auto runs the (real) jnp path
+    b4 = SceneBuilder(n_bands=4)
+    b4.add_box(MATERIAL_BORDER, size=(10.0, 10.0))
+    big4 = b4.build(pad_to=6016)
+    assert not eng_mod._accel_eligible(big4, p, 512)
+    out = trace_accumulate(big4, p, irm.IRState.zeros(512, 1, 4),
+                           jax.random.PRNGKey(0), n_rays=128,
+                           max_bounces=2, sample_rate=8000, n_frames=1,
+                           backend="auto")
     assert int(out.frames) == 1  # no ValueError: routed to jnp
