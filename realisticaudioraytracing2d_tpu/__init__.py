@@ -22,7 +22,8 @@ Quick start::
 
 from . import config, parallel, utils
 from .config import (AudioConfig, DebugConfig, EngineConfig, SimConfig,
-                     big_room_config, smoll_room_config)
+                     big_room_config, sample_scene_config,
+                     smoll_room_config)
 from .engine import Engine, bake_audio, trace_accumulate
 from .models import materials, rooms, scene
 from .models.materials import (MATERIAL_ANECHOIC, MATERIAL_BORDER,
@@ -41,7 +42,8 @@ __all__ = [
     "MATERIAL_BORDER", "MATERIAL_INTERIOR", "RingBuffer", "Scene",
     "SceneBuilder", "SimConfig", "StreamState", "Streamer", "TraceParams",
     "Transform2D", "bake_audio", "big_room_config", "config", "convolve",
-    "geometry", "ir", "materials", "parallel", "rooms", "scene",
-    "smoll_room_config", "stream_chunk", "trace", "trace_accumulate",
+    "geometry", "ir", "materials", "parallel", "rooms", "sample_scene_config",
+    "scene", "smoll_room_config", "stream_chunk", "trace",
+    "trace_accumulate",
     "utils",
 ]

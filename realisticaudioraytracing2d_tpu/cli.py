@@ -100,13 +100,18 @@ def _build_room(args):
         return rooms_mod.smoll_room(n_bands=args.bands)
     if args.room == "big":
         return rooms_mod.big_room(n_bands=args.bands)
+    if args.room == "sample":
+        return rooms_mod.sample_scene(n_bands=args.bands)
     raise SystemExit(f"unknown room {args.room!r}")
 
 
 def _config(args):
-    from .config import big_room_config, smoll_room_config
-    cfg = (big_room_config if args.room == "big" else smoll_room_config)(
-        n_bands=args.bands, ray_count=args.rays)
+    from .config import (big_room_config, sample_scene_config,
+                         smoll_room_config)
+    maker = {"big": big_room_config,
+             "sample": sample_scene_config}.get(args.room,
+                                                smoll_room_config)
+    cfg = maker(n_bands=args.bands, ray_count=args.rays)
     sim = dataclasses.replace(cfg.sim, max_bounces=args.bounces)
     audio = dataclasses.replace(cfg.audio, sample_rate=args.sample_rate,
                                 reverb_duration=args.reverb)
@@ -114,7 +119,8 @@ def _config(args):
 
 
 def _common(p):
-    p.add_argument("--room", default="smoll", choices=["smoll", "big"])
+    p.add_argument("--room", default="smoll",
+                   choices=["smoll", "big", "sample"])
     p.add_argument("--scene-json", default=None,
                    help="JSON scene file overriding --room")
     p.add_argument("--rays", type=int, default=15000)

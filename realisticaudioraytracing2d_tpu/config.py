@@ -143,3 +143,15 @@ def big_room_config(n_bands: int = 1,
     cfg = smoll_room_config(n_bands=n_bands, ray_count=ray_count)
     return dataclasses.replace(cfg, sim=dataclasses.replace(cfg.sim,
                                                             input_gain=100.0))
+
+
+def sample_scene_config(n_bands: int = 1,
+                        ray_count: Optional[int] = None) -> EngineConfig:
+    """SampleScene shipped config (``Assets/Scenes/SampleScene.unity:
+    156-168``): sampleRate 44100, reverbDuration 2; fields the stale scene
+    does not serialize (inputGain, chunkDuration, loop) take the manager's
+    C# defaults (``RayTraceManager.cs:22-24``, ``AudioManager.cs:5``)."""
+    cfg = smoll_room_config(n_bands=n_bands, ray_count=ray_count)
+    return dataclasses.replace(
+        cfg, audio=dataclasses.replace(cfg.audio, sample_rate=44100,
+                                       reverb_duration=2.0))

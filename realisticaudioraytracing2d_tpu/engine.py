@@ -52,10 +52,11 @@ def _hist_fits(scene, params: TraceParams, ir_length: int) -> bool:
 
 
 def _accel_eligible(scene, params: TraceParams, ir_length: int) -> bool:
-    """Large-scene cluster-early-out path (per-bounce kernel + Morton ray
-    re-sort, docs/ACCEL.md): any wall count, but scalar energy (K = 1) and
-    <=2 listeners only; TPU only."""
-    return (jax.default_backend() == "tpu" and scene.n_bands == 1
+    """Large-scene cluster-early-out path (docs/ACCEL.md): any wall count,
+    <=2 listeners, <=16 bands, TPU only. K = 1 additionally gets the
+    per-bounce Morton ray re-sort (best skip rates); banded scenes use the
+    one-launch accel kernel (early-out without re-sort)."""
+    return (jax.default_backend() == "tpu" and scene.n_bands <= 16
             and params.listeners.shape[0] <= 2
             and _hist_fits(scene, params, ir_length))
 
@@ -79,9 +80,9 @@ def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
     the fused Pallas bounce kernel with in-kernel MXU histogram on TPU
     (~4x faster than the XLA graph path); scenes past the fused kernel's
     ~5k-wall VMEM ceiling route to the cluster-early-out accel path
-    (per-bounce kernel + Morton ray re-sort, any wall count, K = 1);
-    "jnp" forces the reference XLA-graph path; "fused"/"accel" force the
-    respective kernel paths.
+    (any wall count, <=16 bands; K = 1 adds the per-bounce Morton ray
+    re-sort); "jnp" forces the reference XLA-graph path; "fused"/"accel"
+    force the respective kernel paths.
     """
     use_fused = (backend == "fused" or
                  (backend == "auto"
@@ -96,11 +97,18 @@ def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
                  (backend == "auto"
                   and _accel_eligible(scene, params, state.ir_length)))
     if use_accel:
-        from .ops.pallas.bounce_kernel import trace_frames_ir_accel_sorted
-        ir = trace_frames_ir_accel_sorted(
-            scene, params, key, n_rays=n_rays, max_bounces=max_bounces,
-            sample_rate=sample_rate, ir_length=state.ir_length,
-            n_frames=n_frames)
+        from .ops.pallas.bounce_kernel import (trace_frames_ir_accel,
+                                               trace_frames_ir_accel_sorted)
+        if scene.n_bands == 1:
+            ir = trace_frames_ir_accel_sorted(
+                scene, params, key, n_rays=n_rays, max_bounces=max_bounces,
+                sample_rate=sample_rate, ir_length=state.ir_length,
+                n_frames=n_frames)
+        else:
+            ir = trace_frames_ir_accel(
+                scene, params, key, n_rays=n_rays, max_bounces=max_bounces,
+                sample_rate=sample_rate, ir_length=state.ir_length,
+                n_frames=n_frames)
         return irm.IRState(sum=state.sum + ir,
                            frames=state.frames + n_frames)
 

@@ -87,6 +87,36 @@ def big_room(n_bands: int = 1, pad_to: Optional[int] = None) -> RoomSetup:
                      listener_radius=0.5)
 
 
+def sample_scene(n_bands: int = 1, pad_to: Optional[int] = None) -> RoomSetup:
+    """SampleScene.unity, *repaired*: the open 3-wall scene.
+
+    The scene is stale in the reference itself — its wall objects carry no
+    ``AcousticSurface``, so ``ResolveMaterial`` (``SceneHelper.cs:99-110``)
+    would NPE on load. We reproduce the geometry verbatim and apply the one
+    repair the reference would need: every wall gets the Border material
+    (the room-shell material of the two working scenes).
+
+    Transforms from ``Assets/Scenes/SampleScene.unity`` (obstacleObjects
+    order):
+      Wall      pos (-0.09, 14.12)  scale (27.576956, 1)  rot 0
+      Wall (1)  pos (0.01, -11.72)  scale (38.184124, 1)  rot 0
+      Wall (2)  pos (-16.62, 1.34)  scale (27.576956, 1)  rot ~77.2deg
+    Source (0.07, 10.01), Listener (0, -3.68), listenerRadius 0.5
+    (``SampleScene.unity:152-175``). Unlike SmollRoom this room is open on
+    the right side — rays escape, making it a useful leakage fixture.
+    """
+    slant = _quat_z_angle(0.6239737, 0.7814454)
+    b = SceneBuilder(n_bands=n_bands)
+    border = _bands(MATERIAL_BORDER, n_bands)
+    b.add_box(border, Transform2D((-0.09, 14.12), 0.0, (27.576956, 1.0)))
+    b.add_box(border, Transform2D((0.01, -11.72), 0.0, (38.184124, 1.0)))
+    b.add_box(border, Transform2D((-16.62, 1.34), slant, (27.576956, 1.0)))
+    return RoomSetup(scene=b.build(pad_to=pad_to),
+                     source=np.array([0.07, 10.01], np.float32),
+                     listener=np.array([0.0, -3.68], np.float32),
+                     listener_radius=0.5)
+
+
 def _bands(mat: AudioMaterial, n_bands: int) -> AudioMaterial:
     """Expand a scalar reference material to n_bands with a mild
     high-frequency rolloff (identity when n_bands == 1)."""
@@ -169,7 +199,9 @@ def city_scene(n_boxes: int = 2500, seed: int = 0, extent: float = 500.0,
     ``Assets/Scenes/SmollRoom.unity``)."""
     rng = np.random.default_rng(seed)
     b = SceneBuilder(n_bands=n_bands)
-    b.add_box(MATERIAL_BORDER,
+    border = _bands(MATERIAL_BORDER, n_bands)
+    interior = _bands(MATERIAL_INTERIOR, n_bands)
+    b.add_box(border,
               Transform2D(position=(0.0, 0.0), scale=(1.0, 1.0)),
               size=(2 * extent, 2 * extent))
     for _ in range(n_boxes):
@@ -177,7 +209,7 @@ def city_scene(n_boxes: int = 2500, seed: int = 0, extent: float = 500.0,
             position=(float(rng.uniform(-extent * 0.95, extent * 0.95)),
                       float(rng.uniform(-extent * 0.95, extent * 0.95))),
             angle=float(rng.uniform(0, np.pi)))
-        b.add_box(MATERIAL_INTERIOR, tf,
+        b.add_box(interior, tf,
                   size=(float(rng.uniform(1.0, 8.0)),
                         float(rng.uniform(1.0, 8.0))))
     return RoomSetup(scene=b.build(),

@@ -115,6 +115,36 @@ class Scene(NamedTuple):
             mask=jnp.pad(self.mask, [(0, pad)], constant_values=False),
         )
 
+    def concat(self, other: "Scene",
+               pad_to: Optional[int] = None) -> "Scene":
+        """Merge two edge soups — the host-side builder op behind dynamic
+        obstacles (static room + per-chunk moving geometry; the reference
+        re-flattens colliders every FixedUpdate, RayTraceManager.cs:67).
+        Valid walls are compacted to the front, then padded to ``pad_to``
+        (default: the sum of both padded sizes, so repeated per-chunk
+        merges keep one compiled shape). Host-side only (data-dependent
+        compaction); band counts must match."""
+        if self.n_bands != other.n_bands:
+            raise ValueError(
+                f"band mismatch: {self.n_bands} vs {other.n_bands}")
+        m1 = np.asarray(self.mask)
+        m2 = np.asarray(other.mask)
+
+        def cat(x1, x2):
+            return jnp.asarray(np.concatenate(
+                [np.asarray(x1)[m1], np.asarray(x2)[m2]], axis=0))
+
+        merged = Scene(a=cat(self.a, other.a), b=cat(self.b, other.b),
+                       normal=cat(self.normal, other.normal),
+                       absorption=cat(self.absorption, other.absorption),
+                       scattering=cat(self.scattering, other.scattering),
+                       transmission=cat(self.transmission,
+                                        other.transmission),
+                       ior=cat(self.ior, other.ior),
+                       mask=cat(self.mask, other.mask))
+        return merged.pad_to(pad_to if pad_to is not None
+                             else self.n_walls + other.n_walls)
+
     @staticmethod
     def stack(scenes: Sequence["Scene"]) -> "Scene":
         """Batch scenes along a leading axis (they must share W and K);

@@ -163,6 +163,35 @@ def test_big_room_end_to_end():
     assert 0.02 < e_big / e_small < 50
 
 
+def test_sample_scene_end_to_end():
+    # The repaired SampleScene fixture (open room, 3 walls): the direct
+    # source->listener path is unobstructed, so the first IR energy lands
+    # at (dist - listenerRadius)/c. Rays escaping the open side must not
+    # crash or deposit energy (leakage fixture).
+    import dataclasses
+    room = art.rooms.sample_scene()
+    cfg = art.sample_scene_config(ray_count=2048)
+    cfg = dataclasses.replace(
+        cfg, audio=dataclasses.replace(cfg.audio, reverb_duration=0.25))
+    assert cfg.audio.sample_rate == 44100
+    eng = Engine(room.scene, cfg)
+    p = eng.params(room.source, room.listener)
+    state = eng.trace_frames(p, jax.random.PRNGKey(3), n_frames=2)
+    ir = np.asarray(state.normalized())[0, :, 0]
+    assert ir.sum() > 0
+    first = np.nonzero(ir)[0][0]
+    t_direct = (np.linalg.norm(room.source - room.listener) - 0.5) / 343.0
+    assert first / cfg.audio.sample_rate == pytest.approx(t_direct,
+                                                          abs=0.005)
+    # Open room, unobstructed short direct path: the direct-arrival region
+    # dominates the IR (unlike SmollRoom, where the source hides behind the
+    # transmissive slant wall), and the reverb tail decays.
+    peak = int(np.argmax(ir))
+    assert abs(peak - first) < int(0.01 * cfg.audio.sample_rate)
+    head, tail = ir[:len(ir) // 2].sum(), ir[len(ir) // 2:].sum()
+    assert tail < head
+
+
 def test_auto_backend_big_scene_routing(monkeypatch):
     # >5k walls exceed the fused kernel's VMEM tile budget (auto_tile
     # raises): backend="auto" must route K=1 scenes to the accel path and
@@ -203,12 +232,32 @@ def test_auto_backend_big_scene_routing(monkeypatch):
     assert calls and calls[0]["ir_length"] == 512
     assert int(out.frames) == 1
 
-    # banded big scene: accel ineligible -> auto runs the (real) jnp path
+    # banded big scene: routes to the one-launch accel kernel (round 2;
+    # no re-sort variant for K>1)
     b4 = SceneBuilder(n_bands=4)
     b4.add_box(MATERIAL_BORDER, size=(10.0, 10.0))
     big4 = b4.build(pad_to=6016)
-    assert not eng_mod._accel_eligible(big4, p, 512)
+    assert eng_mod._accel_eligible(big4, p, 512)
+    banded_calls = []
+
+    def fake_accel_banded(scene, params, key, **kw):
+        banded_calls.append(kw)
+        return jnp.zeros((1, kw["ir_length"], 4), jnp.float32)
+
+    monkeypatch.setattr(bk, "trace_frames_ir_accel", fake_accel_banded)
     out = trace_accumulate(big4, p, irm.IRState.zeros(512, 1, 4),
+                           jax.random.PRNGKey(0), n_rays=128,
+                           max_bounces=2, sample_rate=8000, n_frames=1,
+                           backend="auto")
+    assert banded_calls and banded_calls[0]["ir_length"] == 512
+    assert int(out.frames) == 1
+
+    # a 32-band big scene exceeds every kernel path -> (real) jnp, no raise
+    b32 = SceneBuilder(n_bands=32)
+    b32.add_box(MATERIAL_BORDER, size=(10.0, 10.0))
+    big32 = b32.build(pad_to=6016)
+    assert not eng_mod._accel_eligible(big32, p, 512)
+    out = trace_accumulate(big32, p, irm.IRState.zeros(512, 1, 32),
                            jax.random.PRNGKey(0), n_rays=128,
                            max_bounces=2, sample_rate=8000, n_frames=1,
                            backend="auto")

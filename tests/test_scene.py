@@ -9,6 +9,7 @@ from realisticaudioraytracing2d_tpu.models.materials import (
     MATERIAL_BORDER, MATERIAL_INTERIOR, AudioMaterial)
 from realisticaudioraytracing2d_tpu.models.rooms import (big_room,
                                                          random_rooms,
+                                                         sample_scene,
                                                          shoebox_room,
                                                          smoll_room)
 from realisticaudioraytracing2d_tpu.models.scene import (Scene, SceneBuilder,
@@ -129,6 +130,49 @@ def test_big_room_is_10x():
     bc = bm.reshape(4, 4, 2).mean(1)
     np.testing.assert_allclose(bc, sc * 10.0, atol=0.2)
     np.testing.assert_allclose(big.source, [-183.8, 87.1])
+
+
+def test_scene_concat_compacts_and_pads():
+    b1 = SceneBuilder()
+    b1.add_box(MATERIAL_BORDER)
+    s1 = b1.build(pad_to=8)                 # 4 valid + 4 pad
+    b2 = SceneBuilder()
+    b2.add_box(MATERIAL_INTERIOR, Transform2D((3.0, 0.0)))
+    s2 = b2.build(pad_to=6)                 # 4 valid + 2 pad
+    m = s1.concat(s2)
+    assert m.n_walls == 14                  # default: sum of padded sizes
+    assert int(np.asarray(m.n_valid)) == 8  # valid walls compacted first
+    assert bool(np.asarray(m.mask)[:8].all())
+    assert not np.asarray(m.mask)[8:].any()
+    # materials carried through in order
+    np.testing.assert_allclose(np.asarray(m.absorption)[0, 0], 0.507,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m.absorption)[4, 0], 0.148,
+                               atol=1e-6)
+    # explicit pad_to and band mismatch guard
+    assert s1.concat(s2, pad_to=16).n_walls == 16
+    s3 = SceneBuilder(n_bands=2).add_box(MATERIAL_BORDER).build()
+    with pytest.raises(ValueError):
+        s1.concat(s3)
+
+
+def test_sample_scene_fixture_repaired():
+    # SampleScene.unity:152-175, repaired (Border material on all walls —
+    # the reference scene would NPE in ResolveMaterial).
+    room = sample_scene()
+    assert int(np.asarray(room.scene.n_valid)) == 12  # 3 boxes x 4 edges
+    np.testing.assert_allclose(room.source, [0.07, 10.01])
+    np.testing.assert_allclose(room.listener, [0.0, -3.68])
+    a = np.asarray(room.scene.a)[:12]
+    # Wall (1)'s right edge is the scene's max x: 0.01 + 38.184124/2
+    assert a[:, 0].max() == pytest.approx(0.01 + 38.184124 / 2, abs=1e-3)
+    # slanted wall rotated ~77.2deg: tallest extent
+    assert a[:, 1].max() == pytest.approx(
+        1.34 + (27.576956 / 2) * np.sin(2 * np.arctan2(0.6239737, 0.7814454)),
+        abs=0.6)
+    # every wall is Border
+    np.testing.assert_allclose(np.asarray(room.scene.absorption)[:12, 0],
+                               0.507, atol=1e-6)
 
 
 def test_random_rooms_batched():

@@ -119,6 +119,72 @@ def test_stream_moving_listener_runs_and_differs(setup):
     assert np.all(np.isfinite(wet_moving))
 
 
+def test_stream_dynamic_scene_matches_oracle(setup):
+    """Dynamic-scene oracle (completes the end-to-end oracle set): with a
+    per-chunk moving obstacle AND moving listener, the streamed output
+    must equal a host-side reconstruction — per-chunk retrace on that
+    chunk's scene/pose, crossfaded dual-IR convolution, overlap-add
+    (the dynamicObstacles mode, RayTraceManager.cs:67)."""
+    room, cfg = setup
+    sr = cfg.audio.sample_rate
+    dry = jnp.asarray(noise_burst(0.15, sr, seed=3))
+    eng = Engine(room.scene, cfg)
+
+    from realisticaudioraytracing2d_tpu.models.materials import (
+        MATERIAL_INTERIOR)
+    from realisticaudioraytracing2d_tpu.models.scene import (SceneBuilder,
+                                                             Transform2D)
+
+    pad = room.scene.a.shape[0] + 4
+
+    def scene_at(i):
+        # SmollRoom walls + one obstacle sliding right 0.4 units/chunk
+        b = SceneBuilder()
+        b.add_box(MATERIAL_INTERIOR,
+                  Transform2D((-10.0 + 0.4 * i, 2.0), 0.3, (3.0, 1.0)))
+        obst = b.build()
+        return room.scene.concat(obst, pad_to=pad)
+
+    def params_at(i):
+        return eng.params(room.source,
+                          room.listener + np.array([0.2 * i, 0.0],
+                                                   np.float32))
+
+    streamer = Streamer(scene_at(0), cfg, jax.random.PRNGKey(7))
+    wet = np.asarray(streamer.stream_clip(dry, params_at,
+                                          scene_fn=scene_at))[0]
+
+    # Host oracle: same per-chunk IR derivation as the static oracle test,
+    # but scene/params vary per chunk.
+    n = cfg.audio.chunk_samples
+    T = cfg.audio.ir_length
+    from realisticaudioraytracing2d_tpu.ops import ir as irm
+    from realisticaudioraytracing2d_tpu.ops.rng import frame_key
+    from realisticaudioraytracing2d_tpu.ops.trace import trace_hits_only
+
+    def chunk_ir(i):
+        k = frame_key(frame_key(jax.random.PRNGKey(7), i), 0)
+        hits = trace_hits_only(scene_at(i), params_at(i),
+                               k, n_rays=cfg.sim.ray_count,
+                               max_bounces=cfg.sim.max_bounces)
+        st = irm.accumulate(irm.IRState.zeros(T, 1, 1), hits, sr)
+        return st.normalized()[0, :, 0]
+
+    total_chunks = int(np.ceil(dry.shape[0] / n)) + int(np.ceil(T / n))
+    acc = np.zeros(total_chunks * n + T + n)
+    prev = None
+    for i in range(total_chunks):
+        ir_i = np.asarray(chunk_ir(i))
+        piece = np.asarray(dry[i * n:(i + 1) * n])
+        piece = np.pad(piece, (0, n - len(piece)))
+        pi = ir_i if prev is None else prev
+        w = np.asarray(cv.convolve_chunk_crossfade(
+            jnp.asarray(piece), jnp.asarray(pi), jnp.asarray(ir_i), 1, 1))
+        acc[i * n:i * n + len(w)] += w
+        prev = ir_i
+    np.testing.assert_allclose(wet, acc[:len(wet)], rtol=2e-3, atol=2e-5)
+
+
 def test_stream_state_shapes(setup):
     room, cfg = setup
     st = init_stream(cfg.audio.ir_length, cfg.audio.chunk_samples, 2, 1)
