@@ -1,1 +1,2 @@
-from . import mesh, multisource, rays, sweep  # noqa: F401
+from . import (frames, mesh, multisource, rays, seq,  # noqa: F401
+               sweep)

@@ -4,11 +4,14 @@ The reference is single-GPU with no communication backend (SURVEY.md
 section 2.4); scaling here is first-class: ``jax.sharding.Mesh`` +
 ``NamedSharding`` is the communication layer, XLA collectives ride ICI.
 
-Canonical axes:
-* ``"rooms"`` — data-parallel over scenes (dataset sweeps, config #5);
-* ``"rays"``  — model-parallel over the ray batch of one scene; partial
-  IRs are ``psum``-reduced (the scatter-add is linear, so sharding rays
-  and summing IRs is exact).
+Canonical axes (any mesh axis name works; these are the conventions):
+* ``"rooms"`` — data-parallel over scenes (dataset sweeps, config #5) or
+  over Monte-Carlo frames (``parallel/frames.py``);
+* ``"rays"``  — model-parallel over the ray batch of one scene
+  (``parallel/rays.py``) or sequence-parallel over audio time
+  (``parallel/seq.py``); partial IRs / partial convolutions are
+  ``psum``-reduced (both ops are linear, so sharding and summing is
+  exact).
 """
 
 from __future__ import annotations

@@ -111,6 +111,55 @@ def test_trace_rays_sharded_runs_and_is_deterministic():
     assert float(a.sum()) > 0
 
 
+def test_frames_sharded_matches_unsharded_scan():
+    # DP over MC frames: device d runs frames [d*local, (d+1)*local) with
+    # the SAME frame_key stream the unsharded scan uses, so sharded and
+    # unsharded accumulation agree (float reassociation only).
+    from realisticaudioraytracing2d_tpu.engine import trace_accumulate
+    from realisticaudioraytracing2d_tpu.parallel.frames import (
+        accumulate_frames_sharded)
+
+    room = smoll_room()
+    params = TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0)
+    mesh = make_mesh((8,), ("rooms",))
+    st0 = irm.IRState.zeros(IR_LEN, 1, 1)
+    kw = dict(n_rays=256, max_bounces=4, sample_rate=SR)
+    key = jax.random.PRNGKey(11)
+    sh = accumulate_frames_sharded(room.scene, params, st0, key, mesh,
+                                   n_frames=8, **kw)
+    un = trace_accumulate(room.scene, params, st0, key, n_frames=8,
+                          backend="jnp", **kw)
+    assert int(sh.frames) == 8
+    assert float(un.sum.sum()) > 0
+    np.testing.assert_allclose(np.asarray(sh.sum), np.asarray(un.sum),
+                               rtol=1e-6, atol=1e-9)
+    with pytest.raises(ValueError):
+        accumulate_frames_sharded(room.scene, params, st0, key, mesh,
+                                  n_frames=9, **kw)
+
+
+def test_convolve_seq_sharded_matches_fft():
+    # SP over audio time: chunked overlap-add across devices == full FFT
+    # convolution (length, eps gate and accumCount normalization intact).
+    from realisticaudioraytracing2d_tpu.ops import convolve as cv
+    from realisticaudioraytracing2d_tpu.parallel.seq import (
+        convolve_seq_sharded)
+
+    mesh = make_mesh((8,), ("rays",))
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=4096).astype(np.float32)
+    x[::17] = 0.0  # exercise the |x|<=eps input gate across chunk seams
+    ir = (rng.normal(size=777) * np.exp(-np.arange(777) / 150)) \
+        .astype(np.float32)
+    a = np.asarray(convolve_seq_sharded(jnp.asarray(x), jnp.asarray(ir),
+                                        mesh, 5))
+    b = np.asarray(cv.convolve_fft(jnp.asarray(x), jnp.asarray(ir), 5))
+    assert a.shape == (4096 + 777,)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        convolve_seq_sharded(jnp.asarray(x[:4090]), jnp.asarray(ir), mesh)
+
+
 def test_graft_entry_single_chip():
     import sys
     sys.path.insert(0, "/root/repo")
