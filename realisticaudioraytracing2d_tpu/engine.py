@@ -28,14 +28,14 @@ from .ops.trace import DebugPaths, Hits, TraceParams, trace, trace_hits_only
 
 def _fused_eligible(scene: Scene, params: TraceParams,
                     ir_length: int) -> bool:
-    """The fused Pallas path covers <=2 listeners and <=16 bands, and only
+    """The fused Pallas path covers <=4 listeners and <=16 bands, and only
     pays off on real TPU hardware (interpret mode elsewhere would be
     slower than XLA). The VMEM-resident histogram block scales with
     listeners x bands x IR length; configs whose block would crowd the
     16 MB scoped budget fall back to the jnp path instead of failing to
     compile."""
     if (jax.default_backend() != "tpu" or scene.n_bands > 16
-            or params.listeners.shape[0] > 2):
+            or params.listeners.shape[0] > 4):
         return False
     from .ops.pallas.bounce_kernel import auto_tile
     try:
@@ -53,11 +53,11 @@ def _hist_fits(scene, params: TraceParams, ir_length: int) -> bool:
 
 def _accel_eligible(scene, params: TraceParams, ir_length: int) -> bool:
     """Large-scene cluster-early-out path (docs/ACCEL.md): any wall count,
-    <=2 listeners, <=16 bands, TPU only. K = 1 additionally gets the
+    <=4 listeners, <=16 bands, TPU only. K = 1 additionally gets the
     per-bounce Morton ray re-sort (best skip rates); banded scenes use the
     one-launch accel kernel (early-out without re-sort)."""
     return (jax.default_backend() == "tpu" and scene.n_bands <= 16
-            and params.listeners.shape[0] <= 2
+            and params.listeners.shape[0] <= 4
             and _hist_fits(scene, params, ir_length))
 
 
@@ -75,7 +75,7 @@ def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
     reference's ``rngStateOffset = Time.frameCount`` reseed,
     RayTraceManager.cs:197), so frames are independent MC samples.
 
-    ``backend``: "auto" routes supported configs (<=2 listeners, <=16
+    ``backend``: "auto" routes supported configs (<=4 listeners, <=16
     bands) to
     the fused Pallas bounce kernel with in-kernel MXU histogram on TPU
     (~4x faster than the XLA graph path); scenes past the fused kernel's

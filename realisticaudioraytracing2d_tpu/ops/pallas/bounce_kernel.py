@@ -193,7 +193,9 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
     radius = scal_ref[0, 2]
     c = scal_ref[0, 3]
     listener_xy = [(scal_ref[0, 0], scal_ref[0, 1]),
-                   (scal_ref[0, 6], scal_ref[0, 7])][:n_listeners]
+                   (scal_ref[0, 6], scal_ref[0, 7]),
+                   (scal_ref[2, 0], scal_ref[2, 1]),
+                   (scal_ref[2, 2], scal_ref[2, 3])][:n_listeners]
     px, py, dx, dy, en, tm, ds, sp, dep, alive = vals
 
     wp = geo_ref.shape[0]
@@ -493,17 +495,23 @@ def _make_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
 
 def _pack_scal2(source, listeners, listener_radius, speed_of_sound,
                 input_gain, sample_rate) -> jax.Array:
-    """[2, 8] scalar table: row 0 = listener0 xy, radius, c, sample rate,
-    0, listener1 xy; row 1 = source xy, gain, 0...5."""
-    lis2 = listeners[1] if listeners.shape[0] > 1 else listeners[0]
+    """[3, 8] scalar table: row 0 = listener0 xy, radius, c, sample rate,
+    0, listener1 xy; row 1 = source xy, gain, 0...5; row 2 = listener2 xy,
+    listener3 xy, 0...4 (absent listeners fall back to listener 0 — the
+    kernels never read past ``n_listeners``-derived slots)."""
+    def lis(i):
+        return listeners[i] if listeners.shape[0] > i else listeners[0]
+
     z = jnp.float32(0)
     row0 = jnp.stack([listeners[0, 0], listeners[0, 1],
                       jnp.asarray(listener_radius, jnp.float32),
                       jnp.asarray(speed_of_sound, jnp.float32),
-                      jnp.float32(sample_rate), z, lis2[0], lis2[1]])
+                      jnp.float32(sample_rate), z, lis(1)[0], lis(1)[1]])
     row1 = jnp.stack([source[0], source[1],
                       jnp.asarray(input_gain, jnp.float32), z, z, z, z, z])
-    return jnp.stack([row0, row1]).astype(jnp.float32)
+    row2 = jnp.stack([lis(2)[0], lis(2)[1], lis(3)[0], lis(3)[1],
+                      z, z, z, z])
+    return jnp.stack([row0, row1, row2]).astype(jnp.float32)
 
 
 def _make_rooms_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
@@ -580,7 +588,7 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
     """Sweep a whole room batch in ONE kernel launch: returns frame-SUMMED
     IRs ``[n_rooms, L, ir_length, K]``. ``scenes`` is a stacked Scene
     (uniform padded wall count), ``sources`` ``[R, 2]``, ``listeners``
-    ``[R, 2]`` or ``[R, L<=2, 2]``. TPU-only (on-core PRNG)."""
+    ``[R, 2]`` or ``[R, L<=4, 2]``. TPU-only (on-core PRNG)."""
     if _interpret():
         raise NotImplementedError("rooms mega kernel is TPU-only")
     n_rooms = sources.shape[0]
@@ -588,8 +596,8 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
         listeners = listeners[:, None, :]
     n_l = listeners.shape[1]
     n_k = scenes.absorption.shape[-1]
-    if n_l > 2 or n_k > 16:
-        raise ValueError("fused path supports <=2 listeners, <=16 bands")
+    if n_l > 4 or n_k > 16:
+        raise ValueError("fused path supports <=4 listeners, <=16 bands")
     n_walls = scenes.a.shape[1]
     tile_r = tile_r or auto_tile(n_walls)
     if n_k > 1:
@@ -621,7 +629,7 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
                                 n_rays, n_k, tile_r),
         grid=(n_rooms, n_frames, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 2, 8), lambda r, f, i: (r, 0, 0),
+            pl.BlockSpec((1, 3, 8), lambda r, f, i: (r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, 8), lambda r, f, i: (r, f, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -656,8 +664,8 @@ def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
     different (still key-deterministic) sample stream."""
     n_l = params.listeners.shape[0]
     n_k = scene.n_bands
-    if n_l > 2 or n_k > 16:
-        raise ValueError("fused path supports <=2 listeners, <=16 bands")
+    if n_l > 4 or n_k > 16:
+        raise ValueError("fused path supports <=4 listeners, <=16 bands")
     if _interpret():
         raise NotImplementedError("mega kernel is TPU-only")
     tile_r = tile_r or auto_tile(scene.a.shape[0])
@@ -668,17 +676,9 @@ def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
 
     geo = pack_walls_rows(scene.a, scene.b)
     attrs = pack_wall_attrs_t(scene)
-    lis2 = params.listeners[1] if n_l > 1 else params.listeners[0]
-    scal = jnp.stack([params.listeners[0, 0], params.listeners[0, 1],
-                      params.listener_radius, params.speed_of_sound,
-                      jnp.float32(sample_rate), jnp.float32(0),
-                      lis2[0], lis2[1]])[None, :]
-    scal = jnp.concatenate([
-        scal,
-        jnp.stack([params.source[0], params.source[1],
-                   jnp.asarray(params.input_gain, jnp.float32),
-                   jnp.float32(0), jnp.float32(0), jnp.float32(0),
-                   jnp.float32(0), jnp.float32(0)])[None, :]])
+    scal = _pack_scal2(params.source, params.listeners,
+                       params.listener_radius, params.speed_of_sound,
+                       params.input_gain, sample_rate)
     # One base draw, then structurally disjoint seeds: (frame f, tile i)
     # seeds the core PRNG with base + f*n_tiles + i (kernel adds i), so no
     # two streams can collide by construction — independent per-frame draws
@@ -699,7 +699,7 @@ def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
                           n_k, tile_r),
         grid=(n_frames, n_tiles),
         in_specs=[
-            pl.BlockSpec((2, 8), lambda f, i: (0, 0),
+            pl.BlockSpec((3, 8), lambda f, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -731,8 +731,8 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
     frame (emission, every bounce, binning) in a single kernel launch."""
     n_l = params.listeners.shape[0]
     n_k = scene.n_bands
-    if n_l > 2 or n_k > 16:
-        raise ValueError("fused path supports <=2 listeners, <=16 bands")
+    if n_l > 4 or n_k > 16:
+        raise ValueError("fused path supports <=4 listeners, <=16 bands")
     tile_r = tile_r or auto_tile(scene.a.shape[0])
     if n_k > 1:
         # banded: K hist blocks + [K, T] energy rows need extra VMEM
@@ -743,13 +743,6 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
         scene, params, key, n_rays, max_bounces, tile_r, sample_rate,
         skip_u=in_kernel_rng)
     del state0
-    # scal row 1: source + gain
-    scal = jnp.concatenate([
-        scal,
-        jnp.stack([params.source[0], params.source[1],
-                   jnp.asarray(params.input_gain, jnp.float32),
-                   jnp.float32(0), jnp.float32(0), jnp.float32(0),
-                   jnp.float32(0), jnp.float32(0)])[None, :]])
     # seeds / uniforms (emission jitter comes from the setup above)
     if in_kernel_rng:
         # Single seed per frame; the kernel seeds each tile's stream at
@@ -776,7 +769,7 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
                                 n_rays, in_kernel_rng, n_k),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((2, 8), lambda i: (0, 0),
+            pl.BlockSpec((3, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -900,7 +893,7 @@ def trace_fused_rows(scene, params: TraceParams, key: jax.Array, *,
         _bounce_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0),
+            pl.BlockSpec((3, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_STATE_ROWS, tile_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -979,12 +972,9 @@ def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
 
     geo = pack_walls_rows(scene.a, scene.b)
     attrs = pack_wall_attrs_t(scene)
-    lis2 = params.listeners[1] if params.listeners.shape[0] > 1 \
-        else params.listeners[0]
-    scal = jnp.stack([params.listeners[0, 0], params.listeners[0, 1],
-                      params.listener_radius, params.speed_of_sound,
-                      jnp.float32(sample_rate), jnp.float32(0),
-                      lis2[0], lis2[1]])[None, :]
+    scal = _pack_scal2(params.source, params.listeners,
+                       params.listener_radius, params.speed_of_sound,
+                       params.input_gain, sample_rate)
     u_rows = None if u is None else \
         jnp.pad(jnp.moveaxis(u, -1, 1), [(0, 0), (0, 5), (0, rp - r)])
     return state0, u_rows, scal, geo, attrs, rp, emit_jitter
@@ -1006,8 +996,8 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
     but a different sample sequence — still fully deterministic per key).
     """
     n_l = params.listeners.shape[0]
-    if n_l > 2 or scene.n_bands != 1:
-        raise ValueError("fused path supports <=2 listeners, one band")
+    if n_l > 4 or scene.n_bands != 1:
+        raise ValueError("fused path supports <=4 listeners, one band")
     tile_r = tile_r or auto_tile(scene.a.shape[0])
     if in_kernel_rng and _interpret():
         # the TPU-core PRNG primitives have no interpret-mode lowering;
@@ -1041,7 +1031,7 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
         _make_bounce_hist_kernel(hi_rows, ir_length, in_kernel_rng, n_l),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0),
+            pl.BlockSpec((3, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_STATE_ROWS, tile_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -1085,7 +1075,7 @@ def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
                            exact_scatter: bool = False,
                            in_kernel_rng: bool = False):
     """Fused-kernel counterpart of ``engine.trace_accumulate``
-    (<=2 listeners, <=16 bands):
+    (<=4 listeners, <=16 bands):
     n_frames of trace + binning, one jit. Default binning is the in-kernel
     MXU histogram (bf16 one-hots, f32 accumulation — per-hit rounding
     ~0.4%, which vanishes in the Monte-Carlo average); ``exact_scatter``
@@ -1451,8 +1441,8 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
     :func:`trace_frame_ir_whole` on the same pre-sorted scene."""
     n_l = params.listeners.shape[0]
     n_k = scene.n_bands
-    if n_l > 2 or n_k > 16:
-        raise ValueError("fused path supports <=2 listeners, <=16 bands")
+    if n_l > 4 or n_k > 16:
+        raise ValueError("fused path supports <=4 listeners, <=16 bands")
     if _interpret() and in_kernel_rng:
         raise NotImplementedError(
             "on-core PRNG is TPU-only; use in_kernel_rng=False off-TPU")
@@ -1504,7 +1494,7 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
                            tile_r, early_out),
         grid=(n_frames, n_tiles),
         in_specs=[
-            pl.BlockSpec((2, 8), lambda f, i: (0, 0),
+            pl.BlockSpec((3, 8), lambda f, i: (0, 0),
                          memory_space=pltpu.VMEM),
             u_spec,
             pl.BlockSpec((wp, 8), lambda f, i: (0, 0),
@@ -1626,11 +1616,11 @@ def trace_frames_ir_accel_sorted(scene, params: TraceParams,
     scalar work, trivial next to the wall sweep). Keeps every tile a
     spatial neighborhood at every bounce depth, so the cluster early-out
     skip rate survives decoherence. Host-threefry uniforms (works in
-    interpret mode too); single-band, <=2 listeners; frame-SUMMED IR
+    interpret mode too); single-band, <=4 listeners; frame-SUMMED IR
     ``[L, ir_length, 1]``."""
     n_l = params.listeners.shape[0]
-    if n_l > 2 or scene.n_bands != 1:
-        raise ValueError("accel-sorted path supports <=2 listeners, K=1")
+    if n_l > 4 or scene.n_bands != 1:
+        raise ValueError("accel-sorted path supports <=4 listeners, K=1")
     cluster_size = accel_cluster_size(scene.a.shape[0], cluster_size)
     scene_s, aabb = cluster_scene_jnp(scene, cluster_size)
     tile_r = tile_r or accel_tile(cluster_size, scene.a.shape[0])
@@ -1653,7 +1643,7 @@ def trace_frames_ir_accel_sorted(scene, params: TraceParams,
                                   cluster_size, early_out),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((2, 8), lambda i: (0, 0),
+            pl.BlockSpec((3, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_STATE_ROWS, tile_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),

@@ -160,6 +160,39 @@ def test_stereo_fused_hist(setup):
     assert not np.allclose(a[0], a[1])  # ears hear different IRs
 
 
+def test_quad_listener_fused_hist(setup):
+    # Round 2: the fused kernels cover up to 4 listeners (scal row 2
+    # carries listeners 3/4). Per-listener parity with the jnp oracle.
+    room, p, key = setup
+    ears = np.asarray([[0.0, -3.68], [0.5, -3.68],
+                       [-6.0, 2.0], [8.0, -1.0]], np.float32)
+    p4 = TraceParams.make(p.source, ears, 0.5, 343.0, 1.0)
+    T = 8000
+    stj = trace_accumulate(room.scene, p4, IRState.zeros(T, 4, 1), key,
+                           n_rays=R, max_bounces=B, sample_rate=8000,
+                           n_frames=1, backend="jnp")
+    stf = trace_accumulate(room.scene, p4, IRState.zeros(T, 4, 1), key,
+                           n_rays=R, max_bounces=B, sample_rate=8000,
+                           n_frames=1, backend="fused")
+    a, b = np.asarray(stf.sum), np.asarray(stj.sum)
+    assert a.shape == (4, T, 1)
+    for ear in range(4):
+        al, bl = a[ear].ravel(), b[ear].ravel()
+        assert bl.sum() > 0, ear
+        assert abs(al.sum() - bl.sum()) / bl.sum() < 2e-2, ear
+        assert np.linalg.norm(al - bl) / np.linalg.norm(bl) < 0.1, ear
+    # distinct positions hear distinct IRs
+    for ear in range(1, 4):
+        assert not np.allclose(a[0], a[ear])
+    # 5 listeners exceed the kernel's scal packing
+    ears5 = np.pad(ears, [(0, 1), (0, 0)])
+    p5 = TraceParams.make(p.source, ears5, 0.5, 343.0, 1.0)
+    with pytest.raises(ValueError):
+        trace_accumulate(room.scene, p5, IRState.zeros(T, 5, 1), key,
+                         n_rays=R, max_bounces=B, sample_rate=8000,
+                         n_frames=1, backend="fused")
+
+
 def test_whole_frame_kernel_bitwise_matches_per_bounce(setup):
     room, p, key = setup
     kw = dict(n_rays=R, max_bounces=B, sample_rate=8000, ir_length=8000)
