@@ -68,6 +68,31 @@ def bench_trace(n_rays=131072, max_bounces=8, n_frames=50,
     return tests / dt, frame_ms
 
 
+def bench_quad(n_frames=50, sample_rate=48000, ir_length=72000):
+    """4-listener fused frame cost at the reference workload (the round-2
+    scal-row widening: all four ears share every wall sweep)."""
+    import realisticaudioraytracing2d_tpu as art
+    from realisticaudioraytracing2d_tpu.engine import trace_accumulate
+    from realisticaudioraytracing2d_tpu.ops.ir import IRState
+
+    room = art.rooms.smoll_room(pad_to=32)
+    ears = np.asarray([[0.0, -3.68], [0.5, -3.68], [-6.0, 2.0],
+                       [8.0, -1.0]], np.float32)
+    params = art.TraceParams.make(room.source, ears, 0.5, 343.0, 1.0)
+
+    def run(k):
+        return trace_accumulate(room.scene, params,
+                                IRState.zeros(ir_length, 4, 1), k,
+                                n_rays=15000, max_bounces=5,
+                                sample_rate=sample_rate, n_frames=n_frames)
+
+    key = jax.random.PRNGKey(0)
+    _sync(run(key).sum)
+    t0 = time.perf_counter()
+    _sync(run(jax.random.fold_in(key, 1)).sum)
+    return (time.perf_counter() - t0) / n_frames * 1e3
+
+
 def bench_ir_build(n_frames=20, sample_rate=48000, ir_length=72000):
     """IR scatter cost alone: accumulate pre-traced hits."""
     import realisticaudioraytracing2d_tpu as art
@@ -201,6 +226,7 @@ def main():
 
     rps, frame_ms = bench_trace()
     _, ref_frame_ms = bench_trace(n_rays=15000, max_bounces=5)
+    quad_ms = bench_quad()
     ir_ms = bench_ir_build()
     xrt = bench_streaming_xrt()
     chunk_ms = bench_stream_chunk()
@@ -210,6 +236,7 @@ def main():
     print(f"trace frame @131k rays x 8 bounces: {frame_ms:.2f} ms; "
           f"@reference workload 15k x 5: {ref_frame_ms:.2f} ms "
           f"(60Hz budget: {'OK' if ref_frame_ms < 16.6 else 'OVER'}); "
+          f"4-listener fused: {quad_ms:.2f} ms/frame; "
           f"IR scatter: {ir_ms:.2f} ms; "
           f"streaming conv: {xrt:.0f}x realtime @44.1kHz; "
           f"full stream chunk (retrace+conv+ring): {chunk_ms:.1f} ms per "
