@@ -90,6 +90,39 @@ def test_decay_slope_parity(irs):
     assert abs(s_m - s_o) / abs(s_o) < 0.10, (s_m, s_o)
 
 
+def test_quad_listener_mega_parity_on_chip():
+    # Round 2: the fused kernels carry up to 4 listeners (scal row 2).
+    # Per-ear statistical parity of the on-chip mega path vs the jnp
+    # oracle at the reference workload.
+    room = art.rooms.smoll_room()
+    ears = np.asarray([[0.0, -3.68], [0.5, -3.68], [-6.0, 2.0],
+                       [8.0, -1.0]], np.float32)
+    params = art.TraceParams.make(room.source, ears, 0.5, 343.0, 1.0)
+    key = jax.random.PRNGKey(9)
+    kw = dict(n_rays=N_RAYS, max_bounces=BOUNCES, sample_rate=SR,
+              n_frames=8)
+    mega = trace_accumulate(room.scene, params,
+                            irm.IRState.zeros(IR_LEN, 4, 1), key,
+                            backend="fused", **kw)
+    oracle = trace_accumulate(room.scene, params,
+                              irm.IRState.zeros(IR_LEN, 4, 1), key,
+                              backend="jnp", **kw)
+    a = np.asarray(mega.normalized())[:, :, 0]
+    b = np.asarray(oracle.normalized())[:, :, 0]
+    for ear in range(4):
+        assert b[ear].sum() > 0, ear
+        rel = abs(a[ear].sum() - b[ear].sum()) / b[ear].sum()
+        assert rel < 0.03, (ear, rel)
+        # 5 ms coarse envelopes agree
+        w = SR // 200
+        n = (IR_LEN // w) * w
+        ea = a[ear, :n].reshape(-1, w).sum(1)
+        eo = b[ear, :n].reshape(-1, w).sum(1)
+        assert np.linalg.norm(ea - eo) / np.linalg.norm(eo) < 0.15, ear
+    for ear in range(1, 4):
+        assert not np.allclose(a[0], a[ear])
+
+
 def test_mega_deterministic_per_key():
     # Same key -> bit-identical IR (the on-core PRNG seeds are a pure
     # function of the key; no cross-run nondeterminism).
