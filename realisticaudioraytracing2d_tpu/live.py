@@ -77,12 +77,14 @@ class LiveReport:
     producer_seconds: float = 0.0
     realtime_factor: float = 0.0  # produced audio seconds / producer wall s
     max_lead_samples: int = 0    # peak producer lead over the consumer
+    late_samples: int = 0        # tail energy dropped: consumer already past
 
     def summary(self) -> str:
         return (f"{self.chunks} chunks, {self.callbacks} callbacks "
                 f"({self.underruns} underruns), producer "
                 f"{self.realtime_factor:.2f}x realtime, peak lead "
-                f"{self.max_lead_samples} samples")
+                f"{self.max_lead_samples} samples, "
+                f"{self.late_samples} late samples dropped")
 
 
 class LivePlayer:
@@ -98,7 +100,7 @@ class LivePlayer:
 
     def __init__(self, scene: Scene, config: EngineConfig, key: jax.Array,
                  n_listeners: int = 1, frames_per_chunk: int = 1,
-                 dsp_buffer: int = 1024):
+                 dsp_buffer: int = 1024, ring_size: Optional[int] = None):
         self.scene = scene
         self.config = config
         self.key = key
@@ -107,11 +109,18 @@ class LivePlayer:
         self.dsp_buffer = dsp_buffer
         n = config.audio.chunk_samples
         t = config.audio.ir_length
-        # ring sized like the reference: reverb + 1 s of slack
-        # (AudioManager.cs:30-32), floored to hold chunk + tail + a buffer
-        size = max(t + 2 * n + dsp_buffer,
-                   t + config.audio.sample_rate)
-        self.ring = NativeRingBuffer(size, n_listeners)
+        if ring_size is None:
+            # ring sized like the reference: reverb + 1 s of slack
+            # (AudioManager.cs:30-32), floored to hold chunk + tail + buffer
+            ring_size = max(t + 2 * n + dsp_buffer,
+                            t + config.audio.sample_rate)
+        # below this the producer's backpressure wait and the consumer's
+        # frontier wait could interlock
+        min_size = n + t + dsp_buffer
+        if ring_size < min_size:
+            raise ValueError(f"ring_size {ring_size} < chunk+tail+dsp "
+                             f"minimum {min_size}")
+        self.ring = NativeRingBuffer(ring_size, n_listeners)
 
     def run(self, dry: jax.Array, total_chunks: int,
             loop: Optional[bool] = None, realtime: bool = False,
@@ -128,6 +137,7 @@ class LivePlayer:
             params_fn = lambda i: params  # noqa: E731
 
         frontier = 0                      # samples final & drainable
+        consumed = 0                      # samples the audio thread drained
         frontier_lock = threading.Condition()
         stop = threading.Event()
         report = LiveReport(audio=np.zeros((self.n_listeners, 0),
@@ -143,8 +153,7 @@ class LivePlayer:
             try:
                 for i in range(total_chunks):
                     piece = dry_chunk(dry, i, n, loop)
-                    if piece.ndim == 1 and self.n_listeners > 1:
-                        pass  # wet_chunk broadcasts mono dry per listener
+                    # mono dry is broadcast per listener inside wet_chunk
                     wet, prev_ir = wet_chunk(
                         self.scene, params_fn(i), prev_ir, piece,
                         self.key, jnp.asarray(i, jnp.int32),
@@ -155,8 +164,26 @@ class LivePlayer:
                     wet_np = np.asarray(wet)  # device->host readback
                     if wet_np.ndim == 1:
                         wet_np = wet_np[None, :]
-                    self.ring.push(wet_np, i * n)
+                    head = i * n
+                    span_end = head + wet_np.shape[-1]
                     with frontier_lock:
+                        # Backpressure: a push may only cover live ring
+                        # cells [consumed, consumed + size). Without this
+                        # a fast producer wraps around and overlap-adds on
+                        # top of undrained audio (silent corruption).
+                        while (span_end - consumed > self.ring.size
+                               and not stop.is_set()):
+                            frontier_lock.wait(timeout=1.0)
+                        if stop.is_set():
+                            break
+                        # Clip energy the consumer already played past:
+                        # pushing behind the read head would resurface it
+                        # one ring cycle later as ghost audio. The real
+                        # callback emitted the partial sum; drop the rest.
+                        off = max(0, consumed - head)
+                        if off < wet_np.shape[-1]:
+                            self.ring.push(wet_np[:, off:], head + off)
+                        report.late_samples += min(off, wet_np.shape[-1])
                         frontier = (i + 1) * n
                         frontier_lock.notify_all()
                     report.chunks = i + 1
@@ -172,7 +199,7 @@ class LivePlayer:
         out = []
 
         def consumer():
-            consumed = 0
+            nonlocal consumed
             next_tick = time.perf_counter()
             period = self.dsp_buffer / sr
             while consumed < total_samples and not producer_err:
@@ -195,14 +222,17 @@ class LivePlayer:
                                               total_samples)
                                and not producer_err):
                             frontier_lock.wait(timeout=60.0)
-                want = min(self.dsp_buffer, total_samples - consumed)
-                buf = self.ring.drain(want)   # read + zero (add-then-zero)
-                out.append(buf)
-                consumed += want
-                report.callbacks += 1
                 with frontier_lock:
+                    # drain under the lock so a concurrent push can never
+                    # straddle the advancing read head mid-copy
+                    want = min(self.dsp_buffer, total_samples - consumed)
+                    buf = self.ring.drain(want)  # read + zero
+                    consumed += want
+                    report.callbacks += 1
                     report.max_lead_samples = max(
                         report.max_lead_samples, frontier - consumed)
+                    frontier_lock.notify_all()
+                out.append(buf)
 
         tp = threading.Thread(target=producer, name="sim-producer")
         tc = threading.Thread(target=consumer, name="audio-consumer")

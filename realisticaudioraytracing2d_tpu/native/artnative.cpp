@@ -182,7 +182,9 @@ int art_morton_clusters(const float* segs /*n*6*/, int n_segs,
       const uint32_t qy = (uint32_t)((cy - ymin) * sy);
       key = art_part1by1(qx) | (art_part1by1(qy) << 1);
     }
-    keyed[i] = (key << 20) | (uint32_t)i;  // stable; caps n_segs at 2^20
+    // key fits 33 bits (sentinel 0x1FFFFFFFF), leaving 31 for the index:
+    // stable sort with no wall-count ceiling (n_segs is int <= 2^31-1)
+    keyed[i] = (key << 31) | (uint64_t)(uint32_t)i;
   }
   std::sort(keyed.begin(), keyed.end());
   const int n_clusters = (n_segs + cluster_size - 1) / cluster_size;
@@ -191,7 +193,7 @@ int art_morton_clusters(const float* segs /*n*6*/, int n_segs,
     bb[0] = inf; bb[1] = inf; bb[2] = -inf; bb[3] = -inf;
   }
   for (int i = 0; i < n_segs; ++i) {
-    const int src = (int)(keyed[i] & 0xfffffu);
+    const int src = (int)(keyed[i] & 0x7fffffffu);
     out_order[i] = src;
     if (degen[src]) continue;
     const float* s = segs + src * 6;

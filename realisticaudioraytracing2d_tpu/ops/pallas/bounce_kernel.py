@@ -105,6 +105,20 @@ def pack_wall_attrs_t(scene) -> jax.Array:
     return out
 
 
+def _draw_uniforms(rows: int, tile: int) -> jax.Array:
+    """On-core uniform [0,1) draws from the seeded per-core PRNG: top 24
+    bits of ``prng_random_bits`` scaled to float (via int32 — Mosaic has
+    no direct uint32->f32 cast; ``>>8`` keeps the value positive).
+
+    The ONE definition shared by every kernel variant (whole-frame, mega,
+    rooms-mega, accel): the TPU parity suite assumes all variants draw
+    from identical bit-twiddling, so changes here apply everywhere at
+    once instead of silently desynchronizing one kernel's stream."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits((rows, tile)), jnp.uint32)
+    b24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return b24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+
 def _recip(x):
     """Fast reciprocal: hardware approx + one Newton step (~f32 accurate).
     fp32 divide is many VPU cycles; this is the wall-pass hot spot."""
@@ -415,10 +429,7 @@ def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
 
         for b in range(max_bounces):
             if in_kernel_rng:
-                bits = pltpu.bitcast(pltpu.prng_random_bits((8, tile)),
-                                     jnp.uint32)
-                bits24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-                u = bits24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+                u = _draw_uniforms(8, tile)
                 u0, u1, u2 = u[0:1, :], u[1:2, :], u[2:3, :]
             else:
                 u0 = u_ref[b * 8 + 0:b * 8 + 1, :]
@@ -456,11 +467,7 @@ def _make_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
         ray_idx = i * tile + lane
 
-        def draw(rows):
-            bits = pltpu.bitcast(pltpu.prng_random_bits((rows, tile)),
-                                 jnp.uint32)
-            b24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-            return b24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+        draw = functools.partial(_draw_uniforms, tile=tile)
 
         emit = draw(8)[0:1, :]
         angle = ((ray_idx.astype(jnp.float32) + emit)
@@ -543,11 +550,7 @@ def _make_rooms_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
         ray_idx = i * tile + lane
 
-        def draw(rows):
-            bits = pltpu.bitcast(pltpu.prng_random_bits((rows, tile)),
-                                 jnp.uint32)
-            b24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-            return b24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+        draw = functools.partial(_draw_uniforms, tile=tile)
 
         emit = draw(8)[0:1, :]
         angle = ((ray_idx.astype(jnp.float32) + emit)
@@ -833,12 +836,7 @@ def _make_bounce_hist_kernel(hi_rows: int, ir_length: int,
             # [B, 8, R] HBM round trip).
             tile_n = state_ref.shape[1]
             pltpu.prng_seed(u_ref[0, 0] + pl.program_id(0))
-            bits = pltpu.bitcast(pltpu.prng_random_bits((8, tile_n)),
-                                 jnp.uint32)
-            # top 24 bits -> [0, 1) floats (via int32: Mosaic has no
-            # direct uint32->f32 cast; >>8 keeps the value positive)
-            bits24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-            u = bits24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+            u = _draw_uniforms(8, tile_n)
             _bounce_core(scal_ref, state_ref, u[0:1, :], u[1:2, :],
                          u[2:3, :], geo_ref, attrs_ref, out_state_ref,
                          hits_scratch, n_listeners)
@@ -1344,11 +1342,7 @@ def _make_accel_kernel(hi_rows: int, ir_length: int, n_listeners: int,
                                  n_clusters, cluster_size,
                                  (cl_s, idx_s, acc_s, vis_s), early_out)
 
-        def draw(rows):
-            bits = pltpu.bitcast(pltpu.prng_random_bits((rows, tile)),
-                                 jnp.uint32)
-            b24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-            return b24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+        draw = functools.partial(_draw_uniforms, tile=tile)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
         ray_idx = i * tile + lane

@@ -113,6 +113,23 @@ def load_ir_state(path: str) -> IRState:
     validated against the sidecar, shapes are taken from the sidecar
     itself (an IR resume doesn't know its length up front)."""
     side = read_sidecar(path)
+    if "kind" not in side:
+        # format-1 sidecar (round 1): {treedef, n_leaves, meta} only.
+        # Old accumulations must stay resumable; validate what format 1
+        # recorded plus the actual leaf layout, then load directly.
+        with np.load(_norm(path)) as z:
+            if side.get("n_leaves") != 2 or set(z.files) != {"leaf_0",
+                                                             "leaf_1"}:
+                raise ValueError(
+                    f"{path!r} is a format-1 checkpoint but not an "
+                    f"IRState (n_leaves={side.get('n_leaves')})")
+            s, fr = z["leaf_0"], z["leaf_1"]
+        if s.ndim != 3 or fr.shape != ():
+            raise ValueError(
+                f"{path!r} format-1 leaves don't look like "
+                f"(sum[L,T,K], frames): {s.shape}, {fr.shape}")
+        return IRState(sum=jax.numpy.asarray(s, np.float32),
+                       frames=jax.numpy.asarray(fr, np.int32))
     if side.get("kind") != "IRState" or side.get("n_leaves") != 2:
         raise ValueError(
             f"{path!r} is not an IRState checkpoint "

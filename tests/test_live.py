@@ -67,6 +67,39 @@ def test_live_dsp_buffer_cadence(live_cfg):
     assert rep.underruns == 0
 
 
+def test_live_backpressure_tight_ring_stays_lossless(live_cfg):
+    # Regression: a producer that runs far ahead of the consumer must
+    # block on ring capacity, not wrap around and overlap-add on top of
+    # undrained audio. With a ring barely larger than one chunk+tail, a
+    # fast producer without backpressure corrupts nearly every sample.
+    room, cfg, params = live_cfg
+    n = cfg.audio.chunk_samples
+    t = cfg.audio.ir_length
+    total = 8
+    dry = jnp.asarray(np.random.default_rng(7).normal(
+        size=3 * n).astype(np.float32) * 0.3)
+
+    player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(1),
+                        dsp_buffer=512, ring_size=n + t + 512 + 64)
+    # realtime: the consumer is wall-clock paced while the (jit-warmed)
+    # producer runs much faster, so it slams into the ring-capacity cap
+    rep = player.run(dry, total_chunks=total, loop=False, realtime=True,
+                     params=params)
+    if rep.underruns or rep.max_lead_samples < n:
+        pytest.skip("producer did not outpace the audio clock here")
+    assert rep.late_samples == 0
+    streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(1))
+    ref = np.asarray(streamer.stream_clip(dry, lambda i: params,
+                                          loop=False, total_chunks=total))
+    np.testing.assert_allclose(rep.audio, ref, atol=1e-6)
+
+
+def test_live_ring_size_floor_enforced(live_cfg):
+    room, cfg, _ = live_cfg
+    with pytest.raises(ValueError, match="ring_size"):
+        LivePlayer(room.scene, cfg, jax.random.PRNGKey(0), ring_size=64)
+
+
 def test_live_realtime_mode_counts_underruns_not_crashes(live_cfg):
     # Wall-clock pacing with an artificially slow producer: the consumer
     # keeps its cadence, reports underruns, and the run still completes.

@@ -128,3 +128,21 @@ def test_ring_buffer_threaded_integrity():
     for _ in range(40):
         drained.append(rb.drain(64).sum())
     assert sum(drained) == pytest.approx(total_in)
+
+
+def test_morton_clusters_beyond_2_20_segments_valid_permutation():
+    # Regression: the sort key packs the wall index into the low bits of a
+    # uint64; with only 20 index bits, >1,048,576 segments silently alias
+    # into a non-permutation. The index field is now 31 bits wide.
+    n = (1 << 20) + 3
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-50, 50, size=(n, 2)).astype(np.float32)
+    b = a + rng.uniform(0.01, 1.0, size=(n, 2)).astype(np.float32)
+    segs = np.concatenate([a, b, np.zeros((n, 2), np.float32)], axis=1)
+    order, aabb = native.morton_clusters(segs, cluster_size=256)
+    assert order.shape == (n,)
+    seen = np.zeros(n, bool)
+    seen[order] = True
+    assert seen.all()          # a true permutation: every index exactly once
+    assert aabb.shape == (-(-n // 256), 4)
+    assert np.isfinite(aabb).all()

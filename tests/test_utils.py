@@ -172,3 +172,30 @@ def test_sweep_dataset_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(got["irs"]), np.asarray(irs))
     assert int(got["rooms_done"]) == 1024
     assert checkpoint.read_sidecar(p)["meta"]["n_rays"] == 4096
+
+
+def test_load_ir_state_accepts_format1_legacy_sidecar(tmp_path):
+    # Round-1 checkpoints wrote a sidecar without "kind"/"shapes"; they
+    # must remain resumable (a multi-hour accumulation is at stake).
+    import json
+    state = IRState(sum=jnp.arange(24, dtype=jnp.float32
+                                       ).reshape(1, 12, 2),
+                        frames=jnp.asarray(7, jnp.int32))
+    p = str(tmp_path / "old.npz")
+    np.savez_compressed(p, leaf_0=np.asarray(state.sum),
+                        leaf_1=np.asarray(state.frames))
+    with open(p + ".json", "w") as f:
+        json.dump({"treedef": "PyTreeDef(CustomNode(IRState[...], [*, *]))",
+                   "n_leaves": 2, "meta": {}}, f)
+    got = checkpoint.load_ir_state(p)
+    np.testing.assert_array_equal(got.sum, state.sum)
+    assert int(got.frames) == 7
+
+    # but a format-1 npz that isn't an IRState still errors
+    p2 = str(tmp_path / "notir.npz")
+    np.savez_compressed(p2, leaf_0=np.zeros((3, 4), np.float32),
+                        leaf_1=np.asarray(0))
+    with open(p2 + ".json", "w") as f:
+        json.dump({"treedef": "x", "n_leaves": 2, "meta": {}}, f)
+    with pytest.raises(ValueError, match="format-1"):
+        checkpoint.load_ir_state(p2)
