@@ -20,6 +20,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    # Persistent XLA compile cache: the bench compiles ~10 distinct TPU
+    # programs (~60-90 s each through the relay); cached reruns start in
+    # seconds. Same dir as tests_tpu/conftest.py.
+    import os as _os
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.path.join(_os.path.dirname(
+                          _os.path.abspath(__file__)),
+                          ".jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass  # cache is an optimization; never block the bench on it
+
 
 def _sync(x):
     # Fetch a scalar: through the remote-TPU tunnel, block_until_ready

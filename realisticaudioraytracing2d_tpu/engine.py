@@ -28,37 +28,32 @@ from .ops.trace import DebugPaths, Hits, TraceParams, trace, trace_hits_only
 
 def _fused_eligible(scene: Scene, params: TraceParams,
                     ir_length: int) -> bool:
-    """The fused Pallas path covers <=4 listeners and <=16 bands, and only
-    pays off on real TPU hardware (interpret mode elsewhere would be
-    slower than XLA). The VMEM-resident histogram block scales with
-    listeners x bands x IR length; configs whose block would crowd the
-    16 MB scoped budget fall back to the jnp path instead of failing to
+    """The fused Pallas path covers any listener count (listener blocks
+    of <=4 are launched back-to-back, bit-exactly — ray physics never
+    reads the listener table) and any band count whose single-listener
+    histogram fits the scoped VMEM budget; it only pays off on real TPU
+    hardware (interpret mode elsewhere would be slower than XLA). Configs
+    past the budget fall back to the jnp path instead of failing to
     compile."""
-    if (jax.default_backend() != "tpu" or scene.n_bands > 16
-            or params.listeners.shape[0] > 4):
+    if jax.default_backend() != "tpu":
         return False
-    from .ops.pallas.bounce_kernel import auto_tile
+    from .ops.pallas.bounce_kernel import auto_tile, listener_block
     try:
         auto_tile(scene.a.shape[0])  # raises past the ~5k-wall VMEM budget
     except ValueError:
         return False
-    return _hist_fits(scene, params, ir_length)
-
-
-def _hist_fits(scene, params: TraceParams, ir_length: int) -> bool:
-    hi_rows = ((ir_length + 511) // 512 + 1 + 7) // 8 * 8
-    hist_bytes = params.listeners.shape[0] * scene.n_bands * hi_rows *         512 * 4
-    return hist_bytes <= 5 * 2 ** 20
+    return listener_block(scene.n_bands, ir_length) >= 1
 
 
 def _accel_eligible(scene, params: TraceParams, ir_length: int) -> bool:
     """Large-scene cluster-early-out path (docs/ACCEL.md): any wall count,
-    <=4 listeners, <=16 bands, TPU only. K = 1 additionally gets the
-    per-bounce Morton ray re-sort (best skip rates); banded scenes use the
+    any listener count (blocked launches), bands limited by the VMEM
+    histogram budget, TPU only. K = 1 additionally gets the per-bounce
+    Morton ray re-sort (best skip rates); banded scenes use the
     one-launch accel kernel (early-out without re-sort)."""
-    return (jax.default_backend() == "tpu" and scene.n_bands <= 16
-            and params.listeners.shape[0] <= 4
-            and _hist_fits(scene, params, ir_length))
+    from .ops.pallas.bounce_kernel import listener_block
+    return (jax.default_backend() == "tpu"
+            and listener_block(scene.n_bands, ir_length) >= 1)
 
 
 @partial(jax.jit,
@@ -75,14 +70,14 @@ def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
     reference's ``rngStateOffset = Time.frameCount`` reseed,
     RayTraceManager.cs:197), so frames are independent MC samples.
 
-    ``backend``: "auto" routes supported configs (<=4 listeners, <=16
-    bands) to
-    the fused Pallas bounce kernel with in-kernel MXU histogram on TPU
-    (~4x faster than the XLA graph path); scenes past the fused kernel's
-    ~5k-wall VMEM ceiling route to the cluster-early-out accel path
-    (any wall count, <=16 bands; K = 1 adds the per-bounce Morton ray
-    re-sort); "jnp" forces the reference XLA-graph path; "fused"/"accel"
-    force the respective kernel paths.
+    ``backend``: "auto" routes supported configs (any listener count via
+    blocked launches; bands limited by the single-listener VMEM histogram
+    budget) to the fused Pallas bounce kernel with in-kernel MXU
+    histogram on TPU (~4x faster than the XLA graph path); scenes past
+    the fused kernel's ~5k-wall VMEM ceiling route to the
+    cluster-early-out accel path (any wall count; K = 1 adds the
+    per-bounce Morton ray re-sort); "jnp" forces the reference XLA-graph
+    path; "fused"/"accel" force the respective kernel paths.
     """
     use_fused = (backend == "fused" or
                  (backend == "auto"

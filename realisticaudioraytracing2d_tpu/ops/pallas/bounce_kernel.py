@@ -263,7 +263,21 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
         attrs = passes["gather"](idx, hit_wall)
     w_nx = attrs[0:1, :]
     w_ny = attrs[1:2, :]
-    w_abs = attrs[2:3, :] if n_bands == 1 else attrs[8:8 + n_bands, :]
+    if n_bands == 1:
+        w_abs = attrs[2:3, :]
+    else:
+        # Per-band absorption rows, extracted in vreg-aligned 8-row
+        # chunks: the direct attrs[8:8+K] slice of the matmul result
+        # crashes Mosaic's vector lowering for K > 8 (ApplyVectorLayout
+        # "limits <= dim" check, observed on v5e); chunked extraction +
+        # concat compiles everywhere and is a no-op for K <= 8.
+        chunks = []
+        for s in range(8, 8 + n_bands, 8):
+            take = min(8, 8 + n_bands - s)
+            grp = attrs[s:s + 8, :]
+            chunks.append(grp if take == 8 else grp[0:take, :])
+        w_abs = (chunks[0] if len(chunks) == 1
+                 else jnp.concatenate(chunks, axis=0))
     w_scat = attrs[3:4, :]
     w_trans = attrs[4:5, :]
     w_ior = jnp.where(hit_wall, attrs[5:6, :], 1.0)
@@ -368,6 +382,7 @@ def _hist_listener(ir_ref, listener, n_bands, hi_rows, hi_ids, lo_ids,
     are band-invariant and computed once per hit kind; only the hi-side
     energy row varies per band."""
     acc = [None] * n_bands
+    row_ids = None
     for delay, energy, valid in hits:
         bins = jnp.floor(delay * sr).astype(jnp.int32)
         ok = valid & (bins >= 0) & (bins < ir_length)
@@ -377,7 +392,19 @@ def _hist_listener(ir_ref, listener, n_bands, hi_rows, hi_ids, lo_ids,
         bt = (lo_ids == lo_d).astype(jnp.bfloat16)              # [LO, T]
         hi_hot = hi_ids == hi_d                                  # [HI, T]
         for kb in range(n_bands):
-            e_eff = jnp.where(ok, energy[kb:kb + 1, :], 0.0)
+            if kb < _SUB:
+                e_row = energy[kb:kb + 1, :]
+            else:
+                # Mosaic's vector lowering (v5e) crashes extracting rows
+                # at sublane offsets >= 8 from computed band values
+                # ("limits <= dim" in ApplyVectorLayout); a masked
+                # sublane reduction produces the same row and lowers fine
+                if row_ids is None:
+                    row_ids = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_bands, energy.shape[1]), 0)
+                e_row = jnp.sum(jnp.where(row_ids == kb, energy, 0.0),
+                                axis=0, keepdims=True)
+            e_eff = jnp.where(ok, e_row, 0.0)
             a = jnp.where(hi_hot, e_eff, 0.0).astype(jnp.bfloat16)
             part = jax.lax.dot_general(
                 a, bt, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -599,8 +626,22 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
         listeners = listeners[:, None, :]
     n_l = listeners.shape[1]
     n_k = scenes.absorption.shape[-1]
-    if n_l > 4 or n_k > 16:
-        raise ValueError("fused path supports <=4 listeners, <=16 bands")
+    blk = listener_block(n_k, ir_length)
+    if n_l > blk:
+        # same bit-exact listener decomposition as _blocked_listeners
+        # (ray paths are listener-independent), concatenated on axis 1
+        if blk < 1:
+            raise ValueError(
+                f"one listener x {n_k} bands x {ir_length} bins exceeds "
+                f"the fused kernel's VMEM histogram budget")
+        parts = [trace_rooms_ir_mega(
+            scenes, sources, listeners[:, s:s + blk], key, n_rays=n_rays,
+            max_bounces=max_bounces, sample_rate=sample_rate,
+            ir_length=ir_length, n_frames=n_frames,
+            listener_radius=listener_radius,
+            speed_of_sound=speed_of_sound, input_gain=input_gain,
+            tile_r=tile_r) for s in range(0, n_l, blk)]
+        return jnp.concatenate(parts, axis=1)
     n_walls = scenes.a.shape[1]
     tile_r = tile_r or auto_tile(n_walls)
     if n_k > 1:
@@ -653,6 +694,39 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
     return jnp.moveaxis(ir, 2, 3)                 # [R, L, T, K]
 
 
+_HIST_VMEM_BUDGET = 5 * 2 ** 20  # bytes: scoped VMEM share of the IR block
+
+
+def listener_block(n_bands: int, ir_length: int) -> int:
+    """Largest per-launch listener count for the fused/accel kernels:
+    capped at the 4 scal-table xy slots and by the VMEM-resident histogram
+    block (``L * K * hi_rows * 512`` f32 inside the scoped budget).
+    Returns 0 when even a single listener's histogram cannot fit — that
+    config must use the jnp path."""
+    per_l = n_bands * _hist_rows(ir_length) * _LO * 4
+    return min(4, _HIST_VMEM_BUDGET // per_l)
+
+
+def _blocked_listeners(fn, scene, params: TraceParams, key, n_l: int,
+                       n_k: int, ir_length: int, kwargs: dict):
+    """Arbitrary-listener decomposition, bit-exact: ray physics never
+    reads the listener table, so re-launching the same (scene, key)
+    with listener sub-blocks retraces identical paths and produces
+    exactly the per-listener rows one bigger-VMEM launch would. Cost:
+    VPU wall/physics work is recomputed once per block; the histogram
+    MAC count is unchanged."""
+    blk = listener_block(n_k, ir_length)
+    if blk < 1:
+        raise ValueError(
+            f"one listener x {n_k} bands x {ir_length} bins exceeds the "
+            f"fused kernel's VMEM histogram budget; use backend='jnp'")
+    parts = [fn(scene,
+                params._replace(listeners=params.listeners[s:s + blk]),
+                key, **kwargs)
+             for s in range(0, n_l, blk)]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
                                              "sample_rate", "ir_length",
                                              "n_frames", "tile_r"))
@@ -667,8 +741,12 @@ def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
     different (still key-deterministic) sample stream."""
     n_l = params.listeners.shape[0]
     n_k = scene.n_bands
-    if n_l > 4 or n_k > 16:
-        raise ValueError("fused path supports <=4 listeners, <=16 bands")
+    if n_l > listener_block(n_k, ir_length):
+        return _blocked_listeners(
+            trace_frames_ir_mega, scene, params, key, n_l, n_k, ir_length,
+            dict(n_rays=n_rays, max_bounces=max_bounces,
+                 sample_rate=sample_rate, ir_length=ir_length,
+                 n_frames=n_frames, tile_r=tile_r))
     if _interpret():
         raise NotImplementedError("mega kernel is TPU-only")
     tile_r = tile_r or auto_tile(scene.a.shape[0])
@@ -734,8 +812,12 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
     frame (emission, every bounce, binning) in a single kernel launch."""
     n_l = params.listeners.shape[0]
     n_k = scene.n_bands
-    if n_l > 4 or n_k > 16:
-        raise ValueError("fused path supports <=4 listeners, <=16 bands")
+    if n_l > listener_block(n_k, ir_length):
+        return _blocked_listeners(
+            trace_frame_ir_whole, scene, params, key, n_l, n_k, ir_length,
+            dict(n_rays=n_rays, max_bounces=max_bounces,
+                 sample_rate=sample_rate, ir_length=ir_length,
+                 tile_r=tile_r, in_kernel_rng=in_kernel_rng))
     tile_r = tile_r or auto_tile(scene.a.shape[0])
     if n_k > 1:
         # banded: K hist blocks + [K, T] energy rows need extra VMEM
@@ -1072,9 +1154,10 @@ def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
                            n_frames: int = 1, tile_r: int = 0,
                            exact_scatter: bool = False,
                            in_kernel_rng: bool = False):
-    """Fused-kernel counterpart of ``engine.trace_accumulate``
-    (<=4 listeners, <=16 bands):
-    n_frames of trace + binning, one jit. Default binning is the in-kernel
+    """Fused-kernel counterpart of ``engine.trace_accumulate`` (any
+    listener count via bit-exact <=4-listener blocked launches; bands
+    limited only by the VMEM histogram budget, see
+    :func:`listener_block`): n_frames of trace + binning, one jit. Default binning is the in-kernel
     MXU histogram (bf16 one-hots, f32 accumulation — per-hit rounding
     ~0.4%, which vanishes in the Monte-Carlo average); ``exact_scatter``
     switches to the f32 XLA scatter (slower on TPU: scalar-core bound).
@@ -1435,8 +1518,14 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
     :func:`trace_frame_ir_whole` on the same pre-sorted scene."""
     n_l = params.listeners.shape[0]
     n_k = scene.n_bands
-    if n_l > 4 or n_k > 16:
-        raise ValueError("fused path supports <=4 listeners, <=16 bands")
+    if n_l > listener_block(n_k, ir_length):
+        return _blocked_listeners(
+            trace_frames_ir_accel, scene, params, key, n_l, n_k, ir_length,
+            dict(n_rays=n_rays, max_bounces=max_bounces,
+                 sample_rate=sample_rate, ir_length=ir_length,
+                 n_frames=n_frames, cluster_size=cluster_size,
+                 tile_r=tile_r, in_kernel_rng=in_kernel_rng,
+                 early_out=early_out))
     if _interpret() and in_kernel_rng:
         raise NotImplementedError(
             "on-core PRNG is TPU-only; use in_kernel_rng=False off-TPU")
@@ -1613,8 +1702,16 @@ def trace_frames_ir_accel_sorted(scene, params: TraceParams,
     interpret mode too); single-band, <=4 listeners; frame-SUMMED IR
     ``[L, ir_length, 1]``."""
     n_l = params.listeners.shape[0]
-    if n_l > 4 or scene.n_bands != 1:
-        raise ValueError("accel-sorted path supports <=4 listeners, K=1")
+    if scene.n_bands != 1:
+        raise ValueError("accel-sorted path supports K=1")
+    if n_l > listener_block(1, ir_length):
+        return _blocked_listeners(
+            trace_frames_ir_accel_sorted, scene, params, key, n_l, 1,
+            ir_length,
+            dict(n_rays=n_rays, max_bounces=max_bounces,
+                 sample_rate=sample_rate, ir_length=ir_length,
+                 n_frames=n_frames, cluster_size=cluster_size,
+                 tile_r=tile_r, early_out=early_out))
     cluster_size = accel_cluster_size(scene.a.shape[0], cluster_size)
     scene_s, aabb = cluster_scene_jnp(scene, cluster_size)
     tile_r = tile_r or accel_tile(cluster_size, scene.a.shape[0])

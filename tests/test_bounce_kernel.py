@@ -184,13 +184,17 @@ def test_quad_listener_fused_hist(setup):
     # distinct positions hear distinct IRs
     for ear in range(1, 4):
         assert not np.allclose(a[0], a[ear])
-    # 5 listeners exceed the kernel's scal packing
+    # 5 listeners exceed one launch's 4 scal slots: the wrapper now
+    # splits into blocked launches (4+1) whose first 4 rows must equal
+    # the single-launch quad result exactly (same key -> same rays)
     ears5 = np.pad(ears, [(0, 1), (0, 0)])
     p5 = TraceParams.make(p.source, ears5, 0.5, 343.0, 1.0)
-    with pytest.raises(ValueError):
-        trace_accumulate(room.scene, p5, IRState.zeros(T, 5, 1), key,
-                         n_rays=R, max_bounces=B, sample_rate=8000,
-                         n_frames=1, backend="fused")
+    st5 = trace_accumulate(room.scene, p5, IRState.zeros(T, 5, 1), key,
+                           n_rays=R, max_bounces=B, sample_rate=8000,
+                           n_frames=1, backend="fused")
+    a5 = np.asarray(st5.sum)
+    assert a5.shape == (5, T, 1)
+    np.testing.assert_array_equal(a5[:4], a)
 
 
 def test_whole_frame_kernel_bitwise_matches_per_bounce(setup):
@@ -357,3 +361,71 @@ def test_cluster_scene_jnp_matches_native_builder():
     valid = aabb[:, 0] <= aabb[:, 2]
     np.testing.assert_allclose(np.asarray(aabb_j)[valid], aabb[valid],
                                rtol=1e-6)
+
+
+def test_listener_blocking_bit_exact_vs_per_listener():
+    # L=6 > the 4 scal slots: the wrapper splits listeners into blocks
+    # and relaunches with the SAME key. Ray physics never reads the
+    # listener table, so the result must be bit-identical to running
+    # each listener alone (and to any other block partition).
+    room = smoll_room()
+    key = jax.random.PRNGKey(3)
+    lis = jnp.asarray([[1.0 + 0.3 * i, 0.5 - 0.2 * i] for i in range(6)],
+                      jnp.float32)
+    p6 = TraceParams.make(room.source, lis, 0.5, 343.0, 1.0)
+    kw = dict(n_rays=512, max_bounces=B, sample_rate=8000, ir_length=2048)
+    ir = np.asarray(bk.trace_frame_ir_whole(room.scene, p6, key, **kw))
+    assert ir.shape == (6, 2048, 1)
+    per = np.concatenate([
+        np.asarray(bk.trace_frame_ir_whole(
+            room.scene,
+            TraceParams.make(room.source, lis[i:i + 1], 0.5, 343.0, 1.0),
+            key, **kw))
+        for i in range(6)], axis=0)
+    np.testing.assert_array_equal(ir, per)
+    # every listener actually heard something distinct
+    assert (ir.sum(axis=(1, 2)) > 0).all()
+    assert not np.allclose(ir[0], ir[5])
+
+
+def test_listener_block_budget():
+    # 4-cap at small configs; shrinks as K*T grows; 0 when one listener
+    # cannot fit (config must take the jnp path)
+    assert bk.listener_block(1, 2048) == 4
+    assert bk.listener_block(1, 72000) == 4
+    assert bk.listener_block(16, 72000) == 1   # the old "<=16 bands" edge
+    assert bk.listener_block(32, 72000) == 0   # over budget even alone
+    assert bk.listener_block(32, 24000) >= 1
+
+
+def test_wide_band_kernel_matches_jnp_oracle():
+    # K=24 (past the old 16-band cap): whole-frame kernel vs jnp oracle,
+    # statistical parity (bf16 histogram rounding ~0.5%)
+    room = smoll_room(n_bands=24)
+    key = jax.random.PRNGKey(3)
+    p = TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0)
+    kw = dict(n_rays=512, max_bounces=B, sample_rate=8000, ir_length=2048)
+    ir = np.asarray(bk.trace_frame_ir_whole(room.scene, p, key, **kw))
+    from realisticaudioraytracing2d_tpu.ops import ir as irm
+    hits, _ = trace(room.scene, p, key, n_rays=512, max_bounces=B)
+    oracle = np.asarray(irm.scatter_hits(hits, 8000, 2048))
+    assert ir.shape == oracle.shape == (1, 2048, 24)
+    assert oracle.sum() > 0
+    assert abs(ir.sum() - oracle.sum()) / oracle.sum() < 1e-2
+    assert np.abs(ir - oracle).sum() / oracle.sum() < 2e-2
+
+
+def test_engine_routes_many_listeners_fused(monkeypatch):
+    # L=8/K=1 now routes to the fused path on TPU (blocked launches)
+    # instead of the jnp fallback; L=1/K=32 at 72k bins stays jnp (over
+    # the single-listener VMEM budget).
+    from realisticaudioraytracing2d_tpu import engine
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    room = smoll_room()
+    lis8 = jnp.zeros((8, 2), jnp.float32)
+    p8 = TraceParams.make(room.source, lis8, 0.5, 343.0, 1.0)
+    assert engine._fused_eligible(room.scene, p8, 72000)
+    room32 = smoll_room(n_bands=32)
+    p1 = TraceParams.make(room32.source, room32.listener, 0.5, 343.0, 1.0)
+    assert not engine._fused_eligible(room32.scene, p1, 72000)
+    assert engine._fused_eligible(room32.scene, p1, 24000)

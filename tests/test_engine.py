@@ -252,12 +252,15 @@ def test_auto_backend_big_scene_routing(monkeypatch):
     assert banded_calls and banded_calls[0]["ir_length"] == 512
     assert int(out.frames) == 1
 
-    # a 32-band big scene exceeds every kernel path -> (real) jnp, no raise
+    # a 32-band big scene with a LONG IR exceeds even the single-listener
+    # VMEM histogram budget -> (real) jnp, no raise (at short IRs wide
+    # bands are now kernel-eligible, so use 72k bins to overflow)
     b32 = SceneBuilder(n_bands=32)
     b32.add_box(MATERIAL_BORDER, size=(10.0, 10.0))
     big32 = b32.build(pad_to=6016)
-    assert not eng_mod._accel_eligible(big32, p, 512)
-    out = trace_accumulate(big32, p, irm.IRState.zeros(512, 1, 32),
+    assert eng_mod._accel_eligible(big32, p, 512)       # short IR: fused ok
+    assert not eng_mod._accel_eligible(big32, p, 72000)  # long IR: jnp
+    out = trace_accumulate(big32, p, irm.IRState.zeros(72000, 1, 32),
                            jax.random.PRNGKey(0), n_rays=128,
                            max_bounces=2, sample_rate=8000, n_frames=1,
                            backend="auto")

@@ -157,3 +157,55 @@ def test_mega_frames_are_independent_samples():
                            irm.IRState.zeros(4800, 1, 1), key,
                            n_frames=2, **kw)
     assert not np.allclose(np.asarray(two.sum), 2 * np.asarray(one.sum))
+
+
+def test_octo_listener_blocked_launch_bit_exact():
+    # L=8 > one launch's 4 scal slots: the wrapper splits into 4+4
+    # blocked launches with the same key. Ray physics never reads the
+    # listener table, so rows 0-3 must be BIT-identical to a standalone
+    # quad run, and all 8 listeners hear energy.
+    from realisticaudioraytracing2d_tpu.ops.pallas.bounce_kernel import (
+        trace_frames_ir_mega)
+    import jax.numpy as jnp
+    room = art.rooms.smoll_room()
+    lis8 = jnp.asarray([[1.0 + 0.3 * i, 0.5 - 0.2 * i] for i in range(8)],
+                       jnp.float32)
+    key = jax.random.PRNGKey(5)
+    kw = dict(n_rays=N_RAYS, max_bounces=BOUNCES, sample_rate=SR,
+              ir_length=IR_LEN, n_frames=4)
+    p8 = art.TraceParams.make(room.source, lis8, room.listener_radius,
+                              343.0, 1.0)
+    p4 = art.TraceParams.make(room.source, lis8[:4], room.listener_radius,
+                              343.0, 1.0)
+    ir8 = np.asarray(trace_frames_ir_mega(room.scene, p8, key, **kw))
+    ir4 = np.asarray(trace_frames_ir_mega(room.scene, p4, key, **kw))
+    assert ir8.shape == (8, IR_LEN, 1)
+    np.testing.assert_array_equal(ir8[:4], ir4)
+    assert (ir8.sum(axis=(1, 2)) > 0).all()
+
+
+@pytest.mark.parametrize("n_bands", [16, 32])
+def test_wide_band_mega_energy_parity(n_bands):
+    # K past the old (crashing) 16-band ceiling: whole-config energy and
+    # per-band structure vs the jnp oracle, statistical tolerance.
+    from realisticaudioraytracing2d_tpu.ops.pallas.bounce_kernel import (
+        trace_frames_ir_mega)
+    from realisticaudioraytracing2d_tpu.ops import trace as tr
+    room = art.rooms.smoll_room(n_bands=n_bands)
+    p = art.TraceParams.make(room.source, room.listener,
+                             room.listener_radius, 343.0, 1.0)
+    key = jax.random.PRNGKey(11)
+    frames = 4
+    ir = np.asarray(trace_frames_ir_mega(
+        room.scene, p, key, n_rays=4096, max_bounces=BOUNCES,
+        sample_rate=8000, ir_length=4800, n_frames=frames)) / frames
+    hits, _ = tr.trace(room.scene, p, key, n_rays=4096,
+                       max_bounces=BOUNCES)
+    oracle = np.asarray(irm.scatter_hits(hits, 8000, 4800))
+    assert ir.shape == oracle.shape == (1, 4800, n_bands)
+    assert oracle.sum() > 0
+    assert abs(ir.sum() - oracle.sum()) / oracle.sum() < 0.08
+    band_m, band_o = ir.sum(axis=(0, 1)), oracle.sum(axis=(0, 1))
+    assert np.corrcoef(band_m, band_o)[0, 1] > 0.999
+    # banded materials absorb more in high bands: monotone band energies
+    assert np.all(np.diff(band_m) < 0)
