@@ -119,6 +119,17 @@ def _draw_uniforms(rows: int, tile: int) -> jax.Array:
     return b24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
 
 
+def _banded_tile(tile_r: int, n_k: int) -> int:
+    """Shrink the ray-tile width for banded kernels: live [K, tile]
+    energy/absorption temporaries (~6 copies f32) plus the K-fold larger
+    per-bounce hist operands must share the VMEM the K=1 sizing assumed.
+    Scales ~1/K with a 128-lane floor. (Measured on v5e at K=32/24k
+    bins: ms/frame is flat in tile width — the banded frame is
+    histogram/band-math bound, not launch bound — so the conservative
+    floor costs nothing.)"""
+    return max(128, min(tile_r, (tile_r // n_k // 128) * 128 * 2))
+
+
 def _recip(x):
     """Fast reciprocal: hardware approx + one Newton step (~f32 accurate).
     fp32 divide is many VPU cycles; this is the wall-pass hot spot."""
@@ -645,7 +656,7 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
     n_walls = scenes.a.shape[1]
     tile_r = tile_r or auto_tile(n_walls)
     if n_k > 1:
-        tile_r = max(128, min(tile_r, (tile_r // n_k // 128) * 128 * 2))
+        tile_r = _banded_tile(tile_r, n_k)
     rp = _round_up(max(n_rays, tile_r), tile_r)
     n_tiles = rp // tile_r
 
@@ -751,7 +762,7 @@ def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
         raise NotImplementedError("mega kernel is TPU-only")
     tile_r = tile_r or auto_tile(scene.a.shape[0])
     if n_k > 1:
-        tile_r = max(128, min(tile_r, (tile_r // n_k // 128) * 128 * 2))
+        tile_r = _banded_tile(tile_r, n_k)
     rp = _round_up(max(n_rays, tile_r), tile_r)
     n_tiles = rp // tile_r
 
@@ -821,7 +832,7 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
     tile_r = tile_r or auto_tile(scene.a.shape[0])
     if n_k > 1:
         # banded: K hist blocks + [K, T] energy rows need extra VMEM
-        tile_r = max(128, min(tile_r, (tile_r // n_k // 128) * 128 * 2))
+        tile_r = _banded_tile(tile_r, n_k)
     if in_kernel_rng and _interpret():
         in_kernel_rng = False  # no interpret-mode lowering for the TPU PRNG
     state0, u_rows, scal, geo, attrs, rp, emit_jitter = _fused_setup(
@@ -1536,7 +1547,7 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
     scene_s, aabb = cluster_scene_jnp(scene, cluster_size)
     tile_r = tile_r or accel_tile(cluster_size, scene.a.shape[0], n_k)
     if n_k > 1:
-        tile_r = max(128, min(tile_r, (tile_r // n_k // 128) * 128 * 2))
+        tile_r = _banded_tile(tile_r, n_k)
     rp = _round_up(max(n_rays, tile_r), tile_r)
     n_tiles = rp // tile_r
 
