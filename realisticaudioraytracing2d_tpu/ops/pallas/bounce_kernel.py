@@ -628,8 +628,12 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
                         tile_r: int = 0) -> jax.Array:
     """Sweep a whole room batch in ONE kernel launch: returns frame-SUMMED
     IRs ``[n_rooms, L, ir_length, K]``. ``scenes`` is a stacked Scene
-    (uniform padded wall count), ``sources`` ``[R, 2]``, ``listeners``
-    ``[R, 2]`` or ``[R, L<=4, 2]``. TPU-only (on-core PRNG)."""
+    (uniform padded wall count) with leading dim ``n_rooms`` — or **1**,
+    in which case the single scene is shared by every batch entry without
+    replicating its tables in HBM (the multi-SOURCE batch:
+    `parallel/multisource.py`). ``sources`` ``[R, 2]``, ``listeners``
+    ``[R, 2]`` or ``[R, L, 2]``; ``input_gain`` a scalar or per-entry
+    ``[R]``. TPU-only (on-core PRNG)."""
     if _interpret():
         raise NotImplementedError("rooms mega kernel is TPU-only")
     n_rooms = sources.shape[0]
@@ -660,12 +664,18 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
     rp = _round_up(max(n_rays, tile_r), tile_r)
     n_tiles = rp // tile_r
 
-    geo = jax.vmap(pack_walls_rows)(scenes.a, scenes.b)   # [R, Wp, 8]
-    attrs = jax.vmap(pack_wall_attrs_t)(scenes)           # [R, rows, Wp]
+    geo = jax.vmap(pack_walls_rows)(scenes.a, scenes.b)   # [Rg, Wp, 8]
+    attrs = jax.vmap(pack_wall_attrs_t)(scenes)           # [Rg, rows, Wp]
+    n_geo = geo.shape[0]
+    if n_geo not in (1, n_rooms):
+        raise ValueError(f"scenes batch {n_geo} != sources batch "
+                         f"{n_rooms} (or 1 for a shared scene)")
+    gains = jnp.broadcast_to(
+        jnp.asarray(input_gain, jnp.float32), (n_rooms,))
     scal = jax.vmap(
-        lambda s, lis: _pack_scal2(s, lis, listener_radius,
-                                   speed_of_sound, input_gain, sample_rate)
-    )(sources.astype(jnp.float32), listeners.astype(jnp.float32))
+        lambda s, lis, g: _pack_scal2(s, lis, listener_radius,
+                                      speed_of_sound, g, sample_rate)
+    )(sources.astype(jnp.float32), listeners.astype(jnp.float32), gains)
 
     base = jax.random.randint(
         key, (), minval=0,
@@ -688,10 +698,13 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, 8), lambda r, f, i: (r, f, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wp, 8), lambda r, f, i: (r, 0, 0),
+            pl.BlockSpec((1, wp, 8),
+                         (lambda r, f, i: (0, 0, 0)) if n_geo == 1
+                         else (lambda r, f, i: (r, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, attrs.shape[1], wp),
-                         lambda r, f, i: (r, 0, 0),
+                         (lambda r, f, i: (0, 0, 0)) if n_geo == 1
+                         else (lambda r, f, i: (r, 0, 0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_rows, _LO), lambda r, f, i: (r, 0),

@@ -36,7 +36,7 @@ def trace_sources_mixdown(scene: Scene, params: TraceParams,
     (scan over sources; source pose/gain are traced values, so one
     compile); off-TPU it vmaps the jnp path."""
     from ..engine import _fused_eligible
-    from ..ops.pallas.bounce_kernel import trace_frames_ir_mega
+    from ..ops.pallas.bounce_kernel import trace_rooms_ir_mega
 
     sources = jnp.atleast_2d(params.source)
     n_src = sources.shape[0]
@@ -47,21 +47,23 @@ def trace_sources_mixdown(scene: Scene, params: TraceParams,
                  (backend == "auto"
                   and _fused_eligible(scene, params, ir_length)))
     if use_fused:
+        # ONE kernel launch for the whole source batch: sources ride the
+        # rooms-batch grid axis of the rooms-mega kernel with the scene
+        # tables SHARED (leading dim 1 — no HBM replication). Replaces
+        # the per-source lax.scan of launches (~launch+dispatch latency
+        # per source); mixdown stays a host-side sum (linear in energy).
         n_l = params.listeners.shape[0]
-
-        def body(acc, xs):
-            src, gain, k = xs
-            p = params._replace(source=src, input_gain=gain)
-            ir = trace_frames_ir_mega(scene, p, k, n_rays=n_rays,
-                                      max_bounces=max_bounces,
-                                      sample_rate=sample_rate,
-                                      ir_length=ir_length, n_frames=1)
-            return acc + ir, None
-
-        total, _ = jax.lax.scan(
-            body, jnp.zeros((n_l, ir_length, scene.n_bands), jnp.float32),
-            (sources, gains, keys))
-        return total
+        shared = jax.tree_util.tree_map(lambda x: x[None], scene)
+        lis = jnp.broadcast_to(params.listeners[None],
+                               (n_src, n_l, 2)).astype(jnp.float32)
+        irs = trace_rooms_ir_mega(
+            shared, sources.astype(jnp.float32), lis, key,
+            n_rays=n_rays, max_bounces=max_bounces,
+            sample_rate=sample_rate, ir_length=ir_length, n_frames=1,
+            listener_radius=params.listener_radius,
+            speed_of_sound=params.speed_of_sound,
+            input_gain=gains)                      # [S, L, T, K]
+        return jnp.sum(irs, axis=0)
 
     def one(src, gain, k):
         p = params._replace(source=src, input_gain=gain)
