@@ -1206,11 +1206,19 @@ def trace_accumulate_fused(scene, params: TraceParams, state, key, *,
     def body(st, i):
         k = jax.random.fold_in(key, i)
         if exact_scatter:
-            if params.listeners.shape[0] != 1:
-                raise ValueError("exact_scatter path supports one listener")
-            rows = trace_fused_rows(scene, params, k, n_rays=n_rays,
-                                    max_bounces=max_bounces, tile_r=tile_r)
-            ir = scatter_hits_rows(rows, sample_rate, ir_length)
+            # one single-listener rows pass per listener, same key: ray
+            # paths are listener-independent, so this is bit-exact vs a
+            # hypothetical multi-listener rows kernel
+            irs = []
+            for l0 in range(params.listeners.shape[0]):
+                p1 = params._replace(
+                    listeners=params.listeners[l0:l0 + 1])
+                rows = trace_fused_rows(scene, p1, k, n_rays=n_rays,
+                                        max_bounces=max_bounces,
+                                        tile_r=tile_r)
+                irs.append(scatter_hits_rows(rows, sample_rate,
+                                             ir_length))
+            ir = jnp.concatenate(irs, axis=0)
         else:
             # whole-frame kernel: bit-identical to the per-bounce hist
             # kernel (same uniforms) with one launch per frame

@@ -429,3 +429,26 @@ def test_engine_routes_many_listeners_fused(monkeypatch):
     p1 = TraceParams.make(room32.source, room32.listener, 0.5, 343.0, 1.0)
     assert not engine._fused_eligible(room32.scene, p1, 72000)
     assert engine._fused_eligible(room32.scene, p1, 24000)
+
+
+def test_exact_scatter_multi_listener(setup):
+    # The f32 exact-scatter path now covers multi-listener via one rows
+    # pass per listener (same key -> identical ray paths). Each row must
+    # equal the corresponding single-listener run bit-for-bit.
+    room, p, key = setup
+    ears = np.stack([[0.0, -3.68], [0.8, -3.2], [1.5, -2.0]]).astype(
+        np.float32)
+    p3 = TraceParams.make(p.source, ears, 0.5, 343.0, 1.0)
+    T = 4000
+    kw = dict(n_rays=512, max_bounces=4, sample_rate=8000, n_frames=1)
+    st = bk.trace_accumulate_fused(room.scene, p3, IRState.zeros(T, 3, 1),
+                                   key, exact_scatter=True, **kw)
+    a = np.asarray(st.sum)
+    assert a.shape == (3, T, 1)
+    for i in range(3):
+        p1 = TraceParams.make(p.source, ears[i:i + 1], 0.5, 343.0, 1.0)
+        s1 = bk.trace_accumulate_fused(room.scene, p1,
+                                       IRState.zeros(T, 1, 1), key,
+                                       exact_scatter=True, **kw)
+        np.testing.assert_array_equal(a[i:i + 1], np.asarray(s1.sum))
+    assert a.sum() > 0
