@@ -1,12 +1,12 @@
-"""Quad-microphone array demo: one trace pass, four listeners.
+"""Microphone-array demo: one trace pass, N x N listeners.
 
-Traces the SmollRoom once with a 2x2 microphone array around the shipped
-listener position (all four ears share every wall sweep inside the fused
-kernel — the marginal cost per extra listener is one NEE/capture pass,
-not a retrace), then bakes a 4-channel WAV whose inter-channel delays
-encode the array geometry.
+Traces the SmollRoom with a square microphone array around the shipped
+listener position (listeners in a launch share every wall sweep inside
+the fused kernel; past 4 listeners the wrapper adds bit-exact blocked
+launches — round 2 removed the listener cap), then bakes an N*N-channel
+WAV whose inter-channel delays encode the array geometry.
 
-Run:  python examples/quad_mic.py  [--tpu]
+Run:  python examples/quad_mic.py [--tpu] [--grid 3]
 """
 
 import argparse
@@ -20,6 +20,9 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--tpu", action="store_true",
                     help="use the default (TPU) backend")
 parser.add_argument("--out", default="quad_out")
+parser.add_argument("--grid", type=int, default=2,
+                    help="array side length (grid x grid mics; >2 "
+                    "exercises the blocked multi-launch path)")
 args = parser.parse_args()
 
 import jax  # noqa: E402
@@ -38,34 +41,41 @@ key = jax.random.PRNGKey(0)
 room = art.rooms.smoll_room()
 cfg = art.smoll_room_config(ray_count=4096)
 
-# 2x2 array, 1 m spacing, centered on the shipped listener
+# grid x grid array, 1 m spacing, centered on the shipped listener
+g = args.grid
+n_mics = g * g
 center = np.asarray(room.listener, np.float32)
-offsets = np.asarray([[-0.5, -0.5], [0.5, -0.5],
-                      [-0.5, 0.5], [0.5, 0.5]], np.float32)
+axis_off = (np.arange(g, dtype=np.float32) - (g - 1) / 2.0)
+offsets = np.stack(np.meshgrid(axis_off, axis_off),
+                   axis=-1).reshape(-1, 2)
 mics = center[None, :] + offsets
 
-eng = art.Engine(room.scene, cfg, n_listeners=4)
+eng = art.Engine(room.scene, cfg, n_listeners=n_mics)
 params = eng.params(room.source, mics)
 
 t0 = time.perf_counter()
 state = eng.trace_frames(params, key, n_frames=8)
 float(state.sum.sum())
-print(f"traced 4-mic array, 8 frames x 4096 rays in "
+print(f"traced {n_mics}-mic array, 8 frames x 4096 rays in "
       f"{time.perf_counter() - t0:.2f}s (incl. compile)")
 
-ir = np.asarray(state.normalized())          # [4, T, 1]
-first = [int(np.nonzero(ir[m, :, 0])[0][0]) for m in range(4)]
+ir = np.asarray(state.normalized())          # [n_mics, T, 1]
 sr = cfg.audio.sample_rate
+first = []
+for m in range(n_mics):
+    nz = np.nonzero(ir[m, :, 0])[0]
+    first.append(int(nz[0]) if nz.size else -1)  # -1: outside the room
 print("first arrival per mic (ms):",
-      [round(b / sr * 1e3, 2) for b in first])
-# mics closer to the source (upper-left) must hear the wavefront first
+      [round(b / sr * 1e3, 2) if b >= 0 else None for b in first])
+# among mics that heard anything, closer-to-source arrives first
+heard = [m for m in range(n_mics) if first[m] >= 0]
 d = np.linalg.norm(mics - np.asarray(room.source)[None, :], axis=1)
-order_geo = np.argsort(d)
-order_ir = np.argsort(first)
-assert list(order_geo) == list(order_ir), (order_geo, order_ir)
+order_geo = sorted(heard, key=lambda m: d[m])
+order_ir = sorted(heard, key=lambda m: first[m])
+assert order_geo == order_ir, (order_geo, order_ir)
 
 dry = audio_io.click_clip(1.0, sr, click_times=(0.1, 0.5))
-wet = np.asarray(eng.bake(jax.numpy.asarray(dry), state))   # [4, N+T]
-path = os.path.join(args.out, "quad.wav")
+wet = np.asarray(eng.bake(jax.numpy.asarray(dry), state))  # [mics, N+T]
+path = os.path.join(args.out, f"array_{g}x{g}.wav")
 audio_io.write_wav(path, wet.T, sr)
-print(f"wrote 4-channel {path} ({wet.shape[1]} samples)")
+print(f"wrote {n_mics}-channel {path} ({wet.shape[1]} samples)")
