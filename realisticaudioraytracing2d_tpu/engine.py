@@ -30,19 +30,23 @@ def _fused_eligible(scene: Scene, params: TraceParams,
                     ir_length: int) -> bool:
     """The fused Pallas path covers any listener count (listener blocks
     of <=4 are launched back-to-back, bit-exactly — ray physics never
-    reads the listener table) and any band count whose single-listener
-    histogram fits the scoped VMEM budget; it only pays off on real TPU
-    hardware (interpret mode elsewhere would be slower than XLA). Configs
-    past the budget fall back to the jnp path instead of failing to
-    compile."""
+    reads the listener table) and any practical band count: histograms
+    too large for VMEM even at one listener run as IR time-axis windows
+    (bit-exact, one shared compile); it only pays off on real TPU
+    hardware (interpret mode elsewhere would be slower than XLA). Only
+    scenes past the brute kernel's wall ceiling (routed to accel/jnp)
+    or absurd band counts (>~320) fall back."""
     if jax.default_backend() != "tpu":
         return False
-    from .ops.pallas.bounce_kernel import auto_tile, listener_block
+    from .ops.pallas.bounce_kernel import auto_tile, time_window
     try:
         auto_tile(scene.a.shape[0])  # raises past the ~5k-wall VMEM budget
     except ValueError:
         return False
-    return listener_block(scene.n_bands, ir_length) >= 1
+    # time_window >= 1 means the config can run as IR time-axis windows
+    # even when a full-length single-listener histogram overflows VMEM
+    # (subsumes the listener_block >= 1 condition)
+    return time_window(scene.n_bands) >= 1
 
 
 def _accel_eligible(scene, params: TraceParams, ir_length: int) -> bool:

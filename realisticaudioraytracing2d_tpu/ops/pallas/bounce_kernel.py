@@ -387,15 +387,19 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
 
 
 def _hist_listener(ir_ref, listener, n_bands, hi_rows, hi_ids, lo_ids,
-                   sr, ir_length, hits):
+                   sr, ir_length, hits, bin_offset=None):
     """Accumulate one listener's direct+NEE hit values into its per-band
     partial-IR blocks. Bin indices, validity masks and the lo-side one-hot
     are band-invariant and computed once per hit kind; only the hi-side
-    energy row varies per band."""
+    energy row varies per band. ``bin_offset`` (windowed launches) shifts
+    bins so this launch's VMEM block covers IR samples
+    ``[offset, offset + ir_length)``; out-of-window hits are masked."""
     acc = [None] * n_bands
     row_ids = None
     for delay, energy, valid in hits:
         bins = jnp.floor(delay * sr).astype(jnp.int32)
+        if bin_offset is not None:
+            bins = bins - bin_offset
         ok = valid & (bins >= 0) & (bins < ir_length)
         bins = jnp.where(ok, bins, 0)
         hi_d = bins // _LO
@@ -479,7 +483,8 @@ def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
             for l in range(n_listeners):
                 _hist_listener(ir_ref, l, n_bands, hi_rows, hi_ids,
                                lo_ids, sr, ir_length,
-                               [direct_hits[l], nee_hits[l]])
+                               [direct_hits[l], nee_hits[l]],
+                               bin_offset=scal_ref[1, 3].astype(jnp.int32))
 
     return kernel
 
@@ -533,17 +538,19 @@ def _make_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
             for l in range(n_listeners):
                 _hist_listener(ir_ref, l, n_bands, hi_rows, hi_ids,
                                lo_ids, sr, ir_length,
-                               [direct_hits[l], nee_hits[l]])
+                               [direct_hits[l], nee_hits[l]],
+                               bin_offset=scal_ref[1, 3].astype(jnp.int32))
 
     return kernel
 
 
 def _pack_scal2(source, listeners, listener_radius, speed_of_sound,
-                input_gain, sample_rate) -> jax.Array:
+                input_gain, sample_rate, bin_offset=0) -> jax.Array:
     """[3, 8] scalar table: row 0 = listener0 xy, radius, c, sample rate,
-    0, listener1 xy; row 1 = source xy, gain, 0...5; row 2 = listener2 xy,
-    listener3 xy, 0...4 (absent listeners fall back to listener 0 — the
-    kernels never read past ``n_listeners``-derived slots)."""
+    0, listener1 xy; row 1 = source xy, gain, bin_offset (the IR
+    time-window start for windowed launches), 0...4; row 2 = listener2
+    xy, listener3 xy, 0...4 (absent listeners fall back to listener 0 —
+    the kernels never read past ``n_listeners``-derived slots)."""
     def lis(i):
         return listeners[i] if listeners.shape[0] > i else listeners[0]
 
@@ -553,7 +560,8 @@ def _pack_scal2(source, listeners, listener_radius, speed_of_sound,
                       jnp.asarray(speed_of_sound, jnp.float32),
                       jnp.float32(sample_rate), z, lis(1)[0], lis(1)[1]])
     row1 = jnp.stack([source[0], source[1],
-                      jnp.asarray(input_gain, jnp.float32), z, z, z, z, z])
+                      jnp.asarray(input_gain, jnp.float32),
+                      jnp.asarray(bin_offset, jnp.float32), z, z, z, z])
     row2 = jnp.stack([lis(2)[0], lis(2)[1], lis(3)[0], lis(3)[1],
                       z, z, z, z])
     return jnp.stack([row0, row1, row2]).astype(jnp.float32)
@@ -611,7 +619,8 @@ def _make_rooms_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
             for l in range(n_listeners):
                 _hist_listener(ir_ref, l, n_bands, hi_rows, hi_ids,
                                lo_ids, scal[0, 4], ir_length,
-                               [direct_hits[l], nee_hits[l]])
+                               [direct_hits[l], nee_hits[l]],
+                               bin_offset=scal[1, 3].astype(jnp.int32))
 
     return kernel
 
@@ -731,6 +740,43 @@ def listener_block(n_bands: int, ir_length: int) -> int:
     return min(4, _HIST_VMEM_BUDGET // per_l)
 
 
+def time_window(n_bands: int) -> int:
+    """Largest IR window length (bins, multiple of 512) whose
+    SINGLE-listener histogram block fits the VMEM budget — the window
+    size used by :func:`_blocked_time` when a config's full-length
+    histogram cannot fit even one listener. 0 when even one 8-row block
+    is too large (n_bands > ~320)."""
+    max_hi = (_HIST_VMEM_BUDGET // (n_bands * _LO * 4) // _SUB) * _SUB
+    if max_hi < _SUB:
+        return 0
+    return (max_hi - 1) * _LO
+
+
+def _blocked_time(fn, scene, params: TraceParams, key, n_k: int,
+                  ir_length: int, kwargs: dict):
+    """IR time-axis decomposition for histograms too large for VMEM at
+    even one listener: split the IR into equal windows and trace each in
+    its own (listener-blocked) launch with a *traced* bin offset — hits
+    outside the window are masked in-kernel, and all windows share ONE
+    compiled program. Same key -> identical ray paths, and every hit
+    lands in exactly one window, so the concatenation is bit-exact vs a
+    hypothetical giant-VMEM launch. Cost: physics recomputed per
+    window (same trade as listener blocking)."""
+    tw = time_window(n_k)
+    if tw < 1:
+        raise ValueError(
+            f"{n_k} bands exceed the fused kernels' VMEM histogram "
+            f"budget at any window size; use backend='jnp'")
+    nw = -(-ir_length // tw)
+    tw = _round_up(-(-ir_length // nw), _LO)   # equalize window sizes
+    nw = -(-ir_length // tw)
+    parts = [fn(scene, params, key, ir_length=tw,
+                bin_offset=jnp.int32(w * tw), **kwargs)
+             for w in range(nw)]
+    out = parts[0] if nw == 1 else jnp.concatenate(parts, axis=1)
+    return out[:, :ir_length]
+
+
 def _blocked_listeners(fn, scene, params: TraceParams, key, n_l: int,
                        n_k: int, ir_length: int, kwargs: dict):
     """Arbitrary-listener decomposition, bit-exact: ray physics never
@@ -757,20 +803,28 @@ def _blocked_listeners(fn, scene, params: TraceParams, key, n_l: int,
 def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
                          n_rays: int, max_bounces: int, sample_rate: int,
                          ir_length: int, n_frames: int,
-                         tile_r: int = 0) -> jax.Array:
+                         tile_r: int = 0, bin_offset=0) -> jax.Array:
     """``n_frames`` Monte-Carlo frames in ONE kernel launch (frames on the
     grid's leading axis, all RNG on-core). Returns the frame-SUMMED IR
     ``[L, ir_length, K]``. TPU-only (the core PRNG has no interpret-mode
     lowering); statistically equivalent to the host-RNG paths but a
-    different (still key-deterministic) sample stream."""
+    different (still key-deterministic) sample stream. ``bin_offset``
+    (traced) starts the IR window at that bin — used by the time-axis
+    decomposition for over-VMEM histograms."""
     n_l = params.listeners.shape[0]
     n_k = scene.n_bands
+    if listener_block(n_k, ir_length) < 1:
+        return _blocked_time(
+            trace_frames_ir_mega, scene, params, key, n_k, ir_length,
+            dict(n_rays=n_rays, max_bounces=max_bounces,
+                 sample_rate=sample_rate, n_frames=n_frames,
+                 tile_r=tile_r))
     if n_l > listener_block(n_k, ir_length):
         return _blocked_listeners(
             trace_frames_ir_mega, scene, params, key, n_l, n_k, ir_length,
             dict(n_rays=n_rays, max_bounces=max_bounces,
                  sample_rate=sample_rate, ir_length=ir_length,
-                 n_frames=n_frames, tile_r=tile_r))
+                 n_frames=n_frames, tile_r=tile_r, bin_offset=bin_offset))
     if _interpret():
         raise NotImplementedError("mega kernel is TPU-only")
     tile_r = tile_r or auto_tile(scene.a.shape[0])
@@ -783,7 +837,7 @@ def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
     attrs = pack_wall_attrs_t(scene)
     scal = _pack_scal2(params.source, params.listeners,
                        params.listener_radius, params.speed_of_sound,
-                       params.input_gain, sample_rate)
+                       params.input_gain, sample_rate, bin_offset)
     # One base draw, then structurally disjoint seeds: (frame f, tile i)
     # seeds the core PRNG with base + f*n_tiles + i (kernel adds i), so no
     # two streams can collide by construction — independent per-frame draws
@@ -831,17 +885,25 @@ def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
 def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
                          n_rays: int, max_bounces: int, sample_rate: int,
                          ir_length: int, tile_r: int = 0,
-                         in_kernel_rng: bool = False) -> jax.Array:
+                         in_kernel_rng: bool = False,
+                         bin_offset=0) -> jax.Array:
     """One Monte-Carlo frame -> IR ``[L, ir_length, 1]`` with the ENTIRE
     frame (emission, every bounce, binning) in a single kernel launch."""
     n_l = params.listeners.shape[0]
     n_k = scene.n_bands
+    if listener_block(n_k, ir_length) < 1:
+        return _blocked_time(
+            trace_frame_ir_whole, scene, params, key, n_k, ir_length,
+            dict(n_rays=n_rays, max_bounces=max_bounces,
+                 sample_rate=sample_rate, tile_r=tile_r,
+                 in_kernel_rng=in_kernel_rng))
     if n_l > listener_block(n_k, ir_length):
         return _blocked_listeners(
             trace_frame_ir_whole, scene, params, key, n_l, n_k, ir_length,
             dict(n_rays=n_rays, max_bounces=max_bounces,
                  sample_rate=sample_rate, ir_length=ir_length,
-                 tile_r=tile_r, in_kernel_rng=in_kernel_rng))
+                 tile_r=tile_r, in_kernel_rng=in_kernel_rng,
+                 bin_offset=bin_offset))
     tile_r = tile_r or auto_tile(scene.a.shape[0])
     if n_k > 1:
         # banded: K hist blocks + [K, T] energy rows need extra VMEM
@@ -850,7 +912,7 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
         in_kernel_rng = False  # no interpret-mode lowering for the TPU PRNG
     state0, u_rows, scal, geo, attrs, rp, emit_jitter = _fused_setup(
         scene, params, key, n_rays, max_bounces, tile_r, sample_rate,
-        skip_u=in_kernel_rng)
+        skip_u=in_kernel_rng, bin_offset=bin_offset)
     del state0
     # seeds / uniforms (emission jitter comes from the setup above)
     if in_kernel_rng:
@@ -956,7 +1018,8 @@ def _make_bounce_hist_kernel(hi_rows: int, ir_length: int,
         lo_ids = jax.lax.broadcasted_iota(jnp.int32, (_LO, tile), 0)
 
         def slot(delay_row, energy_row, valid_row):
-            bins = jnp.floor(delay_row * sr).astype(jnp.int32)    # [1, T]
+            bins = (jnp.floor(delay_row * sr).astype(jnp.int32)
+                    - scal_ref[1, 3].astype(jnp.int32))           # [1, T]
             ok = (valid_row > 0.5) & (bins >= 0) & (bins < ir_length)
             e_eff = jnp.where(ok, energy_row, 0.0)
             bins = jnp.where(ok, bins, 0)
@@ -1049,7 +1112,7 @@ def scatter_hits_rows(hits_rows: jax.Array, sample_rate: int,
 
 
 def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
-                 sample_rate=0.0, skip_u=False):
+                 sample_rate=0.0, skip_u=False, bin_offset=0):
     """Shared state/operand packing for the fused kernels. Returns
     (state0, u_rows, scal, geo, attrs, rp, emit_jitter)."""
     r = n_rays
@@ -1078,7 +1141,7 @@ def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
     attrs = pack_wall_attrs_t(scene)
     scal = _pack_scal2(params.source, params.listeners,
                        params.listener_radius, params.speed_of_sound,
-                       params.input_gain, sample_rate)
+                       params.input_gain, sample_rate, bin_offset)
     u_rows = None if u is None else \
         jnp.pad(jnp.moveaxis(u, -1, 1), [(0, 0), (0, 5), (0, rp - r)])
     return state0, u_rows, scal, geo, attrs, rp, emit_jitter
@@ -1497,7 +1560,8 @@ def _make_accel_kernel(hi_rows: int, ir_length: int, n_listeners: int,
             for l in range(n_listeners):
                 _hist_listener(ir_ref, l, n_bands, hi_rows, hi_ids,
                                lo_ids, sr, ir_length,
-                               [direct_hits[l], nee_hits[l]])
+                               [direct_hits[l], nee_hits[l]],
+                               bin_offset=scal_ref[1, 3].astype(jnp.int32))
 
     return kernel
 

@@ -417,8 +417,9 @@ def test_wide_band_kernel_matches_jnp_oracle():
 
 def test_engine_routes_many_listeners_fused(monkeypatch):
     # L=8/K=1 now routes to the fused path on TPU (blocked launches)
-    # instead of the jnp fallback; L=1/K=32 at 72k bins stays jnp (over
-    # the single-listener VMEM budget).
+    # instead of the jnp fallback; L=1/K=32 at 72k bins is fused too —
+    # via IR time-axis windows (round 2); only absurd band counts that
+    # can't fit even one 8-row window block fall back.
     from realisticaudioraytracing2d_tpu import engine
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     room = smoll_room()
@@ -427,8 +428,38 @@ def test_engine_routes_many_listeners_fused(monkeypatch):
     assert engine._fused_eligible(room.scene, p8, 72000)
     room32 = smoll_room(n_bands=32)
     p1 = TraceParams.make(room32.source, room32.listener, 0.5, 343.0, 1.0)
-    assert not engine._fused_eligible(room32.scene, p1, 72000)
+    assert engine._fused_eligible(room32.scene, p1, 72000)
     assert engine._fused_eligible(room32.scene, p1, 24000)
+    assert bk.time_window(512) == 0  # genuinely impossible band count
+
+
+def test_time_windowed_hist_partition_invariant():
+    # Over-VMEM histograms run as IR time windows (traced bin offset,
+    # one shared compile). The decomposition must be EXACT: any window
+    # partition gives bit-identical results (same key -> same rays; each
+    # hit lands in exactly one window).
+    room = smoll_room(n_bands=32)
+    p = TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0)
+    key = jax.random.PRNGKey(4)
+    T = 48128
+    assert bk.listener_block(32, T) == 0        # forces the windowed path
+    kw = dict(n_rays=256, max_bounces=4, sample_rate=48000, ir_length=T)
+    a = np.asarray(bk.trace_frame_ir_whole(room.scene, p, key, **kw))
+    assert a.shape == (1, T, 32)
+    orig = bk.time_window
+    bk.time_window = lambda n_bands: 16384      # different boundaries
+    try:
+        b = np.asarray(bk.trace_frame_ir_whole.__wrapped__(
+            room.scene, p, key, **kw))
+    finally:
+        bk.time_window = orig
+    np.testing.assert_array_equal(a, b)
+    # and the windowed result matches the jnp oracle statistically
+    from realisticaudioraytracing2d_tpu.ops import ir as irm
+    hits, _ = trace(room.scene, p, key, n_rays=256, max_bounces=4)
+    oracle = np.asarray(irm.scatter_hits(hits, 48000, T))
+    assert oracle.sum() > 0
+    assert abs(a.sum() - oracle.sum()) / oracle.sum() < 1e-2
 
 
 def test_exact_scatter_multi_listener(setup):

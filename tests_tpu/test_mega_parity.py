@@ -209,3 +209,30 @@ def test_wide_band_mega_energy_parity(n_bands):
     assert np.corrcoef(band_m, band_o)[0, 1] > 0.999
     # banded materials absorb more in high bands: monotone band energies
     assert np.all(np.diff(band_m) < 0)
+
+
+def test_time_windowed_wide_band_full_length_on_chip():
+    # K=32 at the full 72k-bin reference IR cannot fit VMEM even for one
+    # listener: the mega wrapper runs it as IR time windows (one shared
+    # compile, traced bin offset). Energy parity vs the jnp oracle and
+    # per-key determinism on the real chip.
+    from realisticaudioraytracing2d_tpu.ops.pallas.bounce_kernel import (
+        listener_block, trace_frames_ir_mega)
+    from realisticaudioraytracing2d_tpu.ops import trace as tr
+    room = art.rooms.smoll_room(n_bands=32)
+    p = art.TraceParams.make(room.source, room.listener,
+                             room.listener_radius, 343.0, 1.0)
+    assert listener_block(32, 72000) == 0     # really takes the window path
+    key = jax.random.PRNGKey(3)
+    kw = dict(n_rays=N_RAYS, max_bounces=BOUNCES, sample_rate=SR,
+              ir_length=72000, n_frames=8)
+    ir = np.asarray(trace_frames_ir_mega(room.scene, p, key, **kw)) / 8
+    hits, _ = tr.trace(room.scene, p, key, n_rays=N_RAYS,
+                       max_bounces=BOUNCES)
+    oracle = np.asarray(irm.scatter_hits(hits, SR, 72000))
+    assert ir.shape == oracle.shape == (1, 72000, 32)
+    assert abs(ir.sum() - oracle.sum()) / oracle.sum() < 0.05
+    band_m, band_o = ir.sum(axis=(0, 1)), oracle.sum(axis=(0, 1))
+    assert np.corrcoef(band_m, band_o)[0, 1] > 0.999
+    again = np.asarray(trace_frames_ir_mega(room.scene, p, key, **kw)) / 8
+    np.testing.assert_array_equal(ir, again)
