@@ -67,12 +67,18 @@ for m in range(n_mics):
     first.append(int(nz[0]) if nz.size else -1)  # -1: outside the room
 print("first arrival per mic (ms):",
       [round(b / sr * 1e3, 2) if b >= 0 else None for b in first])
-# among mics that heard anything, closer-to-source arrives first
+# among mics that heard anything, closer-to-source arrives first —
+# checked pairwise with a distance margin: arrival bins quantize to
+# sample resolution and first arrivals are multi-bounce paths, so
+# near-equidistant mics may tie or swap by a bin
 heard = [m for m in range(n_mics) if first[m] >= 0]
 d = np.linalg.norm(mics - np.asarray(room.source)[None, :], axis=1)
-order_geo = sorted(heard, key=lambda m: d[m])
-order_ir = sorted(heard, key=lambda m: first[m])
-assert order_geo == order_ir, (order_geo, order_ir)
+margin = 2.0 * 343.0 / sr   # two sample bins of path length
+for i in heard:
+    for j in heard:
+        if d[i] + margin < d[j]:
+            assert first[i] <= first[j] + 2, (i, j, d[i], d[j],
+                                              first[i], first[j])
 
 dry = audio_io.click_clip(1.0, sr, click_times=(0.1, 0.5))
 wet = np.asarray(eng.bake(jax.numpy.asarray(dry), state))  # [mics, N+T]

@@ -49,6 +49,22 @@ def _fused_eligible(scene: Scene, params: TraceParams,
     return time_window(scene.n_bands) >= 1
 
 
+def _rooms_fused_eligible(scene: Scene, params: TraceParams,
+                          ir_length: int) -> bool:
+    """Eligibility for the ROOMS-batched mega kernel (dataset sweeps,
+    one-launch multi-source mixdown). Unlike the single-scene wrappers it
+    has no IR time-window decomposition, so the full-length histogram
+    must fit VMEM for at least one listener."""
+    if jax.default_backend() != "tpu":
+        return False
+    from .ops.pallas.bounce_kernel import auto_tile, listener_block
+    try:
+        auto_tile(scene.a.shape[0])
+    except ValueError:
+        return False
+    return listener_block(scene.n_bands, ir_length) >= 1
+
+
 def _accel_eligible(scene, params: TraceParams, ir_length: int) -> bool:
     """Large-scene cluster-early-out path (docs/ACCEL.md): any wall count,
     any listener count (blocked launches), bands limited by the VMEM

@@ -413,7 +413,12 @@ def _hist_listener(ir_ref, listener, n_bands, hi_rows, hi_ids, lo_ids,
                 # Mosaic's vector lowering (v5e) crashes extracting rows
                 # at sublane offsets >= 8 from computed band values
                 # ("limits <= dim" in ApplyVectorLayout); a masked
-                # sublane reduction produces the same row and lowers fine
+                # sublane reduction produces the same row and lowers
+                # fine. NOTE: the cheaper aligned-8-row-chunk extraction
+                # (used on the attrs MATMUL result in _bounce_step) was
+                # tried here first and crashes identically on these
+                # elementwise-computed values — the O(K*T)-per-row
+                # reduction is the workaround, not an oversight.
                 if row_ids is None:
                     row_ids = jax.lax.broadcasted_iota(
                         jnp.int32, (n_bands, energy.shape[1]), 0)
@@ -753,7 +758,7 @@ def time_window(n_bands: int) -> int:
 
 
 def _blocked_time(fn, scene, params: TraceParams, key, n_k: int,
-                  ir_length: int, kwargs: dict):
+                  ir_length: int, kwargs: dict, base_offset=0):
     """IR time-axis decomposition for histograms too large for VMEM at
     even one listener: split the IR into equal windows and trace each in
     its own (listener-blocked) launch with a *traced* bin offset — hits
@@ -770,8 +775,9 @@ def _blocked_time(fn, scene, params: TraceParams, key, n_k: int,
     nw = -(-ir_length // tw)
     tw = _round_up(-(-ir_length // nw), _LO)   # equalize window sizes
     nw = -(-ir_length // tw)
+    base = jnp.asarray(base_offset, jnp.int32)  # caller's window start
     parts = [fn(scene, params, key, ir_length=tw,
-                bin_offset=jnp.int32(w * tw), **kwargs)
+                bin_offset=base + jnp.int32(w * tw), **kwargs)
              for w in range(nw)]
     out = parts[0] if nw == 1 else jnp.concatenate(parts, axis=1)
     return out[:, :ir_length]
@@ -818,7 +824,7 @@ def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
             trace_frames_ir_mega, scene, params, key, n_k, ir_length,
             dict(n_rays=n_rays, max_bounces=max_bounces,
                  sample_rate=sample_rate, n_frames=n_frames,
-                 tile_r=tile_r))
+                 tile_r=tile_r), base_offset=bin_offset)
     if n_l > listener_block(n_k, ir_length):
         return _blocked_listeners(
             trace_frames_ir_mega, scene, params, key, n_l, n_k, ir_length,
@@ -896,7 +902,7 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
             trace_frame_ir_whole, scene, params, key, n_k, ir_length,
             dict(n_rays=n_rays, max_bounces=max_bounces,
                  sample_rate=sample_rate, tile_r=tile_r,
-                 in_kernel_rng=in_kernel_rng))
+                 in_kernel_rng=in_kernel_rng), base_offset=bin_offset)
     if n_l > listener_block(n_k, ir_length):
         return _blocked_listeners(
             trace_frame_ir_whole, scene, params, key, n_l, n_k, ir_length,

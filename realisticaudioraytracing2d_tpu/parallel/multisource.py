@@ -35,7 +35,7 @@ def trace_sources_mixdown(scene: Scene, params: TraceParams,
     ``backend="auto"`` routes each source through the fused TPU kernel
     (scan over sources; source pose/gain are traced values, so one
     compile); off-TPU it vmaps the jnp path."""
-    from ..engine import _fused_eligible
+    from ..engine import _rooms_fused_eligible
     from ..ops.pallas.bounce_kernel import trace_rooms_ir_mega
 
     sources = jnp.atleast_2d(params.source)
@@ -45,7 +45,7 @@ def trace_sources_mixdown(scene: Scene, params: TraceParams,
 
     use_fused = (backend == "fused" or
                  (backend == "auto"
-                  and _fused_eligible(scene, params, ir_length)))
+                  and _rooms_fused_eligible(scene, params, ir_length)))
     if use_fused:
         # ONE kernel launch for the whole source batch: sources ride the
         # rooms-batch grid axis of the rooms-mega kernel with the scene

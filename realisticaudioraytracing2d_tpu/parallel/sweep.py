@@ -41,10 +41,10 @@ def sweep_rooms(scenes: Scene, sources: jax.Array, listeners: jax.Array,
 
     p0 = TraceParams.make(sources[0], listeners[0], listener_radius,
                           speed_of_sound, input_gain)
-    from ..engine import _fused_eligible
+    from ..engine import _rooms_fused_eligible
     use_fused = (backend == "fused" or
                  (backend == "auto"
-                  and _fused_eligible(_index_scene(scenes, 0), p0,
+                  and _rooms_fused_eligible(_index_scene(scenes, 0), p0,
                                       ir_length)))
     if use_fused:
         # whole dataset in ONE kernel launch: rooms are the leading grid

@@ -483,3 +483,32 @@ def test_exact_scatter_multi_listener(setup):
                                        exact_scatter=True, **kw)
         np.testing.assert_array_equal(a[i:i + 1], np.asarray(s1.sum))
     assert a.sum() > 0
+
+
+def test_rooms_eligibility_excludes_over_vmem_configs(monkeypatch):
+    # Regression: sweep/multisource route through the ROOMS kernel, which
+    # has no time-window decomposition — their predicate must reject what
+    # only the single-scene wrappers can window, keeping the jnp fallback
+    # (previously this crashed with a ValueError on TPU).
+    from realisticaudioraytracing2d_tpu import engine
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    room32 = smoll_room(n_bands=32)
+    p = TraceParams.make(room32.source, room32.listener, 0.5, 343.0, 1.0)
+    assert engine._fused_eligible(room32.scene, p, 72000)       # windowed
+    assert not engine._rooms_fused_eligible(room32.scene, p, 72000)
+    assert engine._rooms_fused_eligible(room32.scene, p, 24000)
+
+
+def test_time_window_respects_caller_bin_offset():
+    # Regression: a caller-supplied bin_offset must shift every window,
+    # not be silently dropped by the time decomposition.
+    room = smoll_room(n_bands=32)
+    p = TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0)
+    key = jax.random.PRNGKey(4)
+    T = 48128
+    kw = dict(n_rays=256, max_bounces=4, sample_rate=48000, ir_length=T)
+    a = np.asarray(bk.trace_frame_ir_whole(room.scene, p, key, **kw))
+    b = np.asarray(bk.trace_frame_ir_whole(room.scene, p, key,
+                                           bin_offset=512, **kw))
+    # b covers IR samples [512, 512+T): the overlap must be bit-equal
+    np.testing.assert_array_equal(b[:, :T - 512], a[:, 512:])
