@@ -67,13 +67,13 @@ def _rooms_fused_eligible(scene: Scene, params: TraceParams,
 
 def _accel_eligible(scene, params: TraceParams, ir_length: int) -> bool:
     """Large-scene cluster-early-out path (docs/ACCEL.md): any wall count,
-    any listener count (blocked launches), bands limited by the VMEM
-    histogram budget, TPU only. K = 1 additionally gets the per-bounce
+    any listener count (blocked launches), over-VMEM histograms as IR
+    time windows, TPU only. K = 1 additionally gets the per-bounce
     Morton ray re-sort (best skip rates); banded scenes use the
     one-launch accel kernel (early-out without re-sort)."""
-    from .ops.pallas.bounce_kernel import listener_block
+    from .ops.pallas.bounce_kernel import time_window
     return (jax.default_backend() == "tpu"
-            and listener_block(scene.n_bands, ir_length) >= 1)
+            and time_window(scene.n_bands) >= 1)
 
 
 @partial(jax.jit,

@@ -1609,7 +1609,8 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
                           ir_length: int, n_frames: int = 1,
                           cluster_size: int = ACCEL_CLUSTER,
                           tile_r: int = 0, in_kernel_rng: bool = True,
-                          early_out: bool = True) -> jax.Array:
+                          early_out: bool = True,
+                          bin_offset=0) -> jax.Array:
     """Large-scene path: ``n_frames`` Monte-Carlo frames through the
     cluster-early-out kernel, one launch. Returns the frame-SUMMED IR
     ``[L, ir_length, K]``. No wall-count ceiling (chunk temporaries are
@@ -1620,6 +1621,14 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
     :func:`trace_frame_ir_whole` on the same pre-sorted scene."""
     n_l = params.listeners.shape[0]
     n_k = scene.n_bands
+    if listener_block(n_k, ir_length) < 1:
+        return _blocked_time(
+            trace_frames_ir_accel, scene, params, key, n_k, ir_length,
+            dict(n_rays=n_rays, max_bounces=max_bounces,
+                 sample_rate=sample_rate, n_frames=n_frames,
+                 cluster_size=cluster_size, tile_r=tile_r,
+                 in_kernel_rng=in_kernel_rng, early_out=early_out),
+            base_offset=bin_offset)
     if n_l > listener_block(n_k, ir_length):
         return _blocked_listeners(
             trace_frames_ir_accel, scene, params, key, n_l, n_k, ir_length,
@@ -1627,7 +1636,7 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
                  sample_rate=sample_rate, ir_length=ir_length,
                  n_frames=n_frames, cluster_size=cluster_size,
                  tile_r=tile_r, in_kernel_rng=in_kernel_rng,
-                 early_out=early_out))
+                 early_out=early_out, bin_offset=bin_offset))
     if _interpret() and in_kernel_rng:
         raise NotImplementedError(
             "on-core PRNG is TPU-only; use in_kernel_rng=False off-TPU")
@@ -1646,7 +1655,7 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
     attrs = pack_wall_attrs_t(scene_s)
     scal = _pack_scal2(params.source, params.listeners,
                        params.listener_radius, params.speed_of_sound,
-                       params.input_gain, sample_rate)
+                       params.input_gain, sample_rate, bin_offset)
     wp = geo.shape[0]
     n_clusters = wp // cluster_size
     aabb8 = jnp.pad(aabb, [(0, 0), (0, 4)])           # [C, 8] scalar table

@@ -512,3 +512,28 @@ def test_time_window_respects_caller_bin_offset():
                                            bin_offset=512, **kw))
     # b covers IR samples [512, 512+T): the overlap must be bit-equal
     np.testing.assert_array_equal(b[:, :T - 512], a[:, 512:])
+
+
+def test_accel_time_windowed_matches_unwindowed_whole():
+    # Large-scene accel path with an over-VMEM histogram (K=32 x 48k
+    # bins): runs as IR time windows. Partition invariance vs a
+    # different window size, bit-exact (host-threefry uniforms, so the
+    # accel kernel is also bit-comparable across partitions).
+    room = smoll_room(n_bands=32)
+    p = TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0)
+    key = jax.random.PRNGKey(6)
+    T = 48128
+    assert bk.listener_block(32, T) == 0
+    kw = dict(n_rays=128, max_bounces=3, sample_rate=48000, ir_length=T,
+              n_frames=1, in_kernel_rng=False)
+    a = np.asarray(bk.trace_frames_ir_accel(room.scene, p, key, **kw))
+    assert a.shape == (1, T, 32)
+    assert a.sum() > 0
+    orig = bk.time_window
+    bk.time_window = lambda n_bands: 16384
+    try:
+        b = np.asarray(bk.trace_frames_ir_accel.__wrapped__(
+            room.scene, p, key, **kw))
+    finally:
+        bk.time_window = orig
+    np.testing.assert_array_equal(a, b)

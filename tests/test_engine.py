@@ -242,7 +242,7 @@ def test_auto_backend_big_scene_routing(monkeypatch):
 
     def fake_accel_banded(scene, params, key, **kw):
         banded_calls.append(kw)
-        return jnp.zeros((1, kw["ir_length"], 4), jnp.float32)
+        return jnp.zeros((1, kw["ir_length"], scene.n_bands), jnp.float32)
 
     monkeypatch.setattr(bk, "trace_frames_ir_accel", fake_accel_banded)
     out = trace_accumulate(big4, p, irm.IRState.zeros(512, 1, 4),
@@ -252,19 +252,29 @@ def test_auto_backend_big_scene_routing(monkeypatch):
     assert banded_calls and banded_calls[0]["ir_length"] == 512
     assert int(out.frames) == 1
 
-    # a 32-band big scene with a LONG IR exceeds even the single-listener
-    # VMEM histogram budget -> (real) jnp, no raise (at short IRs wide
-    # bands are now kernel-eligible, so use 72k bins to overflow)
+    # a 32-band big scene is accel-eligible at ANY IR length now (over-
+    # VMEM histograms run as time windows inside trace_frames_ir_accel);
+    # the fake sees the full 72k request in one call
     b32 = SceneBuilder(n_bands=32)
     b32.add_box(MATERIAL_BORDER, size=(10.0, 10.0))
     big32 = b32.build(pad_to=6016)
-    assert eng_mod._accel_eligible(big32, p, 512)       # short IR: fused ok
-    assert not eng_mod._accel_eligible(big32, p, 72000)  # long IR: jnp
+    assert eng_mod._accel_eligible(big32, p, 512)
+    assert eng_mod._accel_eligible(big32, p, 72000)     # windowed inside
+    banded_calls.clear()
     out = trace_accumulate(big32, p, irm.IRState.zeros(72000, 1, 32),
                            jax.random.PRNGKey(0), n_rays=128,
                            max_bounces=2, sample_rate=8000, n_frames=1,
                            backend="auto")
-    assert int(out.frames) == 1  # no ValueError: routed to jnp
+    assert banded_calls and banded_calls[0]["ir_length"] == 72000
+    assert int(out.frames) == 1
+    # only absurd band counts (no 8-row window block fits) stay jnp
+    from realisticaudioraytracing2d_tpu.ops.pallas.bounce_kernel import (
+        time_window)
+    assert time_window(512) == 0
+    b512 = SceneBuilder(n_bands=512)
+    b512.add_box(MATERIAL_BORDER, size=(10.0, 10.0))
+    big512 = b512.build(pad_to=6016)
+    assert not eng_mod._accel_eligible(big512, p, 512)
 
 
 def test_incremental_accumulation_reduces_variance():
