@@ -52,17 +52,19 @@ def _fused_eligible(scene: Scene, params: TraceParams,
 def _rooms_fused_eligible(scene: Scene, params: TraceParams,
                           ir_length: int) -> bool:
     """Eligibility for the ROOMS-batched mega kernel (dataset sweeps,
-    one-launch multi-source mixdown). Unlike the single-scene wrappers it
-    has no IR time-window decomposition, so the full-length histogram
-    must fit VMEM for at least one listener."""
+    one-launch multi-source mixdown). Round 3: the rooms kernel gained
+    the same IR time-window decomposition as the single-scene wrappers,
+    so banded/long-IR sweeps and mixdowns stay fused — only scenes past
+    the brute kernel's wall ceiling or absurd band counts (>~320) fall
+    back to jnp."""
     if jax.default_backend() != "tpu":
         return False
-    from .ops.pallas.bounce_kernel import auto_tile, listener_block
+    from .ops.pallas.bounce_kernel import auto_tile, time_window
     try:
         auto_tile(scene.a.shape[0])
     except ValueError:
         return False
-    return listener_block(scene.n_bands, ir_length) >= 1
+    return time_window(scene.n_bands) >= 1
 
 
 def _accel_eligible(scene, params: TraceParams, ir_length: int) -> bool:
