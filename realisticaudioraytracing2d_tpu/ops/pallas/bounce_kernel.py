@@ -630,6 +630,59 @@ def _make_rooms_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
     return kernel
 
 
+def _rooms_interpret_fallback(scenes, sources, listeners, key, *, n_rays,
+                              max_bounces, sample_rate, ir_length,
+                              n_frames, listener_radius, speed_of_sound,
+                              input_gain, bin_offset, seed_offset):
+    """Off-TPU implementation of the rooms batch: lax.scan over batch
+    entries, each entry a scan of host-uniform whole-frame kernel launches
+    (interpret-mode Pallas). Matches the TPU mega kernel statistically
+    (different, still key-deterministic streams) and exactly in shape/
+    normalization (frame-SUMMED ``[R, L, T, K]``)."""
+    n_rooms = sources.shape[0]
+    n_l = listeners.shape[1]
+    n_k = scenes.absorption.shape[-1]
+    shared = scenes.a.shape[0] == 1 and n_rooms != 1
+    gains = jnp.broadcast_to(jnp.asarray(input_gain, jnp.float32),
+                             (n_rooms,))
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.asarray(seed_offset, jnp.int32) +
+        jnp.arange(n_rooms, dtype=jnp.int32))
+
+    def one_entry(scene_r, src, lis, gain, k):
+        p = TraceParams.make(src, lis, listener_radius, speed_of_sound,
+                             gain)
+
+        def frame(acc, f):
+            ir = trace_frame_ir_whole(
+                scene_r, p, jax.random.fold_in(k, f), n_rays=n_rays,
+                max_bounces=max_bounces, sample_rate=sample_rate,
+                ir_length=ir_length, bin_offset=bin_offset)
+            return acc + ir, None
+
+        acc0 = jnp.zeros((n_l, ir_length, n_k), jnp.float32)
+        acc, _ = jax.lax.scan(frame, acc0,
+                              jnp.arange(n_frames, dtype=jnp.int32))
+        return acc
+
+    if shared:
+        scene0 = jax.tree_util.tree_map(lambda x: x[0], scenes)
+
+        def body(carry, xs):
+            src, lis, gain, k = xs
+            return carry, one_entry(scene0, src, lis, gain, k)
+
+        _, irs = jax.lax.scan(body, 0, (sources, listeners, gains, keys))
+    else:
+        def body(carry, xs):
+            scene_r, src, lis, gain, k = xs
+            return carry, one_entry(scene_r, src, lis, gain, k)
+
+        _, irs = jax.lax.scan(
+            body, 0, (scenes, sources, listeners, gains, keys))
+    return irs                                     # [R, L, T, K]
+
+
 @functools.partial(jax.jit, static_argnames=("n_rays", "max_bounces",
                                              "sample_rate", "ir_length",
                                              "n_frames", "tile_r"))
@@ -639,7 +692,8 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
                         listener_radius: float = 0.5,
                         speed_of_sound: float = 343.0,
                         input_gain: float = 1.0,
-                        tile_r: int = 0, bin_offset=0) -> jax.Array:
+                        tile_r: int = 0, bin_offset=0,
+                        seed_offset=0) -> jax.Array:
     """Sweep a whole room batch in ONE kernel launch: returns frame-SUMMED
     IRs ``[n_rooms, L, ir_length, K]``. ``scenes`` is a stacked Scene
     (uniform padded wall count) with leading dim ``n_rooms`` — or **1**,
@@ -649,8 +703,17 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
     ``[R, 2]`` or ``[R, L, 2]``; ``input_gain`` a scalar or per-entry
     ``[R]``. Over-VMEM histograms (wide bands x long IRs) run as IR
     time-axis windows, same as the single-scene wrappers (round-3 fix of
-    the routing asymmetry: VERDICT r2 weak #4). TPU-only (on-core
-    PRNG)."""
+    the routing asymmetry: VERDICT r2 weak #4).
+
+    ``seed_offset`` (traced, in units of batch entries) shifts the
+    structurally-striped seed plan: a mesh shard holding global rooms
+    ``[off, off+R)`` passes ``seed_offset=off`` so per-room streams stay
+    disjoint ACROSS devices by construction (int32 wraparound preserves
+    distinctness). On TPU the batch runs as ONE kernel launch (on-core
+    PRNG); off-TPU (interpret mode) it falls back to a scan of the
+    whole-frame kernel with host-threefry uniforms — a different,
+    still key-deterministic stream, which is what lets the fused rooms
+    path execute under ``shard_map`` on the virtual CPU mesh."""
     n_rooms = sources.shape[0]
     if listeners.ndim == 2:
         listeners = listeners[:, None, :]
@@ -661,7 +724,7 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
                   sample_rate=sample_rate, n_frames=n_frames,
                   listener_radius=listener_radius,
                   speed_of_sound=speed_of_sound, input_gain=input_gain,
-                  tile_r=tile_r)
+                  tile_r=tile_r, seed_offset=seed_offset)
     if blk < 1:
         # IR time-axis windows (bit-exact: same key -> identical rays,
         # every hit lands in exactly one window; one shared compile)
@@ -689,7 +752,17 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
             for s in range(0, n_l, blk)]
         return jnp.concatenate(parts, axis=1)
     if _interpret():
-        raise NotImplementedError("rooms mega kernel is TPU-only")
+        # Interpret-mode fallback (the on-core PRNG has no interpret
+        # lowering): scan the batch through the whole-frame kernel with
+        # host-threefry uniforms. Lets sweep/mixdown/shard_map callers
+        # exercise the FUSED rooms route on the virtual CPU mesh.
+        return _rooms_interpret_fallback(
+            scenes, sources, listeners, key, n_rays=n_rays,
+            max_bounces=max_bounces, sample_rate=sample_rate,
+            ir_length=ir_length, n_frames=n_frames,
+            listener_radius=listener_radius,
+            speed_of_sound=speed_of_sound, input_gain=input_gain,
+            bin_offset=bin_offset, seed_offset=seed_offset)
     n_walls = scenes.a.shape[1]
     tile_r = tile_r or auto_tile(n_walls)
     if n_k > 1:
@@ -717,6 +790,9 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
         - n_rooms * n_frames * n_tiles - 1, dtype=jnp.int32)
     rf = (jnp.arange(n_rooms, dtype=jnp.int32)[:, None] * n_frames
           + jnp.arange(n_frames, dtype=jnp.int32)[None, :])   # [R, F]
+    # seed_offset shifts the (room, frame) plan by whole batch entries;
+    # int32 wraparound keeps distinct (offset + rf) -> distinct seeds
+    rf = rf + jnp.asarray(seed_offset, jnp.int32) * jnp.int32(n_frames)
     seeds = jnp.broadcast_to((base + rf * n_tiles)[..., None, None],
                              (n_rooms, n_frames, 1, 8))
 

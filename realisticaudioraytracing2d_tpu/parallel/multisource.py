@@ -79,9 +79,13 @@ def trace_sources_mixdown_sharded(scene: Scene, params: TraceParams,
                                   key: jax.Array, mesh: Mesh, *,
                                   n_rays: int, max_bounces: int,
                                   sample_rate: int, ir_length: int,
-                                  axis: str = "rays") -> jax.Array:
+                                  axis: str = "rays",
+                                  backend: str = "auto") -> jax.Array:
     """Mesh-sharded variant: sources split across ``axis``; each device
-    traces its shard and the final mixdown is a ``psum`` over ICI.
+    traces its shard (through the same backend routing as the unsharded
+    mixdown — the fused rooms kernel runs PER SHARD on TPU, interpret
+    whole-frame scan with ``backend="fused"`` off-TPU) and the final
+    mixdown is a ``psum`` over ICI.
 
     ``params.source`` must be [S, 2] with S divisible by the axis size.
     Returns the replicated summed IR [L, T, K].
@@ -111,7 +115,8 @@ def trace_sources_mixdown_sharded(scene: Scene, params: TraceParams,
             params._replace(source=src_shard, input_gain=gain_shard),
             key_shard[0],
             n_rays=n_rays, max_bounces=max_bounces,
-            sample_rate=sample_rate, ir_length=ir_length)
+            sample_rate=sample_rate, ir_length=ir_length,
+            backend=backend)
         total = jax.lax.psum(local, axis)
         for a in other_axes:
             total = jax.lax.pmean(total, a)
