@@ -299,6 +299,35 @@ def test_accel_sorted_early_out_is_lossless():
     np.testing.assert_array_equal(a, b)
 
 
+def test_accel_hierarchy_matches_flat(monkeypatch):
+    # Round 3 (VERDICT r2 weak #2): the two-level super-cluster sweep
+    # must be bit-identical to the flat single-level sweep on BOTH accel
+    # kernels — the super AABB test (like the child test) only SKIPS
+    # computation. Small cluster_size forces enough clusters (~80) for a
+    # real hierarchy (group 8) on a CPU-sized scene.
+    from realisticaudioraytracing2d_tpu.models.rooms import city_scene
+    room = city_scene(n_boxes=150, seed=2, extent=100.0)
+    params = TraceParams.make(room.source, room.listener,
+                              room.listener_radius, 343.0, 10.0)
+    kw = dict(n_rays=256, max_bounces=3, sample_rate=8000, ir_length=2048,
+              n_frames=1, cluster_size=8)
+    key = jax.random.PRNGKey(11)
+    n_clusters = -(-room.scene.n_walls // 8)
+    assert bk.accel_group(n_clusters) > 1       # hierarchy actually on
+    a_sorted = np.asarray(bk.trace_frames_ir_accel_sorted(
+        room.scene, params, key, **kw))
+    a_whole = np.asarray(bk.trace_frames_ir_accel(
+        room.scene, params, key, in_kernel_rng=False, **kw))
+    monkeypatch.setattr(bk, "accel_group", lambda c: 1)
+    b_sorted = np.asarray(bk.trace_frames_ir_accel_sorted.__wrapped__(
+        room.scene, params, key, **kw))
+    b_whole = np.asarray(bk.trace_frames_ir_accel.__wrapped__(
+        room.scene, params, key, in_kernel_rng=False, **kw))
+    assert a_sorted.sum() > 0 and a_whole.sum() > 0
+    np.testing.assert_array_equal(a_sorted, b_sorted)
+    np.testing.assert_array_equal(a_whole, b_whole)
+
+
 def test_accel_sorted_time_windowed_matches_unwindowed(monkeypatch):
     # ADVICE r2: K=1 configs whose single-listener histogram overflows
     # VMEM previously raised ValueError in the sorted accel path (no
@@ -412,13 +441,36 @@ def test_listener_blocking_bit_exact_vs_per_listener():
 
 
 def test_listener_block_budget():
-    # 4-cap at small configs; shrinks as K*T grows; 0 when one listener
-    # cannot fit (config must take the jnp path)
-    assert bk.listener_block(1, 2048) == 4
-    assert bk.listener_block(1, 72000) == 4
+    # 16-cap at small configs (round 3: listener TABLE replaced the
+    # 4-slot scal packing); shrinks as K*T grows; 0 when one listener
+    # cannot fit (config must window the IR or take the jnp path)
+    assert bk.listener_block(1, 2048) == 16
+    assert bk.listener_block(1, 72000) == 16   # 305 KB/listener, 16 fit
     assert bk.listener_block(16, 72000) == 1   # the old "<=16 bands" edge
     assert bk.listener_block(32, 72000) == 0   # over budget even alone
     assert bk.listener_block(32, 24000) >= 1
+
+
+def test_many_listener_single_launch_bit_exact():
+    # Round 3 (VERDICT r2 weak #3): up to 16 listeners share ONE
+    # launch's ray physics (coords from the [2, Lp] VMEM table, not the
+    # old 4 scal slots). Each listener row must equal the corresponding
+    # single-listener run bit-for-bit — physics never reads the table.
+    room = smoll_room()
+    ears = np.stack([[0.0 + 0.3 * i, -3.68 + 0.1 * i]
+                     for i in range(8)]).astype(np.float32)
+    p8 = TraceParams.make(room.source, ears, 0.5, 343.0, 1.0)
+    key = jax.random.PRNGKey(2)
+    kw = dict(n_rays=512, max_bounces=4, sample_rate=8000, ir_length=2048)
+    assert bk.listener_block(1, 2048) >= 8     # really one launch
+    ir8 = np.asarray(bk.trace_frame_ir_whole(room.scene, p8, key, **kw))
+    assert ir8.shape == (8, 2048, 1)
+    for i in (0, 3, 7):
+        p1 = TraceParams.make(room.source, ears[i:i + 1], 0.5, 343.0, 1.0)
+        ir1 = np.asarray(bk.trace_frame_ir_whole(room.scene, p1, key,
+                                                 **kw))
+        np.testing.assert_array_equal(ir8[i:i + 1], ir1)
+    assert (ir8.sum(axis=(1, 2)) > 0).all()
 
 
 def test_wide_band_kernel_matches_jnp_oracle():
