@@ -1481,10 +1481,20 @@ def _cluster_passes(geo_ref, attrs_ref, aabb_ref, n_clusters: int,
     loops over supers (slab-testing the super AABB) and descends into
     the per-child slab tests only when some lane can hit the super — the
     per-tile fixed cost drops from O(C) to O(C/G + hit_supers*G), which
-    is what regressed at 100k walls (784 chunk iterations per sweep)."""
+    is what regressed at 100k walls (784 chunk iterations per sweep).
+
+    ``geo_ref`` here is the TRANSPOSED wall table ([8, Wp], walls on the
+    lane axis): the [Wp, 8] orientation lane-pads 8 -> 128 under the TPU
+    (8, 128) tiling, costing 512 B/wall of VMEM (49 MiB at 100k walls —
+    the round-3 scoped-VMEM OOM). Chunks are transposed to [cs, 8]
+    in-register per visit, which is noise next to the [cs, T] wall
+    pass they feed."""
     cs = cluster_size
     wp = n_clusters * cs
     cl_s, idx_s, acc_s, vis_s = scratch
+
+    def chunk_geo(cc):
+        return geo_ref[:, pl.ds(cc * cs, cs)].T          # [cs, 8]
     n_super = n_clusters // group if group > 1 else n_clusters
     assert n_super * max(group, 1) == n_clusters or group == 1
 
@@ -1559,7 +1569,7 @@ def _cluster_passes(geo_ref, attrs_ref, aabb_ref, n_clusters: int,
 
         def do(cc):
             closest = cl_s[0:1, :]
-            chunk = geo_ref[pl.ds(cc * cs, cs), :]
+            chunk = chunk_geo(cc)
             t = _wall_pass(px, py, dx, dy, chunk)        # [cs, T]
             cmin = jnp.min(t, axis=0, keepdims=True)
             ids = jax.lax.broadcasted_iota(
@@ -1610,7 +1620,7 @@ def _cluster_passes(geo_ref, attrs_ref, aabb_ref, n_clusters: int,
         vis_s[0:1, :] = relevant.astype(jnp.float32)
 
         def do(cc):
-            chunk = geo_ref[pl.ds(cc * cs, cs), :]
+            chunk = chunk_geo(cc)
             t = _wall_pass(sx, sy, vdx, vdy, chunk)
             blocked = jnp.min(t, axis=0, keepdims=True) < \
                 dist - OCCLUSION_SLACK
@@ -1851,12 +1861,14 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
     rp = _round_up(max(n_rays, tile_r), tile_r)
     n_tiles = rp // tile_r
 
-    geo = pack_walls_rows(scene_s.a, scene_s.b)       # [Wp, 8], Wp % cs == 0
+    # transposed: [8, Wp] keeps walls on the lane axis (the [Wp, 8]
+    # orientation lane-pads to 512 B/wall of VMEM — see _cluster_passes)
+    geo = pack_walls_rows(scene_s.a, scene_s.b).T     # [8, Wp], Wp % cs == 0
     attrs = pack_wall_attrs_t(scene_s)
     scal = _pack_scal2(params.source, params.listeners,
                        params.listener_radius, params.speed_of_sound,
                        params.input_gain, sample_rate, bin_offset)
-    wp = geo.shape[0]
+    wp = geo.shape[1]
     n_clusters = wp // cluster_size
     aabb8 = jnp.pad(aabb, [(0, 0), (0, 4)])           # [C, 8] scalar table
     saabb8 = jnp.pad(_super_aabbs(aabb, group), [(0, 0), (0, 4)])
@@ -1895,7 +1907,7 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
             pl.BlockSpec(lis.shape, lambda f, i: (0, 0),
                          memory_space=pltpu.VMEM),
             u_spec,
-            pl.BlockSpec((wp, 8), lambda f, i: (0, 0),
+            pl.BlockSpec((8, wp), lambda f, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((attrs.shape[0], wp), lambda f, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -2055,9 +2067,9 @@ def trace_frames_ir_accel_sorted(scene, params: TraceParams,
     scene_s, aabb = cluster_scene_jnp(scene, cluster_size, group)
     tile_r = tile_r or accel_tile(cluster_size, scene.a.shape[0])
 
-    geo = pack_walls_rows(scene_s.a, scene_s.b)
+    geo = pack_walls_rows(scene_s.a, scene_s.b).T     # [8, Wp] (see above)
     attrs = pack_wall_attrs_t(scene_s)
-    wp = geo.shape[0]
+    wp = geo.shape[1]
     n_clusters = wp // cluster_size
     n_super = n_clusters // group
     aabb8 = jnp.pad(aabb, [(0, 0), (0, 4)])
@@ -2085,7 +2097,7 @@ def trace_frames_ir_accel_sorted(scene, params: TraceParams,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, 8), lambda i: (0, 0),
+            pl.BlockSpec((8, wp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((attrs.shape[0], wp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -2113,6 +2125,12 @@ def trace_frames_ir_accel_sorted(scene, params: TraceParams,
             pltpu.VMEM((attrs.shape[0], tile_r), jnp.float32),
             pltpu.VMEM((1, tile_r), jnp.float32),
         ],
+        # donate the [16, rp] state buffer (input 2 -> output 0): at 100k+
+        # walls the in+out state pair (2 x ~8 MB at 131k rays) is what
+        # pushed XLA's memory-space assignment over the scoped-VMEM limit
+        # inside the bounce scan (round-3 OOM), and the copy was waste
+        # anyway
+        input_output_aliases={2: 0},
         interpret=_interpret(),
     )
 
@@ -2141,7 +2159,8 @@ def trace_frames_ir_accel_sorted(scene, params: TraceParams,
         state0, u_rows, _scal, _geo, _attrs, rp2, _em = _fused_setup(
             scene_s, params, k, n_rays, max_bounces, tile_r, sample_rate)
 
-        def bounce(state, u_b):
+        def bounce(carry, u_b):
+            state, ir_acc = carry
             corder = tile_cluster_order(state)
             state, ir_part = kernel(scal, lis, state, u_b, geo, attrs,
                                     aabb8, saabb8, corder)
@@ -2151,10 +2170,14 @@ def trace_frames_ir_accel_sorted(scene, params: TraceParams,
             keys = _morton_ray_keys(state[_PX], state[_PY],
                                     state[_ALV] > 0.5, lo, span)
             order = jnp.argsort(keys)
-            return jnp.take(state, order, axis=1), ir_part
+            # ir accumulates in the carry (not stacked scan ys): keeps
+            # the bounce loop's live buffer set small for XLA's
+            # memory-space assignment (see the aliasing note above)
+            return (jnp.take(state, order, axis=1), ir_acc + ir_part), None
 
-        _, ir_parts = jax.lax.scan(bounce, state0, u_rows)
-        return jnp.sum(ir_parts, axis=0)                 # [L*HI, LO]
+        ir0 = jnp.zeros((n_l * hi_rows, _LO), jnp.float32)
+        (_, ir_sum), _ = jax.lax.scan(bounce, (state0, ir0), u_rows)
+        return ir_sum                                    # [L*HI, LO]
 
     def frame_body(acc, i):
         return acc + one_frame(jax.random.fold_in(key, i)), None
