@@ -53,11 +53,6 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.art_flatten_boxes.argtypes = [f32p, ctypes.c_int, f32p]
         lib.art_flatten_loop.restype = ctypes.c_int
         lib.art_flatten_loop.argtypes = [f32p, ctypes.c_int, f32p, f32p]
-        lib.art_build_grid.restype = ctypes.c_int
-        lib.art_build_grid.argtypes = [
-            f32p, ctypes.c_int, ctypes.c_float, ctypes.c_float,
-            ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            i32p, i32p]
         lib.art_morton_clusters.restype = ctypes.c_int
         lib.art_morton_clusters.argtypes = [f32p, ctypes.c_int,
                                             ctypes.c_int, i32p, f32p]
@@ -144,44 +139,6 @@ def flatten_loop(points: np.ndarray, transform: Tuple[float, ...]
     winding = 1.0 if sx * sy >= 0 else -1.0
     nrm = np.stack([d[:, 1], -d[:, 0]], -1) * winding
     return np.concatenate([a, b, nrm], -1).astype(np.float32)
-
-
-def build_grid(segments: np.ndarray, xmin: float, ymin: float, cell: float,
-               gw: int, gh: int, max_per_cell: int
-               ) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Bin segments [N, 6] into a uniform grid. Returns
-    ``(cells[gw*gh, max_per_cell] int32 (-1 padded), counts[gw*gh], worst)``
-    where ``worst`` is the max true occupancy (re-call with a larger pad if
-    worst > max_per_cell)."""
-    segs = np.ascontiguousarray(segments, np.float32).reshape(-1, 6)
-    n = segs.shape[0]
-    cells = np.empty((gw * gh, max_per_cell), np.int32)
-    counts = np.empty((gw * gh,), np.int32)
-    lib = _load()
-    if lib is not None:
-        worst = lib.art_build_grid(_f32(segs), n, xmin, ymin, cell, gw, gh,
-                                   max_per_cell, _i32(cells), _i32(counts))
-        return cells, counts, worst
-    # NumPy fallback
-    cells.fill(-1)
-    counts.fill(0)
-    worst = 0
-    for i in range(n):
-        x0, y0, x1, y1 = segs[i, :4]
-        if x0 == x1 and y0 == y1:
-            continue
-        cx0 = int(np.clip(np.floor((min(x0, x1) - xmin) / cell), 0, gw - 1))
-        cx1 = int(np.clip(np.floor((max(x0, x1) - xmin) / cell), 0, gw - 1))
-        cy0 = int(np.clip(np.floor((min(y0, y1) - ymin) / cell), 0, gh - 1))
-        cy1 = int(np.clip(np.floor((max(y0, y1) - ymin) / cell), 0, gh - 1))
-        for cy in range(cy0, cy1 + 1):
-            for cx in range(cx0, cx1 + 1):
-                ci = cy * gw + cx
-                if counts[ci] < max_per_cell:
-                    cells[ci, counts[ci]] = i
-                counts[ci] += 1
-                worst = max(worst, int(counts[ci]))
-    return cells, counts, worst
 
 
 def morton_clusters(segments: np.ndarray, cluster_size: int

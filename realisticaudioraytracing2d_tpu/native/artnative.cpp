@@ -91,47 +91,6 @@ int art_flatten_loop(const float* points, int n_pts, const float* transform,
 }
 
 // ---------------------------------------------------------------------------
-// Uniform-grid acceleration structure build (host side)
-// ---------------------------------------------------------------------------
-// Bins segments into a W x H uniform grid with fixed max occupancy per cell
-// (padded, TPU-friendly: the device kernel reads [n_cells, max_per_cell]
-// int32 wall indices, -1 padded). Conservative rasterization: a segment is
-// added to every cell its AABB touches. Returns max occupancy actually
-// seen (may exceed max_per_cell, caller re-binds with a bigger pad).
-int art_build_grid(const float* segs /*n*6*/, int n_segs,
-                   float xmin, float ymin, float cell, int gw, int gh,
-                   int max_per_cell, int32_t* out_cells /*gw*gh*max*/,
-                   int32_t* out_counts /*gw*gh*/) {
-  const int n_cells = gw * gh;
-  for (int i = 0; i < n_cells; ++i) out_counts[i] = 0;
-  for (int i = 0; i < n_cells * max_per_cell; ++i) out_cells[i] = -1;
-  int worst = 0;
-  for (int sIdx = 0; sIdx < n_segs; ++sIdx) {
-    const float* sp = segs + sIdx * 6;
-    float x0 = sp[0], y0 = sp[1], x1 = sp[2], y1 = sp[3];
-    if (x0 == x1 && y0 == y1) continue;  // degenerate padding
-    int cx0 = (int)std::floor((std::fmin(x0, x1) - xmin) / cell);
-    int cx1 = (int)std::floor((std::fmax(x0, x1) - xmin) / cell);
-    int cy0 = (int)std::floor((std::fmin(y0, y1) - ymin) / cell);
-    int cy1 = (int)std::floor((std::fmax(y0, y1) - ymin) / cell);
-    cx0 = cx0 < 0 ? 0 : (cx0 >= gw ? gw - 1 : cx0);
-    cx1 = cx1 < 0 ? 0 : (cx1 >= gw ? gw - 1 : cx1);
-    cy0 = cy0 < 0 ? 0 : (cy0 >= gh ? gh - 1 : cy0);
-    cy1 = cy1 < 0 ? 0 : (cy1 >= gh ? gh - 1 : cy1);
-    for (int cy = cy0; cy <= cy1; ++cy) {
-      for (int cx = cx0; cx <= cx1; ++cx) {
-        const int cellIdx = cy * gw + cx;
-        const int cnt = out_counts[cellIdx];
-        if (cnt < max_per_cell) out_cells[cellIdx * max_per_cell + cnt] = sIdx;
-        out_counts[cellIdx] = cnt + 1;
-        if (cnt + 1 > worst) worst = cnt + 1;
-      }
-    }
-  }
-  return worst;
-}
-
-// ---------------------------------------------------------------------------
 // Morton-order wall clustering (host side)
 // ---------------------------------------------------------------------------
 // Sorts walls by the Morton (Z-order) code of their centroid and emits

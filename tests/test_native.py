@@ -65,19 +65,6 @@ def test_flatten_loop():
     np.testing.assert_allclose(segs[0, 4:6], [0.0, -1.0], atol=1e-6)
 
 
-def test_build_grid_occupancy():
-    # two segments: one horizontal crossing 4 cells, one degenerate
-    segs = np.array([
-        [0.1, 0.5, 3.9, 0.5, 0.0, 1.0],
-        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
-        [1.5, 0.2, 1.5, 0.8, 1.0, 0.0],
-    ], np.float32)
-    cells, counts, worst = native.build_grid(segs, 0.0, 0.0, 1.0, 4, 1, 4)
-    assert worst == 2  # cell 1 holds both real segments
-    assert counts.tolist() == [1, 2, 1, 1]
-    assert set(cells[1].tolist()) == {0, 2, -1}
-
-
 def test_ring_buffer_native_matches_semantics():
     rb = native.NativeRingBuffer(8, channels=1)
     rb.push(np.ones(4, np.float32), 0)
