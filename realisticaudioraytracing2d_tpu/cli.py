@@ -303,22 +303,50 @@ def cmd_stream(args):
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk)
+    on_chunk = None
+    if args.viz_every:
+        viz_cb = _viz_callback(args.out, args.viz_every)
+        on_chunk = lambda i, st: viz_cb(i, st.prev_ir)  # noqa: E731
     t0 = time.perf_counter()
     if args.duration is not None:
         # timed stream: the clip wraps at its end while config.audio.loop
         # is set (RayTraceManager.cs:74-77), else pads with silence
         total_chunks = max(1, int(round(args.duration / chunk_dt)))
         wet = np.asarray(streamer.stream_clip(dry, poses,
-                                              total_chunks=total_chunks))
+                                              total_chunks=total_chunks,
+                                              on_chunk=on_chunk))
     else:
         # play the clip once and flush the reverb tail
-        wet = np.asarray(streamer.stream_clip(dry, poses, loop=False))
+        wet = np.asarray(streamer.stream_clip(dry, poses, loop=False,
+                                              on_chunk=on_chunk))
     dt = time.perf_counter() - t0
     write_wav(args.out, wet.T if n_l > 1 else wet[0],
               cfg.audio.sample_rate)
     xrt = (wet.shape[-1] / cfg.audio.sample_rate) / dt
     print(f"streamed {wet.shape[-1]} samples in {dt:.2f}s "
           f"({xrt:.2f}x realtime) -> {args.out}")
+
+
+def _viz_callback(out_path, every: int):
+    """Periodic live-IR raster dump: every ``every`` chunks, write the
+    current chunk's normalized IR waveform as ``<out stem>_ir_NNNN.png``
+    — the reference's on-screen DrawIR blit during playback
+    (RayTraceManager.cs:252-258), as files."""
+    import os
+
+    from .utils import viz
+
+    stem = os.path.splitext(out_path)[0]
+
+    def cb(i, cur_ir):
+        if i % every:
+            return
+        img = viz.ir_waveform_image(np.asarray(cur_ir)[0], 1)
+        path = f"{stem}_ir_{i:04d}.png"
+        viz.save_image(path, img)
+        print(f"wrote {path}")
+
+    return cb
 
 
 def cmd_live(args):
@@ -347,9 +375,12 @@ def cmd_live(args):
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
                         dsp_buffer=args.dsp_buffer)
+    on_chunk = _viz_callback(args.out or "live.wav", args.viz_every) \
+        if args.viz_every else None
     rep = player.run(dry, total_chunks=total_chunks,
                      realtime=args.realtime,
-                     params=eng.params(room.source, listeners))
+                     params=eng.params(room.source, listeners),
+                     on_chunk=on_chunk)
     if args.out:
         write_wav(args.out, rep.audio.T if n_l > 1 else rep.audio[0],
                   cfg.audio.sample_rate)
@@ -436,6 +467,9 @@ def main(argv=None):
                    help="stream for this many seconds; the clip loops at "
                         "its end while audio.loop is set "
                         "(RayTraceManager.cs:74-77)")
+    p.add_argument("--viz-every", type=int, default=0, metavar="N",
+                   help="write the live IR waveform PNG every N chunks "
+                        "(<out stem>_ir_NNNN.png)")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("live", help="producer/consumer live audio pipeline "
@@ -453,6 +487,9 @@ def main(argv=None):
     p.add_argument("--realtime", action="store_true",
                    help="pace the audio thread on the wall clock "
                         "(underruns counted when the producer lags)")
+    p.add_argument("--viz-every", type=int, default=0, metavar="N",
+                   help="write the live IR waveform PNG every N chunks "
+                        "(<out stem>_ir_NNNN.png)")
     p.set_defaults(fn=cmd_live)
 
     p = sub.add_parser("sweep", help="IR dataset over procedural rooms")

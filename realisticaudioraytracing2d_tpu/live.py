@@ -125,7 +125,15 @@ class LivePlayer:
     def run(self, dry: jax.Array, total_chunks: int,
             loop: Optional[bool] = None, realtime: bool = False,
             params_fn: Optional[Callable[[int], TraceParams]] = None,
-            params: Optional[TraceParams] = None) -> LiveReport:
+            params: Optional[TraceParams] = None,
+            on_chunk: Optional[Callable[[int, jax.Array], None]] = None
+            ) -> LiveReport:
+        """``on_chunk(i, cur_ir)`` (optional) runs on the producer thread
+        after chunk ``i`` is pushed, with that chunk's normalized IR
+        ``[L, T, K]`` — the live-feedback hook (the reference blits the
+        DrawIR texture every frame while audio plays,
+        RayTraceManager.cs:252-258). Keep it cheap: it runs inside the
+        producer's chunk budget."""
         cfg = self.config
         n = cfg.audio.chunk_samples
         t = cfg.audio.ir_length
@@ -187,6 +195,8 @@ class LivePlayer:
                         frontier = (i + 1) * n
                         frontier_lock.notify_all()
                     report.chunks = i + 1
+                    if on_chunk is not None:
+                        on_chunk(i, prev_ir)
                     if stop.is_set():
                         break
             except Exception as e:          # pragma: no cover - surfaced

@@ -187,11 +187,18 @@ class Streamer:
 
     def stream_clip(self, dry: jax.Array, params_fn, scene_fn=None,
                     pad_tail: bool = True, loop: Optional[bool] = None,
-                    total_chunks: Optional[int] = None):
+                    total_chunks: Optional[int] = None,
+                    on_chunk=None):
         """Stream a whole clip; ``params_fn(chunk_index) -> TraceParams``
         supplies (possibly moving) poses and optional
         ``scene_fn(chunk_index) -> Scene`` supplies per-chunk geometry
         (dynamic obstacles). Returns wet audio [L, total].
+
+        ``on_chunk(i, state)`` (optional) is called after every processed
+        chunk with the post-chunk :class:`StreamState` — the hook behind
+        the CLI's ``--viz-every`` live IR rasters, mirroring the
+        reference's per-frame ``DrawIR`` blit while audio streams
+        (RayTraceManager.cs:252-258).
 
         ``loop`` selects the end-of-clip behavior of the reference
         (``RayTraceManager.cs:74-77``): when set, the dry feed restarts at
@@ -221,6 +228,8 @@ class Streamer:
             piece = dry_chunk(dry, i, n, loop)
             scene_i = scene_fn(i) if scene_fn is not None else None
             chunks.append(self.process(piece, params_fn(i), scene_i))
+            if on_chunk is not None:
+                on_chunk(i, self.state)
         return jnp.concatenate(chunks, axis=-1)
 
 

@@ -141,3 +141,32 @@ def test_cli_live(tmp_path, capsys):
     assert "underruns" in txt and os.path.exists(out)
     x, rate = read_wav(out)
     assert rate == 8000 and len(x) == 3 * 800  # 3 chunks of 0.1 s @ 8 kHz
+
+
+def test_cli_stream_viz_every(tmp_path):
+    # periodic DrawIR-equivalent rasters during streaming
+    # (RayTraceManager.cs:252-258): cadence = every N chunks, content =
+    # a non-blank waveform image once the IR has energy
+    dry = str(tmp_path / "dry.wav")
+    write_wav(dry, noise_burst(0.12, 8000, seed=3), 8000)
+    wet = str(tmp_path / "wet.wav")
+    main(["stream", "--room", "smoll", *TINY, "--in", dry, "--out", wet,
+          "--duration", "0.4", "--viz-every", "2"])
+    pngs = sorted(p.name for p in tmp_path.glob("wet_ir_*.png"))
+    assert pngs == ["wet_ir_0000.png", "wet_ir_0002.png"]  # 4 chunks, N=2
+    # content: a drawn waveform deflate-compresses measurably larger than
+    # the same-size blank raster (image decode is tested in test_utils)
+    blank = tmp_path / "blank.png"
+    from realisticaudioraytracing2d_tpu.utils import viz
+    viz.save_image(str(blank), viz.ir_waveform_image(
+        np.zeros((800, 1), np.float32), 1))
+    assert (tmp_path / "wet_ir_0002.png").stat().st_size > \
+        blank.stat().st_size
+
+
+def test_cli_live_viz_every(tmp_path):
+    out = str(tmp_path / "live.wav")
+    main(["live", "--room", "smoll", *TINY, "--out", out,
+          "--duration", "0.3", "--dsp-buffer", "256", "--viz-every", "3"])
+    assert (tmp_path / "live_ir_0000.png").exists()
+    assert not (tmp_path / "live_ir_0001.png").exists()
