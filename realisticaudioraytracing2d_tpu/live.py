@@ -126,14 +126,20 @@ class LivePlayer:
             loop: Optional[bool] = None, realtime: bool = False,
             params_fn: Optional[Callable[[int], TraceParams]] = None,
             params: Optional[TraceParams] = None,
-            on_chunk: Optional[Callable[[int, jax.Array], None]] = None
-            ) -> LiveReport:
+            on_chunk: Optional[Callable[[int, jax.Array], None]] = None,
+            prime: int = 1) -> LiveReport:
         """``on_chunk(i, cur_ir)`` (optional) runs on the producer thread
         after chunk ``i`` is pushed, with that chunk's normalized IR
         ``[L, T, K]`` — the live-feedback hook (the reference blits the
         DrawIR texture every frame while audio plays,
         RayTraceManager.cs:252-258). Keep it cheap: it runs inside the
-        producer's chunk budget."""
+        producer's chunk budget.
+
+        ``prime``: in realtime mode the audio clock starts once the first
+        ``prime`` chunks are final (a prebuffer, like any streaming
+        player) — playback begins one chunk latency after Space, and
+        underruns then measure actual producer lag, not startup. 0
+        restores the bare clock."""
         cfg = self.config
         n = cfg.audio.chunk_samples
         t = cfg.audio.ir_length
@@ -210,6 +216,15 @@ class LivePlayer:
 
         def consumer():
             nonlocal consumed
+            if realtime and prime > 0:
+                # prebuffer: hold the audio clock until the first chunks
+                # are final (bounded wait; a dead producer releases us
+                # via the notify in its finally block)
+                target = min(prime * n, total_samples)
+                with frontier_lock:
+                    while frontier < target and not producer_err:
+                        if not frontier_lock.wait(timeout=60.0):
+                            break
             next_tick = time.perf_counter()
             period = self.dsp_buffer / sr
             while consumed < total_samples and not producer_err:
