@@ -245,6 +245,10 @@ def main():
     chunk_ms = bench_stream_chunk()
     rooms_s = bench_sweep()
     accel_ms, accel_gts, accel_speedup, accel_walls = bench_accel()
+    # the two-level sweep's speedup grows with wall count: show the
+    # 100k-wall point too (docs/ACCEL.md round-3 table)
+    mega_ms, mega_gts, mega_speedup, mega_walls = bench_accel(
+        n_boxes=25002)
 
     print(f"trace frame @131k rays x 8 bounces: {frame_ms:.2f} ms; "
           f"@reference workload 15k x 5: {ref_frame_ms:.2f} ms "
@@ -257,7 +261,10 @@ def main():
           f"room sweep: {rooms_s:.1f} rooms/s (4096 rays x 6 bounces); "
           f"large scene ({accel_walls} walls): {accel_ms:.0f} ms/4 frames, "
           f"{accel_gts:.0f} G tests/s brute-equivalent, "
-          f"{accel_speedup:.1f}x over brute",
+          f"{accel_speedup:.1f}x over brute; "
+          f"({mega_walls} walls): {mega_ms:.0f} ms/4 frames, "
+          f"{mega_gts:.0f} G tests/s brute-equivalent, "
+          f"{mega_speedup:.1f}x over brute",
           file=sys.stderr)
 
     result = {
