@@ -320,6 +320,8 @@ def cmd_stream(args):
         wet = np.asarray(streamer.stream_clip(dry, poses, loop=False,
                                               on_chunk=on_chunk))
     dt = time.perf_counter() - t0
+    if args.viz_every:
+        viz_cb.flush()
     write_wav(args.out, wet.T if n_l > 1 else wet[0],
               cfg.audio.sample_rate)
     xrt = (wet.shape[-1] / cfg.audio.sample_rate) / dt
@@ -331,21 +333,34 @@ def _viz_callback(out_path, every: int):
     """Periodic live-IR raster dump: every ``every`` chunks, write the
     current chunk's normalized IR waveform as ``<out stem>_ir_NNNN.png``
     — the reference's on-screen DrawIR blit during playback
-    (RayTraceManager.cs:252-258), as files."""
+    (RayTraceManager.cs:252-258), as files.
+
+    The device readback + raster + PNG encode run on a single worker
+    thread so a realtime live producer is not charged for host-side
+    image work inside its chunk budget; call ``cb.flush()`` after the
+    run to drain pending writes."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     from .utils import viz
 
     stem = os.path.splitext(out_path)[0]
+    pool = ThreadPoolExecutor(max_workers=1)
 
-    def cb(i, cur_ir):
-        if i % every:
-            return
-        img = viz.ir_waveform_image(np.asarray(cur_ir)[0], 1)
+    def write(i, ir_host):
+        img = viz.ir_waveform_image(ir_host, 1)
         path = f"{stem}_ir_{i:04d}.png"
         viz.save_image(path, img)
         print(f"wrote {path}")
 
+    def cb(i, cur_ir):
+        if i % every:
+            return
+        # snapshot on the producer thread: the streaming loop donates its
+        # IR buffers, so a deferred device read would see a deleted array
+        pool.submit(write, i, np.asarray(cur_ir)[0].copy())
+
+    cb.flush = lambda: pool.shutdown(wait=True)
     return cb
 
 
@@ -381,6 +396,8 @@ def cmd_live(args):
                      realtime=args.realtime,
                      params=eng.params(room.source, listeners),
                      on_chunk=on_chunk)
+    if on_chunk is not None:
+        on_chunk.flush()
     if args.out:
         write_wav(args.out, rep.audio.T if n_l > 1 else rep.audio[0],
                   cfg.audio.sample_rate)

@@ -211,7 +211,7 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
     ``(new_vals, direct_hits, nee_hits)`` with one hit triple
     (delay[1,T], energy[K,T], valid[1,T]) per listener per kind.
 
-    Listener coords come from ``lis_ref`` (a [2, L] SMEM table — round 3:
+    Listener coords come from ``lis_ref`` (a [2, L] VMEM table — round 3:
     replaces the 4-slot scal packing, so one launch shares the ray
     physics across up to ``listener_block(...)`` listeners) or, when
     absent, the legacy scal slots (single/quad-listener rows kernels).
@@ -606,7 +606,7 @@ def _make_rooms_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
 
         pltpu.prng_seed(seed_ref[0, 0, 0, 0] + i)
 
-        scal = scal_ref[0]          # [2, 8] this room's scalars
+        scal = scal_ref[0]          # [3, 8] this room's scalars
         lis = lis_ref[0]            # [2, L] this room's listeners
         geo = geo_ref[0]            # [Wp, 8]
         attrs = attrs_ref[0]        # [rows, Wp]
@@ -741,14 +741,7 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
     if blk < 1:
         # IR time-axis windows (bit-exact: same key -> identical rays,
         # every hit lands in exactly one window; one shared compile)
-        tw = time_window(n_k)
-        if tw < 1:
-            raise ValueError(
-                f"{n_k} bands exceed the fused kernels' VMEM histogram "
-                f"budget at any window size; use backend='jnp'")
-        nw = -(-ir_length // tw)
-        tw = _round_up(-(-ir_length // nw), _LO)
-        nw = -(-ir_length // tw)
+        tw, nw = _window_plan(n_k, ir_length)
         base = jnp.asarray(bin_offset, jnp.int32)
         parts = [trace_rooms_ir_mega(
             scenes, sources, listeners, key, ir_length=tw,
@@ -855,7 +848,7 @@ def listener_block(n_bands: int, ir_length: int) -> int:
     512`` f32 inside the scoped budget) and a code-size cap (the
     per-listener NEE/hist work is unrolled). Round 3: raised from 4 (the
     old scal-slot packing) to 16 — listener coords now come from a
-    [2, L] SMEM table, so one launch shares every wall sweep across the
+    [2, L] VMEM table, so one launch shares every wall sweep across the
     block (VERDICT r2 weak #3: a 64-mic array pays the ray physics 4x,
     not 16x). Returns 0 when even a single listener's histogram cannot
     fit — that config must window the IR time axis or use the jnp
@@ -887,6 +880,23 @@ def time_window(n_bands: int) -> int:
     return (max_hi - 1) * _LO
 
 
+def _window_plan(n_bands: int, ir_length: int):
+    """The shared IR time-window policy: ``(tw, nw)`` with ``nw`` equal
+    windows of ``tw`` bins (_LO-aligned) covering ``ir_length``. Raises
+    when no window size fits VMEM (n_bands > ~320). One definition so
+    the single-scene (:func:`_blocked_time`) and rooms-batched
+    (:func:`trace_rooms_ir_mega`) decompositions can never diverge."""
+    tw = time_window(n_bands)
+    if tw < 1:
+        raise ValueError(
+            f"{n_bands} bands exceed the fused kernels' VMEM histogram "
+            f"budget at any window size; use backend='jnp'")
+    nw = -(-ir_length // tw)
+    tw = _round_up(-(-ir_length // nw), _LO)   # equalize window sizes
+    nw = -(-ir_length // tw)
+    return tw, nw
+
+
 def _blocked_time(fn, scene, params: TraceParams, key, n_k: int,
                   ir_length: int, kwargs: dict, base_offset=0):
     """IR time-axis decomposition for histograms too large for VMEM at
@@ -897,14 +907,7 @@ def _blocked_time(fn, scene, params: TraceParams, key, n_k: int,
     lands in exactly one window, so the concatenation is bit-exact vs a
     hypothetical giant-VMEM launch. Cost: physics recomputed per
     window (same trade as listener blocking)."""
-    tw = time_window(n_k)
-    if tw < 1:
-        raise ValueError(
-            f"{n_k} bands exceed the fused kernels' VMEM histogram "
-            f"budget at any window size; use backend='jnp'")
-    nw = -(-ir_length // tw)
-    tw = _round_up(-(-ir_length // nw), _LO)   # equalize window sizes
-    nw = -(-ir_length // tw)
+    tw, nw = _window_plan(n_k, ir_length)
     base = jnp.asarray(base_offset, jnp.int32)  # caller's window start
     parts = [fn(scene, params, key, ir_length=tw,
                 bin_offset=base + jnp.int32(w * tw), **kwargs)
@@ -1519,8 +1522,14 @@ def _cluster_passes(geo_ref, attrs_ref, aabb_ref, n_clusters: int,
         ty1 = (y1 - oy) * inv_dy
         tnear = jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1))
         tfar = jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1))
+        # padding clusters carry the inverted sentinel (+big, -big),
+        # which the min/max slab arithmetic would otherwise read as a
+        # UNIVERSAL box (tnear=-big, tfar=+big) — reject inverted boxes
+        # explicitly so all-padding chunks are skipped, not swept.
+        # Always true for real clusters, so results are unchanged.
         # 1e-3 slack absorbs slab-vs-wall-pass rounding at chunk borders
-        return (tfar >= EPS) & (tnear <= jnp.minimum(tfar, tmax) + 1e-3)
+        return ((x1 >= x0) & (tfar >= EPS)
+                & (tnear <= jnp.minimum(tfar, tmax) + 1e-3))
 
     def hier_sweep(super_test, child_test, child_do):
         """Two-level early-out loop skeleton: run ``child_do(cc)`` for
