@@ -224,15 +224,15 @@ def cmd_bake(args):
 
     from .engine import Engine
     from .ops.convolve import load_samples
-    from .utils.audio_io import (builtin_clip_path, read_wav,
-                                 write_wav)
+    from .utils.audio_io import (builtin_clip_path, read_audio,
+                                 write_audio)
 
     room = _build_room(args)
     cfg = _config(args)
     listeners, n_l = _listeners(args, room)
     eng = Engine(room.scene, cfg, n_listeners=n_l)
     p = eng.params(room.source, listeners)
-    x, rate = read_wav(args.infile or builtin_clip_path())
+    x, rate = read_audio(args.infile or builtin_clip_path())
     dry = np.asarray(load_samples(jnp.asarray(x), rate,
                                   cfg.audio.sample_rate))
     if args.legacy:
@@ -268,7 +268,7 @@ def cmd_bake(args):
         wet = np.asarray(eng.bake(jnp.asarray(dry), state,
                                   normalize=not args.no_normalize))
         dt = time.perf_counter() - t0
-    write_wav(args.out, wet.T if wet.ndim > 1 else wet,
+    write_audio(args.out, wet.T if wet.ndim > 1 else wet,
               cfg.audio.sample_rate)
     xrt = (len(dry) / cfg.audio.sample_rate) / dt
     print(f"baked {len(dry)} samples in {dt:.3f}s ({xrt:.1f}x realtime) "
@@ -282,14 +282,14 @@ def cmd_stream(args):
     from .engine import Engine
     from .ops.convolve import load_samples
     from .streaming import Streamer
-    from .utils.audio_io import (builtin_clip_path, read_wav,
-                                 write_wav)
+    from .utils.audio_io import (builtin_clip_path, read_audio,
+                                 write_audio)
 
     room = _build_room(args)
     cfg = _config(args)
     listeners, n_l = _listeners(args, room)
     eng = Engine(room.scene, cfg, n_listeners=n_l)
-    x, rate = read_wav(args.infile or builtin_clip_path())
+    x, rate = read_audio(args.infile or builtin_clip_path())
     dry = jnp.asarray(load_samples(jnp.asarray(x), rate,
                                    cfg.audio.sample_rate))
     vel = np.asarray([float(v) for v in args.move_listener.split(",")]) \
@@ -322,7 +322,7 @@ def cmd_stream(args):
     dt = time.perf_counter() - t0
     if args.viz_every:
         viz_cb.flush()
-    write_wav(args.out, wet.T if n_l > 1 else wet[0],
+    write_audio(args.out, wet.T if n_l > 1 else wet[0],
               cfg.audio.sample_rate)
     xrt = (wet.shape[-1] / cfg.audio.sample_rate) / dt
     print(f"streamed {wet.shape[-1]} samples in {dt:.2f}s "
@@ -375,13 +375,13 @@ def cmd_live(args):
     from .engine import Engine
     from .live import LivePlayer
     from .ops.convolve import load_samples
-    from .utils.audio_io import (builtin_clip_path, read_wav, write_wav)
+    from .utils.audio_io import (builtin_clip_path, read_audio, write_audio)
 
     room = _build_room(args)
     cfg = _config(args)
     listeners, n_l = _listeners(args, room)
     eng = Engine(room.scene, cfg, n_listeners=n_l)
-    x, rate = read_wav(args.infile or builtin_clip_path())
+    x, rate = read_audio(args.infile or builtin_clip_path())
     dry = jnp.asarray(load_samples(jnp.asarray(x), rate,
                                    cfg.audio.sample_rate))
     total_chunks = max(1, int(round(args.duration
@@ -399,7 +399,7 @@ def cmd_live(args):
     if on_chunk is not None:
         on_chunk.flush()
     if args.out:
-        write_wav(args.out, rep.audio.T if n_l > 1 else rep.audio[0],
+        write_audio(args.out, rep.audio.T if n_l > 1 else rep.audio[0],
                   cfg.audio.sample_rate)
     print(f"live: {rep.summary()}" + (f" -> {args.out}" if args.out else ""))
 

@@ -1,8 +1,12 @@
-"""ctypes bindings for the native host runtime (artnative.cpp).
+"""ctypes bindings for the native host runtime (artnative.cpp +
+mp3dec.cpp).
 
 Compiled lazily with g++ on first use (cached as ``libartnative.so`` next
 to the source); every entry point has a NumPy fallback so the framework
 works without a toolchain. ``available()`` reports which path is active.
+The mp3 codec entry points additionally require the system codecs
+(libmpg123 / libmp3lame, dlopen'd at runtime) — ``mp3_probe()`` reports
+what resolved.
 """
 
 from __future__ import annotations
@@ -16,7 +20,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "artnative.cpp")
+_SRCS = [os.path.join(_HERE, "artnative.cpp"),
+         os.path.join(_HERE, "mp3dec.cpp")]
 _LIB = os.path.join(_HERE, "libartnative.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -25,7 +30,7 @@ _tried = False
 
 def _compile() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIB]
+           *_SRCS, "-o", _LIB, "-ldl"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -39,8 +44,9 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or \
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if not os.path.exists(_LIB) or any(
+                os.path.getmtime(_LIB) < os.path.getmtime(s)
+                for s in _SRCS):
             if not _compile():
                 return None
         try:
@@ -64,6 +70,17 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.art_ring_drain.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int]
         lib.art_ring_read_head.restype = ctypes.c_int64
         lib.art_ring_read_head.argtypes = [ctypes.c_void_p]
+        lib.art_mp3_probe.restype = ctypes.c_int
+        lib.art_mp3_decode.restype = ctypes.c_void_p
+        lib.art_mp3_decode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_longlong)]
+        lib.art_mp3_copy.argtypes = [ctypes.c_void_p, f32p]
+        lib.art_mp3_free.argtypes = [ctypes.c_void_p]
+        lib.art_mp3_encode.restype = ctypes.c_int
+        lib.art_mp3_encode.argtypes = [
+            ctypes.c_char_p, f32p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -249,3 +266,59 @@ class NativeRingBuffer:
                 self._lib.art_ring_destroy(self._h)
             except Exception:
                 pass
+
+
+def mp3_probe() -> Tuple[bool, bool]:
+    """``(decode_available, encode_available)`` — whether the system
+    codecs (libmpg123 / libmp3lame) resolved at runtime."""
+    lib = _load()
+    if lib is None:
+        return False, False
+    m = lib.art_mp3_probe()
+    return bool(m & 1), bool(m & 2)
+
+
+def decode_mp3(path: str) -> Tuple[np.ndarray, int]:
+    """Decode an mp3 file to ``(samples[N] or [N, C] float32, rate)``
+    via the system libmpg123 — the same borrow-the-host-codec call the
+    reference makes for its shipped clips (Unity's importer decodes
+    Assets/Script/bruh.mp3 etc.; AudioManager.cs plays the AudioClip).
+    Raises ``RuntimeError`` when the codec is unavailable or the file
+    does not decode."""
+    lib = _load()
+    if lib is None or not (lib.art_mp3_probe() & 1):
+        raise RuntimeError(
+            "mp3 decode unavailable: native runtime or libmpg123 missing")
+    r = ctypes.c_int()
+    ch = ctypes.c_int()
+    fr = ctypes.c_longlong()
+    h = lib.art_mp3_decode(path.encode(), ctypes.byref(r), ctypes.byref(ch),
+                           ctypes.byref(fr))
+    if not h:
+        raise RuntimeError(f"mp3 decode failed: {path}")
+    out = np.empty(fr.value * ch.value, np.float32)
+    lib.art_mp3_copy(h, _f32(out))
+    lib.art_mp3_free(h)
+    x = out.reshape(fr.value, ch.value)
+    return (x[:, 0] if ch.value == 1 else x), r.value
+
+
+def encode_mp3(path: str, x: np.ndarray, sample_rate: int,
+               kbps: int = 192) -> None:
+    """Encode float32 audio ([-1, 1], shape [N] or [N, C<=2]) to an mp3
+    file via the system libmp3lame. Raises ``RuntimeError`` when the
+    encoder is unavailable."""
+    lib = _load()
+    if lib is None or not (lib.art_mp3_probe() & 2):
+        raise RuntimeError(
+            "mp3 encode unavailable: native runtime or libmp3lame missing")
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[1] not in (1, 2):
+        raise ValueError(f"mp3 encode wants [N] or [N, 1|2], got {x.shape}")
+    xi = np.ascontiguousarray(x.reshape(-1))
+    rc = lib.art_mp3_encode(path.encode(), _f32(xi), x.shape[0],
+                            x.shape[1], sample_rate, kbps)
+    if rc != 0:
+        raise RuntimeError(f"mp3 encode failed ({rc}): {path}")

@@ -1,9 +1,16 @@
-"""WAV I/O and synthetic test clips — stdlib only (wave + numpy).
+"""Audio file I/O and synthetic test clips.
 
-The reference ships mp3 assets decoded by Unity; decoding compressed audio
-is out of scope here (no codec deps in the image), so the framework's audio
-interchange format is WAV (PCM16 / float32), plus generators for synthetic
-dry clips used by tests and benchmarks.
+WAV (PCM) read/write is stdlib-only (wave + numpy). mp3 — the format the
+reference actually ships its dry clips in (``Assets/Script/bruh.mp3``,
+``my-leg_2.mp3``, ``ambient-wandering-wind-321158.mp3``) — goes through
+the native runtime's system-codec binding (``native.decode_mp3`` /
+``encode_mp3``, libmpg123/libmp3lame via dlopen): the reference does not
+implement MPEG decoding either, it borrows Unity's importer
+(AudioManager.cs plays the imported AudioClip), and this framework makes
+the same call against the host's codec. :func:`read_audio` /
+:func:`write_audio` dispatch on the file extension.
+
+Plus generators for synthetic dry clips used by tests and benchmarks.
 """
 
 from __future__ import annotations
@@ -52,6 +59,27 @@ def write_wav(path: str, x: np.ndarray, sample_rate: int) -> None:
         w.writeframes(pcm.tobytes())
 
 
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Read an audio file — ``.mp3`` via the native system-codec
+    binding, anything else as WAV. Returns ``(samples[N] or [N, C]
+    float32, sample_rate)``."""
+    if path.lower().endswith(".mp3"):
+        from .. import native
+        return native.decode_mp3(path)
+    return read_wav(path)
+
+
+def write_audio(path: str, x: np.ndarray, sample_rate: int) -> None:
+    """Write float32 audio ([-1, 1], shape [N] or [N, C]) — ``.mp3``
+    via the native system-codec binding (192 kbps), anything else as
+    PCM16 WAV."""
+    if path.lower().endswith(".mp3"):
+        from .. import native
+        native.encode_mp3(path, np.asarray(x, np.float32), sample_rate)
+        return
+    write_wav(path, x, sample_rate)
+
+
 def sine_clip(freq: float, duration: float, sample_rate: int,
               amplitude: float = 0.5) -> np.ndarray:
     t = np.arange(int(duration * sample_rate)) / sample_rate
@@ -82,9 +110,10 @@ def noise_burst(duration: float, sample_rate: int, seed: int = 0,
 def builtin_clip_path() -> str:
     """Path to the bundled 1 s / 48 kHz dry test clip (two clicks + a
     plucked arpeggio). The reference ships mp3 clips as its de-facto
-    aural fixtures (``Assets/Script/bruh.mp3`` etc.); this image has no
-    codec deps, so the framework bundles an uncompressed WAV instead —
-    `bake`/`stream` work out of the box without synthesizing input."""
+    aural fixtures (``Assets/Script/bruh.mp3`` etc.); those decode via
+    :func:`read_audio` when the system codecs are present, but the
+    bundled fixture is an uncompressed WAV so `bake`/`stream` work out
+    of the box on any host, codec or not."""
     import os
     return os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "assets", "dry_clip.wav")

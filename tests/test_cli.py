@@ -170,3 +170,19 @@ def test_cli_live_viz_every(tmp_path):
           "--duration", "0.3", "--dsp-buffer", "256", "--viz-every", "3"])
     assert (tmp_path / "live_ir_0000.png").exists()
     assert not (tmp_path / "live_ir_0001.png").exists()
+
+
+def test_cli_bake_mp3_in_mp3_out(tmp_path):
+    # the reference's clips are mp3 (Assets/Script/bruh.mp3 etc.); the
+    # whole pipeline must take and produce mp3 via the system codecs
+    from realisticaudioraytracing2d_tpu import native
+    if not all(native.mp3_probe()):
+        pytest.skip("system mp3 codecs not available")
+    from realisticaudioraytracing2d_tpu.utils.audio_io import read_audio
+    dry = str(tmp_path / "dry.mp3")
+    native.encode_mp3(dry, noise_burst(0.3, 44100, seed=5), 44100)
+    wet = str(tmp_path / "wet.mp3")
+    main(["bake", "--room", "smoll", *TINY, "--in", dry, "--out", wet])
+    y, rate = read_audio(wet)
+    assert rate == 8000 and len(y) > 0.3 * 8000
+    assert np.isfinite(y).all() and np.abs(y).max() > 0.3

@@ -133,3 +133,101 @@ def test_morton_clusters_beyond_2_20_segments_valid_permutation():
     assert seen.all()          # a true permutation: every index exactly once
     assert aabb.shape == (-(-n // 256), 4)
     assert np.isfinite(aabb).all()
+
+
+# ---- mp3 codec binding (mp3dec.cpp: system libmpg123/libmp3lame) ----
+
+needs_mp3 = pytest.mark.skipif(
+    not all(native.mp3_probe()),
+    reason="system mp3 codecs (libmpg123/libmp3lame) not available")
+
+
+@needs_mp3
+def test_mp3_round_trip_mono_sine(tmp_path):
+    # encode a 440 Hz sine, decode it back, recover the tone's amplitude
+    # via quadrature correlation — pins the dlopen'd ABI constants
+    # (ENC_FLOAT_32 = 0x200, pre-open format lock) against the real libs
+    rate = 44100
+    t = np.arange(rate) / rate
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "sine.mp3")
+    native.encode_mp3(p, x, rate, kbps=128)
+    y, r = native.decode_mp3(p)
+    assert r == rate
+    assert y.ndim == 1 and len(y) >= rate          # lame pads the tail
+    assert np.isfinite(y).all() and np.abs(y).max() <= 1.5
+    y = y[np.argmax(np.abs(y) > 1e-4):].astype(np.float64)
+    n = rate // 2
+    tt = np.arange(n) / rate
+    amp = np.hypot(np.dot(y[:n], np.sin(2 * np.pi * 440 * tt)),
+                   np.dot(y[:n], np.cos(2 * np.pi * 440 * tt))) / (n / 2)
+    assert abs(amp - 0.5) < 0.08                   # mp3 is lossy, not deaf
+
+
+@needs_mp3
+def test_mp3_round_trip_stereo_distinct_channels(tmp_path):
+    rate = 44100
+    t = np.arange(rate) / rate
+    x = np.stack([0.4 * np.sin(2 * np.pi * 330 * t),
+                  0.3 * np.sin(2 * np.pi * 660 * t)], -1).astype(np.float32)
+    p = str(tmp_path / "st.mp3")
+    native.encode_mp3(p, x, rate, kbps=160)
+    y, r = native.decode_mp3(p)
+    assert r == rate and y.ndim == 2 and y.shape[1] == 2
+    n = rate // 2
+    tt = np.arange(n) / rate
+    for c, (f, want) in enumerate(((330, 0.4), (660, 0.3))):
+        yc = y[:, c].astype(np.float64)
+        yc = yc[np.argmax(np.abs(yc) > 1e-4):]
+        amp = np.hypot(np.dot(yc[:n], np.sin(2 * np.pi * f * tt)),
+                       np.dot(yc[:n], np.cos(2 * np.pi * f * tt))) / (n / 2)
+        assert abs(amp - want) < 0.08
+
+
+@needs_mp3
+def test_mp3_decode_errors(tmp_path):
+    with pytest.raises(RuntimeError):
+        native.decode_mp3(str(tmp_path / "missing.mp3"))
+    bad = str(tmp_path / "bad.mp3")
+    with open(bad, "wb") as f:
+        f.write(b"\x00" * 4096)                    # no MPEG frame anywhere
+    with pytest.raises(RuntimeError):
+        native.decode_mp3(bad)
+
+
+@needs_mp3
+def test_read_audio_dispatches_on_extension(tmp_path):
+    from realisticaudioraytracing2d_tpu.utils.audio_io import (read_audio,
+                                                               write_audio)
+    rate = 22050
+    x = (0.25 * np.sin(2 * np.pi * 220 * np.arange(rate) / rate)
+         ).astype(np.float32)
+    for name in ("clip.wav", "clip.mp3"):
+        p = str(tmp_path / name)
+        write_audio(p, x, rate)
+        y, r = read_audio(p)
+        assert r == rate
+        assert np.isfinite(y).all()
+        # same signal level within codec tolerance (the mp3 path adds
+        # ~1k samples of encoder/decoder delay, so compare the
+        # alignment-invariant RMS: 0.25 / sqrt(2) ~= 0.177)
+        mid = np.ravel(y)[len(y) // 4:3 * len(y) // 4].astype(np.float64)
+        assert abs(np.sqrt((mid ** 2).mean()) - 0.25 / np.sqrt(2)) < 0.02
+
+
+@needs_mp3
+def test_mp3_decodes_reference_shipped_clips():
+    # the reference's own dry clips (Assets/Script/*.mp3) — the assets a
+    # migrating user brings along — must decode to sane PCM
+    import os
+    ref = "/root/reference/Assets/Script"
+    clips = ["bruh.mp3", "my-leg_2.mp3"]
+    if not os.path.isdir(ref):
+        pytest.skip("reference assets not present")
+    for c in clips:
+        y, r = native.decode_mp3(os.path.join(ref, c))
+        assert r in (22050, 24000, 32000, 44100, 48000)
+        assert len(y) / r > 0.2                    # non-trivial duration
+        assert np.isfinite(y).all()
+        rms = float(np.sqrt((y.astype(np.float64) ** 2).mean()))
+        assert 1e-4 < rms < 1.0
