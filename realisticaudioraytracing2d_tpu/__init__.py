@@ -20,7 +20,7 @@ Quick start::
     wet = eng.bake(dry_audio, ir_state)
 """
 
-from . import config, parallel, utils
+from . import config, diff, parallel, utils
 from .config import (AudioConfig, DebugConfig, EngineConfig, SimConfig,
                      big_room_config, sample_scene_config,
                      smoll_room_config)
@@ -42,7 +42,8 @@ __all__ = [
     "MATERIAL_BORDER", "MATERIAL_INTERIOR", "RingBuffer", "Scene",
     "SceneBuilder", "SimConfig", "StreamState", "Streamer", "TraceParams",
     "Transform2D", "bake_audio", "big_room_config", "config", "convolve",
-    "geometry", "ir", "materials", "parallel", "rooms", "sample_scene_config",
+    "diff", "geometry", "ir", "materials", "parallel", "rooms",
+    "sample_scene_config",
     "scene", "smoll_room_config", "stream_chunk", "trace",
     "trace_accumulate",
     "utils",

@@ -437,6 +437,74 @@ def cmd_sweep(args):
           f"irs shape {irs.shape}")
 
 
+def cmd_fit(args):
+    """Inverse material estimation: fit this scene's per-group materials to
+    a target IR (an ``--ir-out`` checkpoint from ``trace``, or any IRState
+    npz) by gradient descent through the ray tracer (`diff.fit_materials`).
+    Writes a JSON report of fitted per-group materials."""
+    import jax
+
+    from . import diff
+    from .engine import Engine
+    from .utils.checkpoint import load_ir_state
+
+    room = _build_room(args)
+    cfg = _config(args)
+    listeners, n_l = _listeners(args, room)
+    target_state = load_ir_state(args.target)
+    target = np.asarray(target_state.normalized())
+    if target.shape[0] != n_l:
+        raise SystemExit(
+            f"target IR has {target.shape[0]} listeners; this setup has "
+            f"{n_l} (use --stereo / scene JSON listeners to match)")
+    if target.shape[-1] != room.scene.n_bands:
+        raise SystemExit(
+            f"target IR has {target.shape[-1]} bands; scene has "
+            f"{room.scene.n_bands} (set --bands to match)")
+
+    eng = Engine(room.scene, cfg, n_listeners=n_l)
+    p = eng.params(room.source, listeners)
+    groups, n_groups = diff.infer_material_groups(room.scene)
+    fields = tuple(f for f in args.fields.split(",") if f)
+
+    t0 = time.perf_counter()
+    result = diff.fit_materials(
+        room.scene, p, target, jax.random.PRNGKey(args.seed),
+        n_rays=args.fit_rays or args.rays, max_bounces=args.bounces,
+        sample_rate=cfg.audio.sample_rate, frames=args.fit_frames,
+        groups=groups, fields=fields, loss=args.loss,
+        steps=args.steps, lr=args.lr)
+    dt = time.perf_counter() - t0
+
+    absorption, scattering, transmission = (
+        np.asarray(x) for x in result.params.constrained())
+    losses = np.asarray(result.losses, np.float64)
+    mask = np.asarray(room.scene.mask)
+    report = {
+        "loss": args.loss, "steps": args.steps,
+        "loss_start": float(losses[:5].mean()),
+        "loss_end": float(losses[-5:].mean()),
+        "fields": list(fields),
+        "groups": [],
+    }
+    for g in range(n_groups):
+        walls = np.flatnonzero((groups == g) & mask)
+        if walls.size == 0:
+            continue  # padding-only group
+        report["groups"].append({
+            "group": g, "n_walls": int(walls.size),
+            "first_wall": int(walls[0]),
+            "absorption": [round(float(a), 4) for a in absorption[g]],
+            "scattering": round(float(scattering[g]), 4),
+            "transmission": round(float(transmission[g]), 4),
+        })
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"fit {len(report['groups'])} material groups in {dt:.1f}s "
+          f"({args.steps} steps); loss {report['loss_start']:.4f} -> "
+          f"{report['loss_end']:.4f} -> {args.out}")
+
+
 def cmd_bench(args):
     import bench  # repo-root bench.py
     bench.main()
@@ -515,6 +583,26 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--sharded", action="store_true")
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("fit", help="inverse material estimation: fit "
+                       "per-group wall materials to a target IR by "
+                       "jax.grad through the trace")
+    _common(p)
+    p.add_argument("--target", required=True,
+                   help="target IRState npz (e.g. from trace --ir-out)")
+    p.add_argument("--out", required=True, help="fitted materials JSON")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=0.08)
+    p.add_argument("--loss", default="edc+mse",
+                   choices=["mse", "edc", "edc+mse"])
+    p.add_argument("--fields", default="absorption,scattering",
+                   help="comma list of material fields to fit "
+                        "(transmission has no pathwise gradient)")
+    p.add_argument("--fit-rays", type=int, default=None,
+                   help="rays per fitting step (default: --rays)")
+    p.add_argument("--fit-frames", type=int, default=1,
+                   help="MC frames per fitting step")
+    p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser("bench", help="run the benchmark suite")
     p.set_defaults(fn=cmd_bench)

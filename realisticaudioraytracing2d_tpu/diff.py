@@ -1,0 +1,282 @@
+"""Differentiable acoustics: ``jax.grad`` through the trace.
+
+This module is a capability the reference cannot express: the Unity/HLSL
+pipeline (``Assets/Script/Raytrace2D.compute``) runs on a graphics queue
+with no autodiff, so inverse problems (estimate wall materials from a
+measured impulse response) need external black-box search. Here the whole
+forward simulation — emission, bounces, NEE, IR binning — is a pure JAX
+function, so material estimation is plain gradient descent.
+
+What is differentiable, and why it is sound:
+
+* **absorption** scales ray energy multiplicatively every bounce
+  (``Raytrace2D.compute:121`` -> ``ops/trace.py::_bounce``) — smooth.
+* **scattering** lerps specular->diffuse reflection directions and the
+  refraction jitter (``compute:149-154``) — directions move continuously,
+  so the pathwise derivative exists. (It ignores visibility-boundary terms,
+  the standard bias of differentiable path tracing without edge sampling;
+  in practice EDC-style losses average it out.)
+* **transmission** only enters through the discrete branch
+  ``u < transmission`` (``compute:124``): the pathwise gradient is zero
+  almost everywhere, so transmission is NOT fittable by this module and is
+  excluded from the default fit fields.
+
+Geometric selections (nearest wall, listener capture, energy cutoffs) are
+piecewise-constant in the material parameters; their a.e. derivative is
+exactly zero, which autodiff reproduces. Gradients here were validated
+against central finite differences (see ``tests/test_diff.py``).
+
+Only the jnp oracle path is differentiable — the fused Pallas kernels have
+no VJP. Fitting runs typically use small ray budgets anyway (stochastic
+gradients), so the oracle path is the right tool; on TPU it still jits to
+the MXU/VPU via XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.scene import Scene
+from .ops import ir as irm
+from .ops.trace import TraceParams, trace_hits_only
+
+_LOGIT_EPS = 1e-4
+
+# Fields of MaterialParams that have usable pathwise gradients (see module
+# docstring for why transmission is excluded by default).
+DEFAULT_FIT_FIELDS: Tuple[str, ...] = ("absorption", "scattering")
+
+
+def _logit(v: jax.Array) -> jax.Array:
+    v = jnp.clip(v, _LOGIT_EPS, 1.0 - _LOGIT_EPS)
+    return jnp.log(v) - jnp.log1p(-v)
+
+
+def infer_material_groups(scene: Scene) -> Tuple[np.ndarray, int]:
+    """Recover per-wall material-group ids from a built :class:`Scene`.
+
+    Walls sharing an identical acoustic signature (banded absorption,
+    scattering, transmission, ior) get one shared parameter group — the
+    inverse of the reference's one-material-per-collider binding
+    (``AudioSurface.cs``). Host-side and static: returns a numpy ``[W]``
+    int32 array plus the group count. Padding walls (mask False) are
+    grouped too but :func:`apply_materials` never lets them influence the
+    trace (degenerate segments + mask guard).
+    """
+    sig = np.concatenate([
+        np.asarray(scene.absorption, np.float64),
+        np.asarray(scene.scattering, np.float64)[:, None],
+        np.asarray(scene.transmission, np.float64)[:, None],
+        np.asarray(scene.ior, np.float64)[:, None],
+    ], axis=1)
+    _, groups = np.unique(sig, axis=0, return_inverse=True)
+    groups = groups.astype(np.int32)
+    return groups, int(groups.max()) + 1
+
+
+class MaterialParams(NamedTuple):
+    """Unconstrained (logit-space) per-group material parameters.
+
+    Logit parametrization keeps every constrained value inside the
+    reference's [0, 1] ranges (``AudioMaterial.cs:6-20``) for free during
+    unconstrained gradient descent.
+    """
+
+    absorption: jax.Array    # [G, K] logits
+    scattering: jax.Array    # [G] logits
+    transmission: jax.Array  # [G] logits
+
+    @property
+    def n_groups(self) -> int:
+        return self.absorption.shape[0]
+
+    @staticmethod
+    def from_scene(scene: Scene, groups: np.ndarray,
+                   n_groups: int) -> "MaterialParams":
+        """Initialize from a scene's current materials (first wall of each
+        group wins; groups are signature-uniform by construction when they
+        come from :func:`infer_material_groups`)."""
+        first = np.zeros((n_groups,), np.int32)
+        seen = set()
+        for w, g in enumerate(np.asarray(groups)):
+            if int(g) not in seen:
+                seen.add(int(g))
+                first[int(g)] = w
+        first_j = jnp.asarray(first)
+        return MaterialParams(
+            absorption=_logit(scene.absorption[first_j]),
+            scattering=_logit(scene.scattering[first_j]),
+            transmission=_logit(scene.transmission[first_j]))
+
+    def constrained(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """(absorption [G, K], scattering [G], transmission [G]) in [0, 1]."""
+        return (jax.nn.sigmoid(self.absorption),
+                jax.nn.sigmoid(self.scattering),
+                jax.nn.sigmoid(self.transmission))
+
+
+def apply_materials(scene: Scene, groups: jax.Array, params: MaterialParams,
+                    fields: Sequence[str] = DEFAULT_FIT_FIELDS) -> Scene:
+    """Differentiably rebind wall materials from ``params``.
+
+    Only ``fields`` are replaced; everything else (and every padding wall,
+    via the mask guard) keeps the scene's original values, so padding stays
+    inert exactly as ``Scene.pad_to`` built it.
+    """
+    groups = jnp.asarray(groups)
+    absorption, scattering, transmission = params.constrained()
+    mask1 = scene.mask
+    mask2 = scene.mask[:, None]
+    updates = {}
+    if "absorption" in fields:
+        updates["absorption"] = jnp.where(
+            mask2, absorption[groups], scene.absorption)
+    if "scattering" in fields:
+        updates["scattering"] = jnp.where(
+            mask1, scattering[groups], scene.scattering)
+    if "transmission" in fields:
+        updates["transmission"] = jnp.where(
+            mask1, transmission[groups], scene.transmission)
+    return scene._replace(**updates)
+
+
+@partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
+                                   "ir_length", "frames", "remat"))
+def simulate_ir(scene: Scene, params: TraceParams, key: jax.Array, *,
+                n_rays: int, max_bounces: int, sample_rate: int,
+                ir_length: int, frames: int = 1,
+                remat: bool = True) -> jax.Array:
+    """Differentiable forward model: mean IR histogram ``[L, T, K]`` over
+    ``frames`` Monte-Carlo frames.
+
+    Frames run under ``lax.map`` with ``jax.checkpoint`` on the per-frame
+    body (``remat=True``), so reverse-mode memory stays one-frame-sized
+    instead of storing every bounce residual of every frame — the
+    HBM-friendly way to differentiate long accumulations on TPU.
+    """
+
+    def one_frame(k):
+        hits = trace_hits_only(scene, params, k, n_rays=n_rays,
+                               max_bounces=max_bounces)
+        return irm.scatter_hits(hits, sample_rate, ir_length)
+
+    if frames == 1:
+        return one_frame(key)
+    body = jax.checkpoint(one_frame) if remat else one_frame
+    keys = jax.random.split(key, frames)
+    return jnp.mean(jax.lax.map(body, keys), axis=0)
+
+
+# -- losses ------------------------------------------------------------------
+
+def ir_mse(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Plain L2 on the energy histograms."""
+    return jnp.mean(jnp.square(pred - target))
+
+
+def edc(ir: jax.Array, axis: int = -2) -> jax.Array:
+    """Schroeder energy-decay curve: reversed cumulative sum of the energy
+    histogram along time. The standard observable for reverberation /
+    material estimation — much smoother in the materials than the raw
+    binned IR, since it integrates out bin-placement noise."""
+    rev = jnp.flip(ir, axis=axis)
+    return jnp.flip(jnp.cumsum(rev, axis=axis), axis=axis)
+
+
+def log_edc_loss(pred: jax.Array, target: jax.Array,
+                 floor: float = 1e-8) -> jax.Array:
+    """L2 between log10 energy-decay curves (dB-scale match)."""
+    return jnp.mean(jnp.square(
+        jnp.log10(edc(pred) + floor) - jnp.log10(edc(target) + floor)))
+
+
+def combined_loss(pred: jax.Array, target: jax.Array,
+                  mse_weight: float = 2000.0) -> jax.Array:
+    """log-EDC + weighted raw-IR MSE. EDC constrains the overall decay
+    rate; the raw-IR term keeps the early-reflection amplitude structure
+    that EDC integrates away — in two-group recovery experiments each term
+    alone leaves one group on a trade-off plateau, together they pin both
+    (see ``examples/inverse_materials.py``). The default weight puts both
+    terms at comparable magnitude for normalized single-frame IRs."""
+    return log_edc_loss(pred, target) + mse_weight * ir_mse(pred, target)
+
+
+_LOSSES = {"mse": ir_mse, "edc": log_edc_loss, "edc+mse": combined_loss}
+
+
+# -- fitting -----------------------------------------------------------------
+
+class FitResult(NamedTuple):
+    params: MaterialParams   # fitted logits
+    scene: Scene             # input scene with fitted materials applied
+    losses: jax.Array        # [steps] loss trajectory
+
+
+def fit_materials(scene: Scene, trace_params: TraceParams,
+                  target_ir: jax.Array, key: jax.Array, *,
+                  n_rays: int, max_bounces: int, sample_rate: int,
+                  frames: int = 1,
+                  groups: Optional[np.ndarray] = None,
+                  init: Optional[MaterialParams] = None,
+                  fields: Sequence[str] = DEFAULT_FIT_FIELDS,
+                  loss: str = "edc", steps: int = 100, lr: float = 0.05,
+                  resample: bool = True) -> FitResult:
+    """Estimate wall materials from a target IR by gradient descent.
+
+    ``target_ir`` is an ``[L, T, K]`` energy histogram (e.g. a normalized
+    :class:`~realisticaudioraytracing2d_tpu.ops.ir.IRState` sum, or a
+    measured/banded EDC-compatible response). Optimizes Adam in logit space;
+    ``resample=True`` folds the step index into the RNG key each step
+    (unbiased stochastic gradients), ``False`` fixes the noise (common
+    random numbers — deterministic loss, converges tighter on synthetic
+    targets). Transmission is excluded from ``fields`` by default — see the
+    module docstring.
+    """
+    import optax
+
+    if loss not in _LOSSES:
+        raise ValueError(f"loss={loss!r}; pick from {sorted(_LOSSES)}")
+    loss_fn = _LOSSES[loss]
+    if groups is None:
+        groups, n_groups = infer_material_groups(scene)
+    else:
+        groups = np.asarray(groups, np.int32)
+        n_groups = int(groups.max()) + 1
+    if init is None:
+        init = MaterialParams.from_scene(scene, groups, n_groups)
+    groups_j = jnp.asarray(groups)
+    target_ir = jnp.asarray(target_ir, jnp.float32)
+    ir_length = target_ir.shape[-2]
+    fields = tuple(fields)
+
+    opt = optax.adam(lr)
+
+    def objective(mp: MaterialParams, k: jax.Array) -> jax.Array:
+        fitted = apply_materials(scene, groups_j, mp, fields)
+        pred = simulate_ir(fitted, trace_params, k, n_rays=n_rays,
+                           max_bounces=max_bounces, sample_rate=sample_rate,
+                           ir_length=ir_length, frames=frames)
+        return loss_fn(pred, target_ir)
+
+    @jax.jit
+    def step(mp, opt_state, k):
+        value, grads = jax.value_and_grad(objective)(mp, k)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(mp, updates), opt_state, value
+
+    mp = init
+    opt_state = opt.init(mp)
+    losses = []
+    for i in range(steps):
+        k = jax.random.fold_in(key, i) if resample else key
+        mp, opt_state, value = step(mp, opt_state, k)
+        losses.append(value)
+
+    fitted_scene = apply_materials(scene, groups_j, mp, fields)
+    return FitResult(params=mp, scene=fitted_scene,
+                     losses=jnp.stack(losses))

@@ -186,3 +186,17 @@ def test_cli_bake_mp3_in_mp3_out(tmp_path):
     y, rate = read_audio(wet)
     assert rate == 8000 and len(y) > 0.3 * 8000
     assert np.isfinite(y).all() and np.abs(y).max() > 0.3
+
+
+def test_cli_fit(tmp_path, capsys):
+    ir = str(tmp_path / "ir.npz")
+    main(["trace", "--room", "smoll", *TINY, "--ir-out", ir])
+    out = str(tmp_path / "materials.json")
+    main(["fit", "--room", "smoll", *TINY, "--target", ir, "--out", out,
+          "--steps", "3", "--fit-rays", "64"])
+    report = json.load(open(out))
+    assert report["groups"], report
+    g = report["groups"][0]
+    assert 0.0 <= g["absorption"][0] <= 1.0
+    assert g["n_walls"] > 0
+    assert "fit" in capsys.readouterr().out
