@@ -505,6 +505,58 @@ def cmd_fit(args):
           f"{report['loss_end']:.4f} -> {args.out}")
 
 
+def cmd_locate(args):
+    """Acoustic source localization: recover the source position from a
+    target IR by multi-start gradient descent through the differentiable
+    ray tracer (`diff.localize_source`). The scene's configured source is
+    ignored for fitting and reported only as a comparison when the target
+    was simulated in the same scene."""
+    import jax
+
+    from . import diff
+    from .engine import Engine
+    from .utils.checkpoint import load_ir_state
+
+    room = _build_room(args)
+    cfg = _config(args)
+    listeners, n_l = _listeners(args, room)
+    target_state = load_ir_state(args.target)
+    target = np.asarray(target_state.normalized())
+    if target.shape[0] != n_l:
+        raise SystemExit(
+            f"target IR has {target.shape[0]} listeners; this setup has "
+            f"{n_l} (use --stereo / scene JSON listeners to match)")
+
+    eng = Engine(room.scene, cfg, n_listeners=n_l)
+    p = eng.params(room.source, listeners)
+
+    t0 = time.perf_counter()
+    result = diff.localize_source(
+        room.scene, p, target, jax.random.PRNGKey(args.seed),
+        n_rays=args.fit_rays or args.rays, max_bounces=args.bounces,
+        sample_rate=cfg.audio.sample_rate, n_starts=args.starts,
+        steps=args.steps, lr=args.lr)
+    dt = time.perf_counter() - t0
+
+    best = [round(float(v), 4) for v in np.asarray(result.position)]
+    report = {
+        "position": best,
+        "loss": round(float(result.loss), 6),
+        "configured_source": [round(float(v), 4)
+                              for v in np.asarray(room.source)],
+        "starts": [
+            {"position": [round(float(v), 4) for v in pos],
+             "loss": round(float(loss), 6)}
+            for pos, loss in zip(np.asarray(result.positions),
+                                 np.asarray(result.losses))],
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"located source at ({best[0]}, {best[1]}) in {dt:.1f}s "
+          f"({args.starts} starts x {args.steps} steps, "
+          f"loss {report['loss']:.4f}) -> {args.out}")
+
+
 def cmd_bench(args):
     import bench  # repo-root bench.py
     bench.main()
@@ -603,6 +655,21 @@ def main(argv=None):
     p.add_argument("--fit-frames", type=int, default=1,
                    help="MC frames per fitting step")
     p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser("locate", help="acoustic source localization: "
+                       "recover the source position from a target IR by "
+                       "jax.grad through the trace")
+    _common(p)
+    p.add_argument("--target", required=True,
+                   help="target IRState npz (e.g. from trace --ir-out)")
+    p.add_argument("--out", required=True, help="localization report JSON")
+    p.add_argument("--starts", type=int, default=8,
+                   help="random restarts (batched in one vmap)")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--lr", type=float, default=0.08)
+    p.add_argument("--fit-rays", type=int, default=None,
+                   help="rays per fitting step (default: --rays)")
+    p.set_defaults(fn=cmd_locate)
 
     p = sub.add_parser("bench", help="run the benchmark suite")
     p.set_defaults(fn=cmd_bench)

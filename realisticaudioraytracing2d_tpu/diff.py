@@ -146,11 +146,11 @@ def apply_materials(scene: Scene, groups: jax.Array, params: MaterialParams,
 
 
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
-                                   "ir_length", "frames", "remat"))
+                                   "ir_length", "frames", "remat", "soft"))
 def simulate_ir(scene: Scene, params: TraceParams, key: jax.Array, *,
                 n_rays: int, max_bounces: int, sample_rate: int,
                 ir_length: int, frames: int = 1,
-                remat: bool = True) -> jax.Array:
+                remat: bool = True, soft: bool = False) -> jax.Array:
     """Differentiable forward model: mean IR histogram ``[L, T, K]`` over
     ``frames`` Monte-Carlo frames.
 
@@ -158,12 +158,18 @@ def simulate_ir(scene: Scene, params: TraceParams, key: jax.Array, *,
     body (``remat=True``), so reverse-mode memory stays one-frame-sized
     instead of storing every bounce residual of every frame — the
     HBM-friendly way to differentiate long accumulations on TPU.
+
+    ``soft=True`` swaps the hard ``floor`` binning for the two-bin linear
+    splat (:func:`~..ops.ir.scatter_hits_soft`) so gradients flow through
+    hit *delays* as well as energies — required when differentiating with
+    respect to positions or medium speed (:func:`localize_source`).
     """
+    scatter = irm.scatter_hits_soft if soft else irm.scatter_hits
 
     def one_frame(k):
         hits = trace_hits_only(scene, params, k, n_rays=n_rays,
                                max_bounces=max_bounces)
-        return irm.scatter_hits(hits, sample_rate, ir_length)
+        return scatter(hits, sample_rate, ir_length)
 
     if frames == 1:
         return one_frame(key)
@@ -280,3 +286,137 @@ def fit_materials(scene: Scene, trace_params: TraceParams,
     fitted_scene = apply_materials(scene, groups_j, mp, fields)
     return FitResult(params=mp, scene=fitted_scene,
                      losses=jnp.stack(losses))
+
+
+# -- source localization -------------------------------------------------------
+
+def gaussian_blur_time(ir: jax.Array, sigma: jax.Array,
+                       radius: int = 96) -> jax.Array:
+    """Blur an ``[L, T, K]`` IR along time with a Gaussian of (traced)
+    ``sigma`` bins. Multi-scale smoothing is what makes position fitting
+    tractable: a raw IR is a train of near-delta spikes whose L2 distance
+    has no gradient until spikes overlap; blurred at ``sigma`` bins, delay
+    mismatches attract from ~``sigma`` bins away. ``radius`` (static)
+    bounds the kernel support."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    kern = jnp.exp(-0.5 * jnp.square(x / jnp.maximum(sigma, 0.25)))
+    kern = kern / jnp.sum(kern)
+    blur_row = lambda row: jnp.convolve(row, kern, mode="same")
+    return jax.vmap(jax.vmap(blur_row, in_axes=-1, out_axes=-1))(ir)
+
+
+def first_arrival_times(ir: np.ndarray, sample_rate: int,
+                        threshold_frac: float = 0.02) -> np.ndarray:
+    """Per-listener first-arrival time (seconds) of an ``[L, T, K]`` energy
+    IR: first bin reaching ``threshold_frac`` of that listener's peak
+    (band-summed). Host-side; used to build the trilateration term of the
+    localization loss from a measured/binned target IR."""
+    e = np.asarray(ir).sum(axis=-1)                     # [L, T]
+    th = e.max(axis=1, keepdims=True) * threshold_frac
+    bins = np.argmax(e >= th, axis=1)                   # [L]
+    return (bins + 0.5) / float(sample_rate)
+
+
+def scene_bounds(scene: Scene, shrink: float = 0.05) -> np.ndarray:
+    """AABB of the real (non-padding) walls, shrunk by ``shrink`` of its
+    extent per side — the default search box for :func:`localize_source`."""
+    mask = np.asarray(scene.mask)
+    pts = np.concatenate([np.asarray(scene.a)[mask],
+                          np.asarray(scene.b)[mask]], axis=0)
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    pad = (hi - lo) * shrink
+    return np.stack([lo + pad, hi - pad])               # [2(lo/hi), 2(xy)]
+
+
+class LocalizeResult(NamedTuple):
+    position: jax.Array   # [2] best start's fitted source position
+    loss: jax.Array       # its final loss
+    positions: jax.Array  # [S, 2] every start's fitted position
+    losses: jax.Array     # [S] every start's final loss
+
+
+def localize_source(scene: Scene, trace_params: TraceParams,
+                    target_ir: jax.Array, key: jax.Array, *,
+                    n_rays: int, max_bounces: int, sample_rate: int,
+                    n_starts: int = 8, steps: int = 200, lr: float = 0.08,
+                    bounds: Optional[np.ndarray] = None,
+                    sigma0: float = 24.0, sigma_min: float = 1.0,
+                    anneal_steps: float = 30.0,
+                    arrival_weight: float = 1.0,
+                    ir_weight: float = 30.0,
+                    starts_key: Optional[jax.Array] = None) -> LocalizeResult:
+    """Estimate the *source position* from a target IR by gradient descent
+    through the ray tracer — differentiable echoes as a localization sensor.
+
+    The capability the soft splat buys: with hard binning every
+    position gradient is zero a.e.; with :func:`scatter_hits_soft` the IR
+    moves continuously with the source, so ``jax.grad`` works. Even a
+    SINGLE listener localizes: its first arrival fixes a range circle and
+    the wall-reflection pattern picks the point on it (see
+    ``examples/locate_source.py``).
+
+    Loss = ``arrival_weight`` x trilateration (closed-form direct-path
+    delay ``(|s - l| - r) / c`` vs the target's first arrivals, in ms^2)
+    + ``ir_weight`` x relative L2 between Gaussian-blurred IRs, with sigma
+    annealed ``sigma0 -> sigma_min`` over ``anneal_steps`` halvings
+    (coarse-to-fine). The landscape is multi-modal, so ``n_starts`` Adam
+    runs start from a uniform draw over ``bounds`` (default: the scene's
+    wall AABB) and run batched under one ``vmap`` — multi-start is a batch
+    axis, not a host loop. Fixed RNG key (common random numbers) keeps the
+    per-start objective deterministic.
+
+    ``trace_params.source`` is ignored; listeners/radius/speeds are used.
+    """
+    import optax
+
+    target_ir = jnp.asarray(target_ir, jnp.float32)
+    ir_length = target_ir.shape[-2]
+    if bounds is None:
+        bounds = scene_bounds(scene)
+    bounds = np.asarray(bounds, np.float32)
+    fa_target = jnp.asarray(
+        first_arrival_times(target_ir, sample_rate), jnp.float32)  # [L]
+    listeners = trace_params.listeners
+    radius = trace_params.listener_radius
+    c = trace_params.speed_of_sound
+
+    def loss_fn(src: jax.Array, sigma: jax.Array) -> jax.Array:
+        p = trace_params._replace(source=src)
+        pred = simulate_ir(scene, p, key, n_rays=n_rays,
+                           max_bounces=max_bounces, sample_rate=sample_rate,
+                           ir_length=ir_length, soft=True)
+        pb = gaussian_blur_time(pred, sigma)
+        tb = gaussian_blur_time(target_ir, sigma)
+        l_ir = jnp.mean(jnp.square(pb - tb)) / \
+            jnp.maximum(jnp.mean(jnp.square(tb)), 1e-20)
+        d = jnp.linalg.norm(listeners - src[None, :], axis=-1)
+        fa_pred = jnp.maximum(d - radius, 0.0) / c
+        l_fa = jnp.mean(jnp.square((fa_pred - fa_target) * 1e3))  # ms^2
+        return arrival_weight * l_fa + ir_weight * l_ir
+
+    sigmas = sigma0 * (0.5 ** (jnp.arange(steps) / anneal_steps)) + sigma_min
+
+    def fit_one(src0: jax.Array):
+        adam = optax.adam(lr)
+
+        def step(carry, sigma):
+            src, st = carry
+            value, grad = jax.value_and_grad(loss_fn)(src, sigma)
+            updates, st = adam.update(grad, st)
+            return (optax.apply_updates(src, updates), st), value
+
+        (src, _), values = jax.lax.scan(step, (src0, adam.init(src0)),
+                                        sigmas)
+        # Score every start at the SAME final sigma so argmin compares
+        # like with like.
+        return src, loss_fn(src, sigmas[-1])
+
+    if starts_key is None:
+        starts_key = jax.random.fold_in(key, 0x10C8)
+    starts = jax.random.uniform(
+        starts_key, (n_starts, 2),
+        minval=jnp.asarray(bounds[0]), maxval=jnp.asarray(bounds[1]))
+    positions, losses = jax.jit(jax.vmap(fit_one))(starts)
+    best = jnp.argmin(losses)
+    return LocalizeResult(position=positions[best], loss=losses[best],
+                          positions=positions, losses=losses)

@@ -59,6 +59,18 @@ class IRState(NamedTuple):
         return self.sum / jnp.maximum(1, self.frames).astype(jnp.float32)
 
 
+def _flatten_hits(hits: Hits):
+    """[B,2,R,L] hit records -> per-listener flat (delay[L,N], valid[L,N],
+    energy[L,N,K])."""
+    b, s, r, l = hits.valid.shape
+    k = hits.energy.shape[-1]
+    n = b * s * r
+    delay = jnp.moveaxis(hits.delay, -1, 0).reshape(l, n)
+    valid = jnp.moveaxis(hits.valid, -1, 0).reshape(l, n)
+    energy = jnp.moveaxis(hits.energy, -2, 0).reshape(l, n, k)
+    return delay, valid, energy
+
+
 def scatter_hits(hits: Hits, sample_rate: int, ir_length: int) -> jax.Array:
     """Deposit hits into IR bins: returns ``ir[L, T, K]``.
 
@@ -66,14 +78,8 @@ def scatter_hits(hits: Hits, sample_rate: int, ir_length: int) -> jax.Array:
     hits are dropped — matching ``ProcessHits``'s bounds check
     (``Raytrace2D.compute:162-163``) but deterministically.
     """
-    b, s, r, l = hits.valid.shape
-    k = hits.energy.shape[-1]
-    n = b * s * r
-
-    # [B,2,R,L] -> [L, N]
-    delay = jnp.moveaxis(hits.delay, -1, 0).reshape(l, n)
-    valid = jnp.moveaxis(hits.valid, -1, 0).reshape(l, n)
-    energy = jnp.moveaxis(hits.energy, -2, 0).reshape(l, n, k)
+    delay, valid, energy = _flatten_hits(hits)
+    k = energy.shape[-1]
 
     bins = jnp.floor(delay * sample_rate).astype(jnp.int32)
     ok = valid & (bins >= 0) & (bins < ir_length)
@@ -87,6 +93,42 @@ def scatter_hits(hits: Hits, sample_rate: int, ir_length: int) -> jax.Array:
         return ir.at[bins_l].add(energy_l)[:ir_length]
 
     return jax.vmap(one_listener)(bins, energy)
+
+
+def scatter_hits_soft(hits: Hits, sample_rate: int,
+                      ir_length: int) -> jax.Array:
+    """Differentiable variant of :func:`scatter_hits`: each hit splats
+    linearly onto the two adjacent IR bins (``lerp`` weights ``1-frac`` /
+    ``frac`` of ``delay * sample_rate``).
+
+    The hard ``floor`` binning of the reference's ``ProcessHits``
+    (``Raytrace2D.compute:162``) is piecewise-constant in the hit delay, so
+    every gradient that flows through *time* — source/listener position,
+    medium speed (ior) — dies at the scatter. The linear splat makes the IR
+    piecewise-linear in delay instead, unlocking inverse problems over
+    geometry (``diff.localize_source``). Forward it differs from the hard
+    scatter by at most one bin of temporal smear; total deposited energy is
+    identical. Not used on any parity/production path.
+    """
+    delay, valid, energy = _flatten_hits(hits)
+    k = energy.shape[-1]
+
+    pos = delay * sample_rate
+    i0f = jnp.floor(pos)
+    frac = pos - i0f
+    i0 = i0f.astype(jnp.int32)
+    ok0 = valid & (i0 >= 0) & (i0 < ir_length)
+    ok1 = valid & (i0 + 1 >= 0) & (i0 + 1 < ir_length)
+    b0 = jnp.where(ok0, i0, ir_length)        # sacrificial bin like above
+    b1 = jnp.where(ok1, i0 + 1, ir_length)
+    e0 = energy * ((1.0 - frac) * ok0)[..., None]
+    e1 = energy * (frac * ok1)[..., None]
+
+    def one_listener(b0_l, b1_l, e0_l, e1_l):
+        ir = jnp.zeros((ir_length + 1, k), jnp.float32)
+        return ir.at[b0_l].add(e0_l).at[b1_l].add(e1_l)[:ir_length]
+
+    return jax.vmap(one_listener)(b0, b1, e0, e1)
 
 
 def accumulate(state: IRState, hits: Hits, sample_rate: int) -> IRState:

@@ -200,3 +200,16 @@ def test_cli_fit(tmp_path, capsys):
     assert 0.0 <= g["absorption"][0] <= 1.0
     assert g["n_walls"] > 0
     assert "fit" in capsys.readouterr().out
+
+
+def test_cli_locate(tmp_path, capsys):
+    ir = str(tmp_path / "ir.npz")
+    main(["trace", "--room", "smoll", *TINY, "--ir-out", ir])
+    out = str(tmp_path / "located.json")
+    main(["locate", "--room", "smoll", *TINY, "--target", ir, "--out", out,
+          "--steps", "3", "--starts", "2", "--fit-rays", "64"])
+    report = json.load(open(out))
+    assert len(report["position"]) == 2
+    assert len(report["starts"]) == 2
+    assert np.isfinite(report["loss"])
+    assert "located source" in capsys.readouterr().out

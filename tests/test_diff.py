@@ -118,6 +118,91 @@ def test_simulate_ir_multiframe_matches_mean(key):
                                rtol=1e-6, atol=1e-8)
 
 
+def test_soft_scatter_matches_hard_energy_and_shift(key):
+    """The linear splat conserves deposited energy exactly and moves no
+    energy further than one bin from the hard binning."""
+    from realisticaudioraytracing2d_tpu.ops import ir as irm
+    from realisticaudioraytracing2d_tpu.ops.trace import trace_hits_only
+
+    scene, params = _setup()
+    hits = trace_hits_only(scene, params, key, n_rays=N_RAYS,
+                           max_bounces=BOUNCES)
+    hard = np.asarray(irm.scatter_hits(hits, SR, IR_LEN))
+    soft = np.asarray(irm.scatter_hits_soft(hits, SR, IR_LEN))
+    assert hard.sum() > 0
+    # Interior energy matches up to boundary effects (a hit in the last
+    # bin splats half out of range in soft; exclude the edge bins).
+    np.testing.assert_allclose(soft[:, 1:-1].sum(), hard[:, 1:-1].sum(),
+                               rtol=0.02)
+    # One-bin smear: hard IR convolved with [1,1,1] dominates soft support.
+    support_hard = np.convolve(
+        (hard.sum(axis=(0, 2)) > 0).astype(float), [1, 1, 1],
+        mode="same") > 0
+    assert np.all(support_hard[soft.sum(axis=(0, 2)) > 1e-12])
+
+
+def test_soft_scatter_delay_gradient_matches_fd(key):
+    """d(IR)/d(delay) through the soft splat matches finite differences —
+    the gradient the hard floor binning destroys (its a.e. derivative in
+    delay is exactly zero). Uses the IR's first moment, which is exactly
+    linear in the in-range hit delays, so AD and FD must agree tightly.
+    Path topology (which rays hit what) is held fixed by scaling the
+    delays of one traced hit set rather than re-tracing."""
+    from realisticaudioraytracing2d_tpu.ops import ir as irm
+    from realisticaudioraytracing2d_tpu.ops.trace import trace_hits_only
+
+    scene, params = _setup()
+    hits = trace_hits_only(scene, params, key, n_rays=N_RAYS,
+                           max_bounces=BOUNCES)
+
+    def moment(scale, scatter):
+        h = hits._replace(delay=hits.delay * scale)
+        ir = scatter(h, SR, IR_LEN)
+        t = jnp.arange(IR_LEN, dtype=jnp.float32)
+        return jnp.sum(ir.sum(axis=(0, 2)) * t)
+
+    g_soft = jax.grad(moment)(jnp.asarray(1.0), irm.scatter_hits_soft)
+    eps = 1e-4
+    fd = (moment(jnp.asarray(1.0 + eps), irm.scatter_hits_soft)
+          - moment(jnp.asarray(1.0 - eps), irm.scatter_hits_soft)) / (2 * eps)
+    assert float(jnp.abs(g_soft)) > 0
+    np.testing.assert_allclose(float(g_soft), float(fd), rtol=1e-2)
+
+    # ... and the hard scatter's delay gradient is identically zero.
+    g_hard = jax.grad(moment)(jnp.asarray(1.0), irm.scatter_hits)
+    assert float(g_hard) == 0.0
+
+
+def test_localize_source_single_listener(key):
+    """One microphone localizes the source: the first arrival fixes a
+    range circle, the reflection pattern picks the point on it."""
+    scene, _ = _setup()
+    true_params = TraceParams.make(source=(-1.0, 0.4), listeners=(1.0, 0.3),
+                                   listener_radius=0.5)
+    target = diff.simulate_ir(scene, true_params, jax.random.PRNGKey(0),
+                              n_rays=256, max_bounces=BOUNCES,
+                              sample_rate=SR, ir_length=IR_LEN, soft=True)
+    result = diff.localize_source(
+        scene, true_params, target, jax.random.PRNGKey(0),
+        n_rays=256, max_bounces=BOUNCES, sample_rate=SR,
+        n_starts=6, steps=150)
+    err = float(jnp.linalg.norm(result.position - true_params.source))
+    assert err < 0.15, (np.asarray(result.position), err,
+                        np.asarray(result.positions),
+                        np.asarray(result.losses))
+
+
+def test_scene_bounds_covers_walls():
+    scene, _ = _setup()
+    lo, hi = diff.scene_bounds(scene, shrink=0.0)
+    # Outer AABB contains the 4x4 interior (walls have thickness), is
+    # finite, and shrink pulls it inward.
+    assert np.all(lo <= -2.0) and np.all(hi >= 2.0)
+    assert np.all(np.isfinite(lo)) and np.all(np.isfinite(hi))
+    lo_s, hi_s = diff.scene_bounds(scene, shrink=0.1)
+    assert np.all(lo_s > lo) and np.all(hi_s < hi)
+
+
 def test_scattering_gradient_finite_on_refractive_scene(key):
     """Regression: ray_circle_intersect's sqrt-of-clamp had an inf backward
     for every ray missing the listener circle, turning scattering gradients
