@@ -473,10 +473,11 @@ def cmd_fit(args):
         n_rays=args.fit_rays or args.rays, max_bounces=args.bounces,
         sample_rate=cfg.audio.sample_rate, frames=args.fit_frames,
         groups=groups, fields=fields, loss=args.loss,
-        steps=args.steps, lr=args.lr)
+        steps=args.steps, lr=args.lr,
+        soft=args.soft or "ior" in fields)
     dt = time.perf_counter() - t0
 
-    absorption, scattering, transmission = (
+    absorption, scattering, transmission, ior = (
         np.asarray(x) for x in result.params.constrained())
     losses = np.asarray(result.losses, np.float64)
     mask = np.asarray(room.scene.mask)
@@ -497,6 +498,7 @@ def cmd_fit(args):
             "absorption": [round(float(a), 4) for a in absorption[g]],
             "scattering": round(float(scattering[g]), 4),
             "transmission": round(float(transmission[g]), 4),
+            "ior": round(float(ior[g]), 4),
         })
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
@@ -646,10 +648,14 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=0.08)
     p.add_argument("--loss", default="edc+mse",
-                   choices=["mse", "edc", "edc+mse"])
+                   choices=["mse", "edc", "edc+mse", "blur"])
     p.add_argument("--fields", default="absorption,scattering",
-                   help="comma list of material fields to fit "
+                   help="comma list of material fields to fit; 'ior' "
+                        "needs delay gradients and implies --soft "
                         "(transmission has no pathwise gradient)")
+    p.add_argument("--soft", action="store_true",
+                   help="soft two-bin IR splat forward (delay gradients; "
+                        "pair with --loss blur)")
     p.add_argument("--fit-rays", type=int, default=None,
                    help="rays per fitting step (default: --rays)")
     p.add_argument("--fit-frames", type=int, default=1,

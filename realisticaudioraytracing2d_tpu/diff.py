@@ -48,12 +48,17 @@ from .ops.trace import TraceParams, trace_hits_only
 _LOGIT_EPS = 1e-4
 
 # Fields of MaterialParams that have usable pathwise gradients (see module
-# docstring for why transmission is excluded by default).
+# docstring for why transmission is excluded by default). "ior" is fittable
+# too, but only with the soft splat (its signal is mostly delay) — opt in
+# via fields=(..., "ior") plus soft=True.
 DEFAULT_FIT_FIELDS: Tuple[str, ...] = ("absorption", "scattering")
 
+# The reference's ior slider range (AudioMaterial.cs:20).
+IOR_MIN, IOR_MAX = 0.01, 4.0
 
-def _logit(v: jax.Array) -> jax.Array:
-    v = jnp.clip(v, _LOGIT_EPS, 1.0 - _LOGIT_EPS)
+
+def _logit(v: jax.Array, lo: float = 0.0, hi: float = 1.0) -> jax.Array:
+    v = jnp.clip((v - lo) / (hi - lo), _LOGIT_EPS, 1.0 - _LOGIT_EPS)
     return jnp.log(v) - jnp.log1p(-v)
 
 
@@ -90,6 +95,7 @@ class MaterialParams(NamedTuple):
     absorption: jax.Array    # [G, K] logits
     scattering: jax.Array    # [G] logits
     transmission: jax.Array  # [G] logits
+    ior: jax.Array           # [G] logits over [IOR_MIN, IOR_MAX]
 
     @property
     def n_groups(self) -> int:
@@ -111,13 +117,17 @@ class MaterialParams(NamedTuple):
         return MaterialParams(
             absorption=_logit(scene.absorption[first_j]),
             scattering=_logit(scene.scattering[first_j]),
-            transmission=_logit(scene.transmission[first_j]))
+            transmission=_logit(scene.transmission[first_j]),
+            ior=_logit(scene.ior[first_j], IOR_MIN, IOR_MAX))
 
-    def constrained(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """(absorption [G, K], scattering [G], transmission [G]) in [0, 1]."""
+    def constrained(self) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                   jax.Array]:
+        """(absorption [G, K], scattering [G], transmission [G]) in [0, 1]
+        plus ior [G] in [IOR_MIN, IOR_MAX]."""
         return (jax.nn.sigmoid(self.absorption),
                 jax.nn.sigmoid(self.scattering),
-                jax.nn.sigmoid(self.transmission))
+                jax.nn.sigmoid(self.transmission),
+                IOR_MIN + jax.nn.sigmoid(self.ior) * (IOR_MAX - IOR_MIN))
 
 
 def apply_materials(scene: Scene, groups: jax.Array, params: MaterialParams,
@@ -129,7 +139,7 @@ def apply_materials(scene: Scene, groups: jax.Array, params: MaterialParams,
     inert exactly as ``Scene.pad_to`` built it.
     """
     groups = jnp.asarray(groups)
-    absorption, scattering, transmission = params.constrained()
+    absorption, scattering, transmission, ior = params.constrained()
     mask1 = scene.mask
     mask2 = scene.mask[:, None]
     updates = {}
@@ -142,6 +152,8 @@ def apply_materials(scene: Scene, groups: jax.Array, params: MaterialParams,
     if "transmission" in fields:
         updates["transmission"] = jnp.where(
             mask1, transmission[groups], scene.transmission)
+    if "ior" in fields:
+        updates["ior"] = jnp.where(mask1, ior[groups], scene.ior)
     return scene._replace(**updates)
 
 
@@ -231,7 +243,9 @@ def fit_materials(scene: Scene, trace_params: TraceParams,
                   init: Optional[MaterialParams] = None,
                   fields: Sequence[str] = DEFAULT_FIT_FIELDS,
                   loss: str = "edc", steps: int = 100, lr: float = 0.05,
-                  resample: bool = True) -> FitResult:
+                  resample: bool = True, soft: bool = False,
+                  blur_sigma0: float = 16.0, blur_sigma_min: float = 1.0,
+                  blur_anneal_steps: float = 25.0) -> FitResult:
     """Estimate wall materials from a target IR by gradient descent.
 
     ``target_ir`` is an ``[L, T, K]`` energy histogram (e.g. a normalized
@@ -242,12 +256,28 @@ def fit_materials(scene: Scene, trace_params: TraceParams,
     random numbers — deterministic loss, converges tighter on synthetic
     targets). Transmission is excluded from ``fields`` by default — see the
     module docstring.
+
+    Fitting **ior** needs delay gradients: pass ``fields=(..., "ior")``
+    together with ``soft=True`` (two-bin splat forward) and
+    ``loss="blur"`` — relative L2 between Gaussian-blurred IRs with sigma
+    annealed ``blur_sigma0 -> blur_sigma_min`` bins over
+    ``blur_anneal_steps``-step halvings (coarse-to-fine, same recipe as
+    :func:`localize_source`).
     """
     import optax
 
-    if loss not in _LOSSES:
-        raise ValueError(f"loss={loss!r}; pick from {sorted(_LOSSES)}")
-    loss_fn = _LOSSES[loss]
+    if loss == "blur":
+        def loss_fn(pred, tgt, sigma):
+            pb = gaussian_blur_time(pred, sigma)
+            tb = gaussian_blur_time(tgt, sigma)
+            return jnp.mean(jnp.square(pb - tb)) / \
+                jnp.maximum(jnp.mean(jnp.square(tb)), 1e-20)
+    elif loss in _LOSSES:
+        base = _LOSSES[loss]
+        loss_fn = lambda pred, tgt, sigma: base(pred, tgt)  # noqa: E731
+    else:
+        raise ValueError(
+            f"loss={loss!r}; pick from {sorted(_LOSSES) + ['blur']}")
     if groups is None:
         groups, n_groups = infer_material_groups(scene)
     else:
@@ -262,16 +292,17 @@ def fit_materials(scene: Scene, trace_params: TraceParams,
 
     opt = optax.adam(lr)
 
-    def objective(mp: MaterialParams, k: jax.Array) -> jax.Array:
+    def objective(mp: MaterialParams, k: jax.Array,
+                  sigma: jax.Array) -> jax.Array:
         fitted = apply_materials(scene, groups_j, mp, fields)
         pred = simulate_ir(fitted, trace_params, k, n_rays=n_rays,
                            max_bounces=max_bounces, sample_rate=sample_rate,
-                           ir_length=ir_length, frames=frames)
-        return loss_fn(pred, target_ir)
+                           ir_length=ir_length, frames=frames, soft=soft)
+        return loss_fn(pred, target_ir, sigma)
 
     @jax.jit
-    def step(mp, opt_state, k):
-        value, grads = jax.value_and_grad(objective)(mp, k)
+    def step(mp, opt_state, k, sigma):
+        value, grads = jax.value_and_grad(objective)(mp, k, sigma)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(mp, updates), opt_state, value
 
@@ -280,7 +311,10 @@ def fit_materials(scene: Scene, trace_params: TraceParams,
     losses = []
     for i in range(steps):
         k = jax.random.fold_in(key, i) if resample else key
-        mp, opt_state, value = step(mp, opt_state, k)
+        sigma = jnp.asarray(
+            blur_sigma0 * 0.5 ** (i / blur_anneal_steps) + blur_sigma_min,
+            jnp.float32)
+        mp, opt_state, value = step(mp, opt_state, k, sigma)
         losses.append(value)
 
     fitted_scene = apply_materials(scene, groups_j, mp, fields)

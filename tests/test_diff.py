@@ -192,6 +192,40 @@ def test_localize_source_single_listener(key):
                         np.asarray(result.losses))
 
 
+def test_fit_recovers_ior(key):
+    """ior's signal is the propagation delay through transmissive media
+    (speed = c/ior): fittable only with the soft splat + blurred loss."""
+    def setup(ior):
+        wall = AudioMaterial(absorption=0.3, scattering=0.2)
+        obst = AudioMaterial(absorption=0.05, scattering=0.0,
+                             transmission=1.0, ior=ior)
+        scene = shoebox_room(
+            4.0, 4.0, wall_material=wall,
+            obstacles=[(Transform2D((0.0, 0.0), 0.0, (1.0, 2.5)), obst)])
+        params = TraceParams.make(source=(-1.4, 0.0), listeners=(1.4, 0.1),
+                                  listener_radius=0.4)
+        return scene, params
+
+    sr, ir_len, rays, bounces = 16000, 1024, 256, 6
+    true_scene, params = setup(0.5)
+    target = diff.simulate_ir(true_scene, params, jax.random.PRNGKey(0),
+                              n_rays=rays, max_bounces=bounces,
+                              sample_rate=sr, ir_length=ir_len, soft=True)
+    start_scene, _ = setup(1.8)
+    groups, _ = diff.infer_material_groups(start_scene)
+    result = diff.fit_materials(
+        start_scene, params, target, jax.random.PRNGKey(0),
+        n_rays=rays, max_bounces=bounces, sample_rate=sr,
+        fields=("ior",), loss="blur", soft=True, resample=False,
+        steps=70, lr=0.1)
+    g_obst = int(groups[16])  # first obstacle segment after 4x4 box walls
+    fitted_ior = float(np.asarray(result.params.constrained()[3])[g_obst])
+    assert abs(fitted_ior - 0.5) < 0.1, fitted_ior
+    # non-fitted fields untouched
+    np.testing.assert_allclose(np.asarray(result.scene.absorption),
+                               np.asarray(start_scene.absorption))
+
+
 def test_scene_bounds_covers_walls():
     scene, _ = _setup()
     lo, hi = diff.scene_bounds(scene, shrink=0.0)
