@@ -466,11 +466,16 @@ def cmd_fit(args):
     p = eng.params(room.source, listeners)
     groups, n_groups = diff.infer_material_groups(room.scene)
     fields = tuple(f for f in args.fields.split(",") if f)
+    unknown = set(fields) - {"absorption", "scattering", "transmission",
+                             "ior"}
+    if unknown:
+        raise SystemExit(f"unknown --fields {sorted(unknown)}; pick from "
+                         "absorption/scattering/transmission/ior")
 
     t0 = time.perf_counter()
     result = diff.fit_materials(
         room.scene, p, target, jax.random.PRNGKey(args.seed),
-        n_rays=args.fit_rays or args.rays, max_bounces=args.bounces,
+        n_rays=args.rays if args.fit_rays is None else args.fit_rays, max_bounces=args.bounces,
         sample_rate=cfg.audio.sample_rate, frames=args.fit_frames,
         groups=groups, fields=fields, loss=args.loss,
         steps=args.steps, lr=args.lr,
@@ -528,6 +533,10 @@ def cmd_locate(args):
         raise SystemExit(
             f"target IR has {target.shape[0]} listeners; this setup has "
             f"{n_l} (use --stereo / scene JSON listeners to match)")
+    if target.shape[-1] != room.scene.n_bands:
+        raise SystemExit(
+            f"target IR has {target.shape[-1]} bands; scene has "
+            f"{room.scene.n_bands} (set --bands to match)")
 
     eng = Engine(room.scene, cfg, n_listeners=n_l)
     p = eng.params(room.source, listeners)
@@ -535,7 +544,7 @@ def cmd_locate(args):
     t0 = time.perf_counter()
     result = diff.localize_source(
         room.scene, p, target, jax.random.PRNGKey(args.seed),
-        n_rays=args.fit_rays or args.rays, max_bounces=args.bounces,
+        n_rays=args.rays if args.fit_rays is None else args.fit_rays, max_bounces=args.bounces,
         sample_rate=cfg.audio.sample_rate, n_starts=args.starts,
         steps=args.steps, lr=args.lr)
     dt = time.perf_counter() - t0

@@ -266,12 +266,13 @@ def fit_materials(scene: Scene, trace_params: TraceParams,
     """
     import optax
 
+    unknown = set(fields) - {"absorption", "scattering", "transmission",
+                             "ior"}
+    if unknown:
+        raise ValueError(f"unknown material fields {sorted(unknown)}; "
+                         "pick from absorption/scattering/transmission/ior")
     if loss == "blur":
-        def loss_fn(pred, tgt, sigma):
-            pb = gaussian_blur_time(pred, sigma)
-            tb = gaussian_blur_time(tgt, sigma)
-            return jnp.mean(jnp.square(pb - tb)) / \
-                jnp.maximum(jnp.mean(jnp.square(tb)), 1e-20)
+        loss_fn = _blur_rel_l2
     elif loss in _LOSSES:
         base = _LOSSES[loss]
         loss_fn = lambda pred, tgt, sigma: base(pred, tgt)  # noqa: E731
@@ -309,12 +310,11 @@ def fit_materials(scene: Scene, trace_params: TraceParams,
     mp = init
     opt_state = opt.init(mp)
     losses = []
+    sigmas = _sigma_schedule(steps, blur_sigma0, blur_sigma_min,
+                             blur_anneal_steps)
     for i in range(steps):
         k = jax.random.fold_in(key, i) if resample else key
-        sigma = jnp.asarray(
-            blur_sigma0 * 0.5 ** (i / blur_anneal_steps) + blur_sigma_min,
-            jnp.float32)
-        mp, opt_state, value = step(mp, opt_state, k, sigma)
+        mp, opt_state, value = step(mp, opt_state, k, sigmas[i])
         losses.append(value)
 
     fitted_scene = apply_materials(scene, groups_j, mp, fields)
@@ -335,8 +335,32 @@ def gaussian_blur_time(ir: jax.Array, sigma: jax.Array,
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     kern = jnp.exp(-0.5 * jnp.square(x / jnp.maximum(sigma, 0.25)))
     kern = kern / jnp.sum(kern)
-    blur_row = lambda row: jnp.convolve(row, kern, mode="same")
+    # Explicit zero-pad + 'valid' always returns T samples; 'same' would
+    # return the KERNEL length whenever T < 2*radius+1 (short IRs),
+    # silently re-centering the time axis.
+    blur_row = lambda row: jnp.convolve(  # noqa: E731
+        jnp.pad(row, radius), kern, mode="valid")
     return jax.vmap(jax.vmap(blur_row, in_axes=-1, out_axes=-1))(ir)
+
+
+def _blur_rel_l2(pred: jax.Array, target: jax.Array,
+                 sigma: jax.Array) -> jax.Array:
+    """Relative L2 between Gaussian-blurred IRs — the shared coarse-to-fine
+    objective of :func:`fit_materials` (``loss="blur"``) and
+    :func:`localize_source`."""
+    pb = gaussian_blur_time(pred, sigma)
+    tb = gaussian_blur_time(target, sigma)
+    return jnp.mean(jnp.square(pb - tb)) / \
+        jnp.maximum(jnp.mean(jnp.square(tb)), 1e-20)
+
+
+def _sigma_schedule(steps: int, sigma0: float, sigma_min: float,
+                    anneal_steps: float) -> jax.Array:
+    """Coarse-to-fine blur widths: ``sigma0`` halving every
+    ``anneal_steps`` steps, floored at ``sigma_min``."""
+    i = jnp.arange(steps, dtype=jnp.float32)
+    return (sigma0 * 0.5 ** (i / anneal_steps) + sigma_min).astype(
+        jnp.float32)
 
 
 def first_arrival_times(ir: np.ndarray, sample_rate: int,
@@ -344,10 +368,18 @@ def first_arrival_times(ir: np.ndarray, sample_rate: int,
     """Per-listener first-arrival time (seconds) of an ``[L, T, K]`` energy
     IR: first bin reaching ``threshold_frac`` of that listener's peak
     (band-summed). Host-side; used to build the trilateration term of the
-    localization loss from a measured/binned target IR."""
+    localization loss from a measured/binned target IR. Raises on a
+    listener with an all-zero IR — a silent bin-0 "arrival" would pull the
+    fit onto that listener's radius circle."""
     e = np.asarray(ir).sum(axis=-1)                     # [L, T]
-    th = e.max(axis=1, keepdims=True) * threshold_frac
-    bins = np.argmax(e >= th, axis=1)                   # [L]
+    peak = e.max(axis=1, keepdims=True)
+    if (peak <= 0.0).any():
+        empty = np.flatnonzero(peak[:, 0] <= 0.0).tolist()
+        raise ValueError(
+            f"listeners {empty} have an all-zero target IR — no first "
+            "arrival to localize against (trace with more bounces/rays or "
+            "a longer IR)")
+    bins = np.argmax(e >= peak * threshold_frac, axis=1)  # [L]
     return (bins + 0.5) / float(sample_rate)
 
 
@@ -419,16 +451,13 @@ def localize_source(scene: Scene, trace_params: TraceParams,
         pred = simulate_ir(scene, p, key, n_rays=n_rays,
                            max_bounces=max_bounces, sample_rate=sample_rate,
                            ir_length=ir_length, soft=True)
-        pb = gaussian_blur_time(pred, sigma)
-        tb = gaussian_blur_time(target_ir, sigma)
-        l_ir = jnp.mean(jnp.square(pb - tb)) / \
-            jnp.maximum(jnp.mean(jnp.square(tb)), 1e-20)
+        l_ir = _blur_rel_l2(pred, target_ir, sigma)
         d = jnp.linalg.norm(listeners - src[None, :], axis=-1)
         fa_pred = jnp.maximum(d - radius, 0.0) / c
         l_fa = jnp.mean(jnp.square((fa_pred - fa_target) * 1e3))  # ms^2
         return arrival_weight * l_fa + ir_weight * l_ir
 
-    sigmas = sigma0 * (0.5 ** (jnp.arange(steps) / anneal_steps)) + sigma_min
+    sigmas = _sigma_schedule(steps, sigma0, sigma_min, anneal_steps)
 
     def fit_one(src0: jax.Array):
         adam = optax.adam(lr)

@@ -129,13 +129,16 @@ def ray_circle_intersect(o: jnp.ndarray, d: jnp.ndarray,
     d2 = dot2(L, L) - tca * tca
     r2 = radius * radius
     inside = (tca >= 0.0) & (d2 <= r2)
-    # Double-where keeps reverse-mode AD finite: for misses (d2 > r2) the
-    # clamp puts sqrt at exactly 0, whose backward is inf, and the masked
-    # result downstream turns that into inf * 0 = NaN (hit by diff.py's
-    # scattering gradients). Feed sqrt a safe positive argument on the
-    # branch that is discarded anyway.
-    disc = jnp.where(inside, jnp.maximum(r2 - d2, 0.0), 1.0)
-    thc = jnp.where(inside, jnp.sqrt(disc), 0.0)
+    # Double-where keeps reverse-mode AD finite: wherever sqrt would be
+    # evaluated at exactly 0 — misses (d2 > r2, where the old clamp pinned
+    # it to 0) AND exact float32 tangency (d2 == r2) — its backward is inf,
+    # and the masked result downstream turns that into inf * 0 = NaN (hit
+    # by diff.py's scattering gradients). Feed sqrt a safe positive
+    # argument on every branch whose value is discarded; forward values
+    # are bit-identical (tangent hits still get thc = 0).
+    pos = (r2 - d2) > 0.0
+    disc = jnp.where(inside & pos, r2 - d2, 1.0)
+    thc = jnp.where(inside & pos, jnp.sqrt(disc), 0.0)
     t0 = tca - thc
     t1 = tca + thc
     t = jnp.where(t0 > EPS, t0, jnp.where(t1 > EPS, t1, INF))

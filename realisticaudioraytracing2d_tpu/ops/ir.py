@@ -107,8 +107,10 @@ def scatter_hits_soft(hits: Hits, sample_rate: int,
     medium speed (ior) — dies at the scatter. The linear splat makes the IR
     piecewise-linear in delay instead, unlocking inverse problems over
     geometry (``diff.localize_source``). Forward it differs from the hard
-    scatter by at most one bin of temporal smear; total deposited energy is
-    identical. Not used on any parity/production path.
+    scatter by at most one bin of temporal smear, and deposited energy
+    matches except at the IR's final bin, where a hit's upper splat share
+    falls out of range and is dropped. Not used on any parity/production
+    path.
     """
     delay, valid, energy = _flatten_hits(hits)
     k = energy.shape[-1]

@@ -226,6 +226,48 @@ def test_fit_recovers_ior(key):
                                np.asarray(start_scene.absorption))
 
 
+def test_blur_preserves_length_for_short_irs():
+    """Regression: mode='same' convolution returned the KERNEL length
+    (193) whenever T < 193, silently re-centering short IRs' time axis."""
+    ir = jnp.zeros((1, 128, 1)).at[0, 60, 0].set(1.0)
+    out = diff.gaussian_blur_time(ir, jnp.asarray(4.0))
+    assert out.shape == (1, 128, 1)
+    assert int(jnp.argmax(out[0, :, 0])) == 60
+    np.testing.assert_allclose(float(out.sum()), 1.0, rtol=1e-5)
+
+
+def test_first_arrival_raises_on_empty_listener():
+    """Regression: an all-zero listener IR produced a spurious bin-0
+    'arrival' that pulled localization onto that listener's circle."""
+    import pytest
+    with pytest.raises(ValueError, match="all-zero"):
+        diff.first_arrival_times(np.zeros((2, 100, 1)), 8000)
+
+
+def test_fit_rejects_unknown_fields(key):
+    """Regression: a misspelled field silently made the fit a no-op."""
+    import pytest
+    scene, params = _setup()
+    with pytest.raises(ValueError, match="unknown material fields"):
+        diff.fit_materials(scene, params, jnp.zeros((1, IR_LEN, 1)), key,
+                           n_rays=8, max_bounces=2, sample_rate=SR,
+                           fields=("absorbtion",), steps=1)
+
+
+def test_tangent_circle_gradient_finite():
+    """Regression: exact float32 tangency (d2 == r2) still evaluated sqrt
+    at 0, whose backward is inf — same class as the miss-branch NaN."""
+    from realisticaudioraytracing2d_tpu.ops.geometry import \
+        ray_circle_intersect
+
+    def t_of(o):
+        return ray_circle_intersect(o, jnp.array([1.0, 0.0]),
+                                    jnp.array([5.0, 1.0]), jnp.asarray(1.0))
+
+    g = jax.grad(t_of)(jnp.array([0.0, 0.0]))  # ray exactly tangent
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_scene_bounds_covers_walls():
     scene, _ = _setup()
     lo, hi = diff.scene_bounds(scene, shrink=0.0)
