@@ -410,7 +410,8 @@ def localize_source(scene: Scene, trace_params: TraceParams,
                     anneal_steps: float = 30.0,
                     arrival_weight: float = 1.0,
                     ir_weight: float = 30.0,
-                    starts_key: Optional[jax.Array] = None) -> LocalizeResult:
+                    starts_key: Optional[jax.Array] = None,
+                    mesh=None, axis: str = "rooms") -> LocalizeResult:
     """Estimate the *source position* from a target IR by gradient descent
     through the ray tracer — differentiable echoes as a localization sensor.
 
@@ -430,6 +431,13 @@ def localize_source(scene: Scene, trace_params: TraceParams,
     wall AABB) and run batched under one ``vmap`` — multi-start is a batch
     axis, not a host loop. Fixed RNG key (common random numbers) keeps the
     per-start objective deterministic.
+
+    Pass a ``jax.sharding.Mesh`` as ``mesh`` to shard the starts over
+    ``mesh[axis]`` with ``shard_map``: each device runs its local starts
+    through the same vmapped fit — embarrassingly parallel, bit-identical
+    to the unsharded run (``n_starts`` must divide the axis size evenly).
+    Inverse problems scale across chips the same way the forward sweeps
+    do.
 
     ``trace_params.source`` is ignored; listeners/radius/speeds are used.
     """
@@ -479,7 +487,20 @@ def localize_source(scene: Scene, trace_params: TraceParams,
     starts = jax.random.uniform(
         starts_key, (n_starts, 2),
         minval=jnp.asarray(bounds[0]), maxval=jnp.asarray(bounds[1]))
-    positions, losses = jax.jit(jax.vmap(fit_one))(starts)
+    fit_batch = jax.vmap(fit_one)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        n_dev = mesh.shape[axis]
+        if n_starts % n_dev != 0:
+            raise ValueError(
+                f"{n_starts} starts not divisible by {axis}={n_dev}")
+        # check_vma off: replicated closed-over operands (scene/target) mix
+        # with the sharded starts inside lax.scan — same pattern as
+        # parallel/sweep.py; outputs are genuinely starts-sharded.
+        fit_batch = jax.shard_map(fit_batch, mesh=mesh, in_specs=P(axis),
+                                  out_specs=(P(axis), P(axis)),
+                                  check_vma=False)
+    positions, losses = jax.jit(fit_batch)(starts)
     best = jnp.argmin(losses)
     return LocalizeResult(position=positions[best], loss=losses[best],
                           positions=positions, losses=losses)

@@ -268,6 +268,33 @@ def test_tangent_circle_gradient_finite():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_localize_sharded_matches_unsharded(key):
+    """Starts sharded over an 8-device mesh match the single-device vmap
+    (embarrassingly parallel; tolerances cover XLA fusion differences
+    between the two compiled programs, amplified by 8 Adam steps)."""
+    from realisticaudioraytracing2d_tpu.parallel.mesh import make_mesh
+
+    scene, _ = _setup()
+    params = TraceParams.make(source=(-1.0, 0.4), listeners=(1.0, 0.3),
+                              listener_radius=0.5)
+    target = diff.simulate_ir(scene, params, jax.random.PRNGKey(0),
+                              n_rays=64, max_bounces=BOUNCES,
+                              sample_rate=SR, ir_length=IR_LEN, soft=True)
+    kw = dict(n_rays=64, max_bounces=BOUNCES, sample_rate=SR,
+              n_starts=8, steps=8)
+    plain = diff.localize_source(scene, params, target,
+                                 jax.random.PRNGKey(0), **kw)
+    mesh = make_mesh(axis_names=("rooms",))
+    sharded = diff.localize_source(scene, params, target,
+                                   jax.random.PRNGKey(0), mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(plain.positions),
+                               np.asarray(sharded.positions),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(plain.losses),
+                               np.asarray(sharded.losses),
+                               rtol=1e-3)
+
+
 def test_scene_bounds_covers_walls():
     scene, _ = _setup()
     lo, hi = diff.scene_bounds(scene, shrink=0.0)
