@@ -20,6 +20,10 @@ What is differentiable, and why it is sound:
   ``u < transmission`` (``compute:124``): the pathwise gradient is zero
   almost everywhere, so transmission is NOT fittable by this module and is
   excluded from the default fit fields.
+* **ior** and **positions** (source/listener) act mostly through hit
+  *delays*, which the hard ``floor`` binning flattens to zero gradient;
+  the soft two-bin splat (``simulate_ir(soft=True)``) restores them —
+  see :func:`localize_source` and ``fields=("ior",)`` + ``loss="blur"``.
 
 Geometric selections (nearest wall, listener capture, energy cutoffs) are
 piecewise-constant in the material parameters; their a.e. derivative is
