@@ -415,6 +415,7 @@ def localize_source(scene: Scene, trace_params: TraceParams,
                     arrival_weight: float = 1.0,
                     ir_weight: float = 30.0,
                     starts_key: Optional[jax.Array] = None,
+                    starts: Optional[jax.Array] = None,
                     mesh=None, axis: str = "rooms") -> LocalizeResult:
     """Estimate the *source position* from a target IR by gradient descent
     through the ray tracer — differentiable echoes as a localization sensor.
@@ -486,11 +487,17 @@ def localize_source(scene: Scene, trace_params: TraceParams,
         # like with like.
         return src, loss_fn(src, sigmas[-1])
 
-    if starts_key is None:
-        starts_key = jax.random.fold_in(key, 0x10C8)
-    starts = jax.random.uniform(
-        starts_key, (n_starts, 2),
-        minval=jnp.asarray(bounds[0]), maxval=jnp.asarray(bounds[1]))
+    if starts is not None:
+        # Explicit starts (e.g. warm-starting a tracking loop from the
+        # previous chunk's estimate) override the random draw.
+        starts = jnp.atleast_2d(jnp.asarray(starts, jnp.float32))
+        n_starts = starts.shape[0]
+    else:
+        if starts_key is None:
+            starts_key = jax.random.fold_in(key, 0x10C8)
+        starts = jax.random.uniform(
+            starts_key, (n_starts, 2),
+            minval=jnp.asarray(bounds[0]), maxval=jnp.asarray(bounds[1]))
     fit_batch = jax.vmap(fit_one)
     if mesh is not None:
         from jax.sharding import PartitionSpec as P

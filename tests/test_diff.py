@@ -295,6 +295,34 @@ def test_localize_sharded_matches_unsharded(key):
                                rtol=1e-3)
 
 
+def test_localize_warm_start_tracks_motion(key):
+    """Warm-started localization (`starts=`) follows a moving source
+    chunk to chunk — the tracking mode of examples/track_source.py."""
+    scene, _ = _setup()
+    params = TraceParams.make(source=(0.0, 0.0), listeners=(1.2, 0.8),
+                              listener_radius=0.5)
+    path = np.array([[-1.0, -0.6], [-0.8, -0.35], [-0.6, -0.15]],
+                    np.float32)
+    prev = path[0] + np.array([0.15, -0.1], np.float32)  # approx known
+    errs = []
+    for true_src in path:
+        p = params._replace(source=jnp.asarray(true_src))
+        target = diff.simulate_ir(scene, p, jax.random.PRNGKey(0),
+                                  n_rays=128, max_bounces=BOUNCES,
+                                  sample_rate=SR, ir_length=IR_LEN,
+                                  soft=True)
+        ring = prev[None, :] + 0.2 * np.array(
+            [[0, 0], [1, 0], [-1, 0], [0, 1], [0, -1]], np.float32)
+        result = diff.localize_source(
+            scene, params, target, jax.random.PRNGKey(0),
+            n_rays=128, max_bounces=BOUNCES, sample_rate=SR,
+            starts=ring, steps=40, sigma0=10.0, anneal_steps=15.0)
+        prev = np.asarray(result.position)
+        errs.append(float(np.linalg.norm(prev - true_src)))
+    assert np.mean(errs) < 0.25, errs
+    assert errs[-1] < 0.25, errs
+
+
 def test_scene_bounds_covers_walls():
     scene, _ = _setup()
     lo, hi = diff.scene_bounds(scene, shrink=0.0)
