@@ -347,13 +347,20 @@ def gaussian_blur_time(ir: jax.Array, sigma: jax.Array,
     return jax.vmap(jax.vmap(blur_row, in_axes=-1, out_axes=-1))(ir)
 
 
-def _blur_rel_l2(pred: jax.Array, target: jax.Array,
-                 sigma: jax.Array) -> jax.Array:
+def _blur_rel_l2(pred: jax.Array, target: jax.Array, sigma: jax.Array,
+                 scale_invariant: bool = False) -> jax.Array:
     """Relative L2 between Gaussian-blurred IRs — the shared coarse-to-fine
     objective of :func:`fit_materials` (``loss="blur"``) and
-    :func:`localize_source`."""
+    :func:`localize_source`. ``scale_invariant=True`` first scales the
+    blurred prediction by its optimal least-squares gain
+    ``<pb, tb> / <pb, pb>`` (the closed-form projection), making the loss
+    independent of the target's absolute level — for measured IRs with
+    unknown calibration."""
     pb = gaussian_blur_time(pred, sigma)
     tb = gaussian_blur_time(target, sigma)
+    if scale_invariant:
+        g = jnp.sum(pb * tb) / jnp.maximum(jnp.sum(pb * pb), 1e-20)
+        pb = pb * g
     return jnp.mean(jnp.square(pb - tb)) / \
         jnp.maximum(jnp.mean(jnp.square(tb)), 1e-20)
 
@@ -416,6 +423,7 @@ def localize_source(scene: Scene, trace_params: TraceParams,
                     ir_weight: float = 30.0,
                     starts_key: Optional[jax.Array] = None,
                     starts: Optional[jax.Array] = None,
+                    gain_invariant: bool = False,
                     mesh=None, axis: str = "rooms") -> LocalizeResult:
     """Estimate the *source position* from a target IR by gradient descent
     through the ray tracer — differentiable echoes as a localization sensor.
@@ -444,6 +452,11 @@ def localize_source(scene: Scene, trace_params: TraceParams,
     Inverse problems scale across chips the same way the forward sweeps
     do.
 
+    ``gain_invariant=True`` makes the IR term independent of the target's
+    absolute level via the closed-form optimal gain (the first-arrival
+    term already is, its threshold being relative to the peak) — use for
+    measured IRs with unknown calibration.
+
     ``trace_params.source`` is ignored; listeners/radius/speeds are used.
     """
     import optax
@@ -464,7 +477,8 @@ def localize_source(scene: Scene, trace_params: TraceParams,
         pred = simulate_ir(scene, p, key, n_rays=n_rays,
                            max_bounces=max_bounces, sample_rate=sample_rate,
                            ir_length=ir_length, soft=True)
-        l_ir = _blur_rel_l2(pred, target_ir, sigma)
+        l_ir = _blur_rel_l2(pred, target_ir, sigma,
+                            scale_invariant=gain_invariant)
         d = jnp.linalg.norm(listeners - src[None, :], axis=-1)
         fa_pred = jnp.maximum(d - radius, 0.0) / c
         l_fa = jnp.mean(jnp.square((fa_pred - fa_target) * 1e3))  # ms^2
