@@ -323,6 +323,25 @@ def test_localize_warm_start_tracks_motion(key):
     assert errs[-1] < 0.25, errs
 
 
+def test_localize_hard_binned_target(key):
+    """The realistic CLI scenario: the target comes from `trace --ir-out`,
+    i.e. HARD-binned and multi-frame, while the fit's forward model is the
+    soft splat. The blur absorbs the one-bin mismatch."""
+    scene, _ = _setup()
+    params = TraceParams.make(source=(-1.0, 0.4), listeners=(1.0, 0.3),
+                              listener_radius=0.5)
+    target = diff.simulate_ir(scene, params, jax.random.PRNGKey(0),
+                              n_rays=256, max_bounces=BOUNCES,
+                              sample_rate=SR, ir_length=IR_LEN,
+                              soft=False, frames=4)
+    result = diff.localize_source(
+        scene, params, target, jax.random.PRNGKey(0),
+        n_rays=256, max_bounces=BOUNCES, sample_rate=SR,
+        n_starts=6, steps=150)
+    err = float(jnp.linalg.norm(result.position - params.source))
+    assert err < 0.15, (np.asarray(result.position), err)
+
+
 def test_localize_gain_invariant_handles_uncalibrated_target(key):
     """A target IR with an unknown absolute level (scaled 7.3x) still
     localizes when the IR term projects out the optimal gain."""
