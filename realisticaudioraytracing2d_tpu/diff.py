@@ -457,6 +457,12 @@ def localize_source(scene: Scene, trace_params: TraceParams,
     term already is, its threshold being relative to the peak) — use for
     measured IRs with unknown calibration.
 
+    Assumption: the trilateration term models the first arrival as a
+    LINE-OF-SIGHT path at speed ``c``. With the direct path occluded or
+    refracted through transmissive walls (e.g. SmollRoom's source behind
+    its slanted ior-0.6 wall), set ``arrival_weight=0`` and rely on the
+    blurred-IR term, with ``sigma0`` scaled to the room's size in bins.
+
     ``trace_params.source`` is ignored; listeners/radius/speeds are used.
     """
     import optax
