@@ -89,8 +89,8 @@ for i, true_src in enumerate(path):
                                       steps=args.track_steps,
                                       sigma0=10.0, sigma_min=1.0,
                                       anneal_steps=15.0)
-    prev = np.asarray(result.position)[None, :]
     est = np.asarray(result.position)
+    prev = est[None, :]
     estimates.append(est)
     err = float(np.linalg.norm(est - true_src))
     print(f"chunk {i:2d}: true ({true_src[0]:+.2f}, {true_src[1]:+.2f})  "

@@ -38,7 +38,7 @@ the MXU/VPU via XLA.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -447,8 +447,9 @@ def localize_source(scene: Scene, trace_params: TraceParams,
 
     Pass a ``jax.sharding.Mesh`` as ``mesh`` to shard the starts over
     ``mesh[axis]`` with ``shard_map``: each device runs its local starts
-    through the same vmapped fit — embarrassingly parallel, bit-identical
-    to the unsharded run (``n_starts`` must divide the axis size evenly).
+    through the same vmapped fit — embarrassingly parallel, matching the
+    unsharded run to float tolerance (XLA fuses the two programs
+    differently; the axis size must divide ``n_starts`` evenly).
     Inverse problems scale across chips the same way the forward sweeps
     do.
 
@@ -465,8 +466,6 @@ def localize_source(scene: Scene, trace_params: TraceParams,
 
     ``trace_params.source`` is ignored; listeners/radius/speeds are used.
     """
-    import optax
-
     target_ir = jnp.asarray(target_ir, jnp.float32)
     ir_length = target_ir.shape[-2]
     if bounds is None:
@@ -474,9 +473,44 @@ def localize_source(scene: Scene, trace_params: TraceParams,
     bounds = np.asarray(bounds, np.float32)
     fa_target = jnp.asarray(
         first_arrival_times(target_ir, sample_rate), jnp.float32)  # [L]
-    listeners = trace_params.listeners
-    radius = trace_params.listener_radius
-    c = trace_params.speed_of_sound
+
+    if starts is not None:
+        # Explicit starts (e.g. warm-starting a tracking loop from the
+        # previous chunk's estimate) override the random draw.
+        starts = jnp.atleast_2d(jnp.asarray(starts, jnp.float32))
+        n_starts = starts.shape[0]
+    else:
+        if starts_key is None:
+            starts_key = jax.random.fold_in(key, 0x10C8)
+        starts = jax.random.uniform(
+            starts_key, (n_starts, 2),
+            minval=jnp.asarray(bounds[0]), maxval=jnp.asarray(bounds[1]))
+    if mesh is not None and n_starts % mesh.shape[axis] != 0:
+        raise ValueError(f"{n_starts} starts not divisible by "
+                         f"{axis}={mesh.shape[axis]}")
+    sigmas = _sigma_schedule(steps, sigma0, sigma_min, anneal_steps)
+    program = _localize_program(
+        n_rays, max_bounces, sample_rate, ir_length, lr,
+        arrival_weight, ir_weight, gain_invariant, mesh, axis)
+    # Target/starts/schedule are traced ARGUMENTS of one cached jit — a
+    # tracking loop (new target every chunk) compiles once, not per call.
+    positions, losses = program(starts, scene, trace_params, target_ir,
+                                fa_target, key, sigmas)
+    best = jnp.argmin(losses)
+    return LocalizeResult(position=positions[best], loss=losses[best],
+                          positions=positions, losses=losses)
+
+
+@partial(jax.jit, static_argnames=(
+    "n_rays", "max_bounces", "sample_rate", "ir_length", "lr",
+    "arrival_weight", "ir_weight", "gain_invariant"))
+def _localize_fit(starts, scene, trace_params, target_ir, fa_target, key,
+                  sigmas, *, n_rays, max_bounces, sample_rate, ir_length,
+                  lr, arrival_weight, ir_weight, gain_invariant):
+    """The batched multi-start fit behind :func:`localize_source`, with
+    every per-call value (starts, target, schedule) as a traced argument
+    so the compiled program is reused across calls."""
+    import optax
 
     def loss_fn(src: jax.Array, sigma: jax.Array) -> jax.Array:
         p = trace_params._replace(source=src)
@@ -485,12 +519,11 @@ def localize_source(scene: Scene, trace_params: TraceParams,
                            ir_length=ir_length, soft=True)
         l_ir = _blur_rel_l2(pred, target_ir, sigma,
                             scale_invariant=gain_invariant)
-        d = jnp.linalg.norm(listeners - src[None, :], axis=-1)
-        fa_pred = jnp.maximum(d - radius, 0.0) / c
+        d = jnp.linalg.norm(trace_params.listeners - src[None, :], axis=-1)
+        fa_pred = jnp.maximum(d - trace_params.listener_radius, 0.0) \
+            / trace_params.speed_of_sound
         l_fa = jnp.mean(jnp.square((fa_pred - fa_target) * 1e3))  # ms^2
         return arrival_weight * l_fa + ir_weight * l_ir
-
-    sigmas = _sigma_schedule(steps, sigma0, sigma_min, anneal_steps)
 
     def fit_one(src0: jax.Array):
         adam = optax.adam(lr)
@@ -507,31 +540,28 @@ def localize_source(scene: Scene, trace_params: TraceParams,
         # like with like.
         return src, loss_fn(src, sigmas[-1])
 
-    if starts is not None:
-        # Explicit starts (e.g. warm-starting a tracking loop from the
-        # previous chunk's estimate) override the random draw.
-        starts = jnp.atleast_2d(jnp.asarray(starts, jnp.float32))
-        n_starts = starts.shape[0]
-    else:
-        if starts_key is None:
-            starts_key = jax.random.fold_in(key, 0x10C8)
-        starts = jax.random.uniform(
-            starts_key, (n_starts, 2),
-            minval=jnp.asarray(bounds[0]), maxval=jnp.asarray(bounds[1]))
-    fit_batch = jax.vmap(fit_one)
-    if mesh is not None:
-        from jax.sharding import PartitionSpec as P
-        n_dev = mesh.shape[axis]
-        if n_starts % n_dev != 0:
-            raise ValueError(
-                f"{n_starts} starts not divisible by {axis}={n_dev}")
-        # check_vma off: replicated closed-over operands (scene/target) mix
-        # with the sharded starts inside lax.scan — same pattern as
-        # parallel/sweep.py; outputs are genuinely starts-sharded.
-        fit_batch = jax.shard_map(fit_batch, mesh=mesh, in_specs=P(axis),
-                                  out_specs=(P(axis), P(axis)),
-                                  check_vma=False)
-    positions, losses = jax.jit(fit_batch)(starts)
-    best = jnp.argmin(losses)
-    return LocalizeResult(position=positions[best], loss=losses[best],
-                          positions=positions, losses=losses)
+    return jax.vmap(fit_one)(starts)
+
+
+@lru_cache(maxsize=32)
+def _localize_program(n_rays, max_bounces, sample_rate, ir_length, lr,
+                      arrival_weight, ir_weight, gain_invariant,
+                      mesh, axis):
+    """Bind :func:`_localize_fit`'s static config; wrap in ``shard_map``
+    over the starts axis when a mesh is given (check_vma off: replicated
+    operands mix with the sharded starts inside lax.scan — same pattern as
+    parallel/sweep.py; outputs are genuinely starts-sharded). lru_cache
+    keeps the returned callable — and therefore its jit cache — stable
+    across calls with the same config."""
+    bound = partial(_localize_fit, n_rays=n_rays, max_bounces=max_bounces,
+                    sample_rate=sample_rate, ir_length=ir_length, lr=lr,
+                    arrival_weight=arrival_weight, ir_weight=ir_weight,
+                    gain_invariant=gain_invariant)
+    if mesh is None:
+        return bound
+    from jax.sharding import PartitionSpec as P
+    rep = P()
+    return jax.jit(jax.shard_map(
+        bound, mesh=mesh,
+        in_specs=(P(axis), rep, rep, rep, rep, rep, rep),
+        out_specs=(P(axis), P(axis)), check_vma=False))

@@ -268,7 +268,7 @@ def test_tangent_circle_gradient_finite():
     assert np.isfinite(np.asarray(g)).all()
 
 
-def test_localize_sharded_matches_unsharded(key):
+def test_localize_sharded_matches_unsharded():
     """Starts sharded over an 8-device mesh match the single-device vmap
     (embarrassingly parallel; tolerances cover XLA fusion differences
     between the two compiled programs, amplified by 8 Adam steps)."""
@@ -295,7 +295,7 @@ def test_localize_sharded_matches_unsharded(key):
                                rtol=1e-3)
 
 
-def test_localize_warm_start_tracks_motion(key):
+def test_localize_warm_start_tracks_motion():
     """Warm-started localization (`starts=`) follows a moving source
     chunk to chunk — the tracking mode of examples/track_source.py."""
     scene, _ = _setup()
@@ -323,7 +323,7 @@ def test_localize_warm_start_tracks_motion(key):
     assert errs[-1] < 0.25, errs
 
 
-def test_localize_hard_binned_target(key):
+def test_localize_hard_binned_target():
     """The realistic CLI scenario: the target comes from `trace --ir-out`,
     i.e. HARD-binned and multi-frame, while the fit's forward model is the
     soft splat. The blur absorbs the one-bin mismatch."""
@@ -342,7 +342,7 @@ def test_localize_hard_binned_target(key):
     assert err < 0.15, (np.asarray(result.position), err)
 
 
-def test_localize_gain_invariant_handles_uncalibrated_target(key):
+def test_localize_gain_invariant_handles_uncalibrated_target():
     """A target IR with an unknown absolute level (scaled 7.3x) still
     localizes when the IR term projects out the optimal gain."""
     scene, _ = _setup()
