@@ -102,5 +102,13 @@ dt = time.time() - t0
 print(f"\ntracked {args.chunks} chunks in {dt:.1f}s "
       f"({dt / args.chunks * 1e3:.0f} ms/chunk amortized)")
 print(f"mean |err| {errs.mean():.3f} m, max {errs.max():.3f} m")
+
+from realisticaudioraytracing2d_tpu.utils import viz  # noqa: E402
+
+viz.save_image("track.png",
+               viz.render_trajectory(scene, path, estimates,
+                                     listener=np.asarray([1.2, 0.8]),
+                                     listener_radius=0.5))
+print("wrote track.png (green = true path, yellow = estimates)")
 if errs.mean() > 0.2:
     sys.exit("tracking failed (mean err > 0.2 m)")

@@ -140,5 +140,40 @@ def render_scene(scene: Scene, source=None, listener=None,
     return canvas.img
 
 
+def render_trajectory(scene: Scene, true_path, est_path, listener=None,
+                      listener_radius: float = 0.5,
+                      width: int = 800, height: int = 600) -> np.ndarray:
+    """Scene overview with two polylines: the TRUE source trajectory
+    (green, start marked) and an ESTIMATED one (yellow, estimates marked)
+    — the visual record of `examples/track_source.py`'s acoustic
+    tracking. Cross-marks sit at each estimate so per-chunk error is
+    visible, not just the path shape."""
+    a, b = np.asarray(scene.a), np.asarray(scene.b)
+    m = np.asarray(scene.mask)
+    true_path = np.asarray(true_path, np.float64)
+    est_path = np.asarray(est_path, np.float64)
+    pts = np.concatenate(
+        [a[m], b[m], true_path, est_path] +
+        ([np.asarray(listener)[None]] if listener is not None else []))
+    canvas = SceneCanvas(width, height)
+    canvas._fit_bounds(pts)
+    for i in np.nonzero(m)[0]:
+        canvas.line(a[i], b[i], RED)
+    if listener is not None:
+        canvas.circle(listener, listener_radius, CYAN)
+    for i in range(len(true_path) - 1):
+        canvas.line(true_path[i], true_path[i + 1], GREEN)
+    canvas.circle(true_path[0], 0.08, GREEN)
+    for i in range(len(est_path) - 1):
+        canvas.line(est_path[i], est_path[i + 1], YELLOW, alpha=0.8)
+    # world-sized cross at each estimate
+    xmin, ymin, xmax, ymax = canvas.bounds
+    r = 0.01 * max(xmax - xmin, ymax - ymin)
+    for p in est_path:
+        canvas.line(p - (r, 0), p + (r, 0), YELLOW)
+        canvas.line(p - (0, r), p + (0, r), YELLOW)
+    return canvas.img
+
+
 def save_image(path: str, image: np.ndarray) -> None:
     write_png(path, image)

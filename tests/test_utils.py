@@ -199,3 +199,20 @@ def test_load_ir_state_accepts_format1_legacy_sidecar(tmp_path):
         json.dump({"treedef": "x", "n_leaves": 2, "meta": {}}, f)
     with pytest.raises(ValueError, match="format-1"):
         checkpoint.load_ir_state(p2)
+
+
+def test_render_trajectory_draws_paths_and_walls():
+    from realisticaudioraytracing2d_tpu.models.materials import AudioMaterial
+    from realisticaudioraytracing2d_tpu.models.rooms import shoebox_room
+
+    scene = shoebox_room(4.0, 4.0,
+                         wall_material=AudioMaterial(absorption=0.3))
+    true_path = np.array([[-1.0, -0.5], [0.0, 0.0], [1.0, 0.5]])
+    est_path = true_path + 0.1
+    img = viz.render_trajectory(scene, true_path, est_path,
+                                listener=(1.2, 0.8))
+    assert img.shape == (600, 800, 3)
+    # green (true path), yellow (estimates) and red (walls) all present
+    assert (img[..., 1] > 0.5).any()
+    assert ((img[..., 0] > 0.5) & (img[..., 1] > 0.5)).any()
+    assert ((img[..., 0] > 0.5) & (img[..., 1] < 0.3)).any()
