@@ -396,7 +396,12 @@ def first_arrival_times(ir: np.ndarray, sample_rate: int,
 
 def scene_bounds(scene: Scene, shrink: float = 0.05) -> np.ndarray:
     """AABB of the real (non-padding) walls, shrunk by ``shrink`` of its
-    extent per side — the default search box for :func:`localize_source`."""
+    extent per side — the default search box for :func:`localize_source`.
+    For rooms whose walls are thick boxes, this outer hull includes the
+    wall band, where a hypothesis traces nothing and its loss plateaus —
+    pass explicit interior ``bounds`` there (essential for
+    ``n_sources > 1``, where every point of a hypothesis must land
+    inside)."""
     mask = np.asarray(scene.mask)
     pts = np.concatenate([np.asarray(scene.a)[mask],
                           np.asarray(scene.b)[mask]], axis=0)
@@ -406,9 +411,9 @@ def scene_bounds(scene: Scene, shrink: float = 0.05) -> np.ndarray:
 
 
 class LocalizeResult(NamedTuple):
-    position: jax.Array   # [2] best start's fitted source position
+    position: jax.Array   # [2] (or [N, 2] for n_sources=N) best fit
     loss: jax.Array       # its final loss
-    positions: jax.Array  # [S, 2] every start's fitted position
+    positions: jax.Array  # [S, 2] / [S, N, 2] every start's fit
     losses: jax.Array     # [S] every start's final loss
 
 
@@ -424,6 +429,7 @@ def localize_source(scene: Scene, trace_params: TraceParams,
                     starts_key: Optional[jax.Array] = None,
                     starts: Optional[jax.Array] = None,
                     gain_invariant: bool = False,
+                    n_sources: int = 1,
                     mesh=None, axis: str = "rooms") -> LocalizeResult:
     """Estimate the *source position* from a target IR by gradient descent
     through the ray tracer — differentiable echoes as a localization sensor.
@@ -458,6 +464,13 @@ def localize_source(scene: Scene, trace_params: TraceParams,
     term already is, its threshold being relative to the peak) — use for
     measured IRs with unknown calibration.
 
+    ``n_sources=N`` localizes N SIMULTANEOUS sources jointly from one
+    mixed IR (propagation is linear in the emission, so the predicted IR
+    is the sum of per-source IRs). Each start is then an ``[N, 2]``
+    hypothesis and ``position`` comes back ``[N, 2]`` (up to source
+    permutation). The trilateration term only applies to N = 1 — a mixed
+    IR's first arrival is the min over sources, not per-source.
+
     Assumption: the trilateration term models the first arrival as a
     LINE-OF-SIGHT path at speed ``c``. With the direct path occluded or
     refracted through transmissive walls (e.g. SmollRoom's source behind
@@ -476,14 +489,15 @@ def localize_source(scene: Scene, trace_params: TraceParams,
 
     if starts is not None:
         # Explicit starts (e.g. warm-starting a tracking loop from the
-        # previous chunk's estimate) override the random draw.
-        starts = jnp.atleast_2d(jnp.asarray(starts, jnp.float32))
+        # previous chunk's estimate) override the random draw. Accepted
+        # shapes: [2], [S, 2] (single source), [S, N, 2].
+        starts = jnp.asarray(starts, jnp.float32).reshape(-1, n_sources, 2)
         n_starts = starts.shape[0]
     else:
         if starts_key is None:
             starts_key = jax.random.fold_in(key, 0x10C8)
         starts = jax.random.uniform(
-            starts_key, (n_starts, 2),
+            starts_key, (n_starts, n_sources, 2),
             minval=jnp.asarray(bounds[0]), maxval=jnp.asarray(bounds[1]))
     if mesh is not None and n_starts % mesh.shape[axis] != 0:
         raise ValueError(f"{n_starts} starts not divisible by "
@@ -496,6 +510,8 @@ def localize_source(scene: Scene, trace_params: TraceParams,
     # tracking loop (new target every chunk) compiles once, not per call.
     positions, losses = program(starts, scene, trace_params, target_ir,
                                 fa_target, key, sigmas)
+    if n_sources == 1:  # keep the single-source [2]/[S, 2] API
+        positions = positions[:, 0, :]
     best = jnp.argmin(losses)
     return LocalizeResult(position=positions[best], loss=losses[best],
                           positions=positions, losses=losses)
@@ -512,14 +528,31 @@ def _localize_fit(starts, scene, trace_params, target_ir, fa_target, key,
     so the compiled program is reused across calls."""
     import optax
 
-    def loss_fn(src: jax.Array, sigma: jax.Array) -> jax.Array:
-        p = trace_params._replace(source=src)
-        pred = simulate_ir(scene, p, key, n_rays=n_rays,
-                           max_bounces=max_bounces, sample_rate=sample_rate,
-                           ir_length=ir_length, soft=True)
+    def loss_fn(srcs: jax.Array, sigma: jax.Array) -> jax.Array:
+        # srcs [N, 2]: the predicted IR of N simultaneous sources is the
+        # SUM of per-source IRs (propagation is linear in the emission),
+        # each with its own RNG stream.
+        def one(src, k):
+            p = trace_params._replace(source=src)
+            return simulate_ir(scene, p, k, n_rays=n_rays,
+                               max_bounces=max_bounces,
+                               sample_rate=sample_rate,
+                               ir_length=ir_length, soft=True)
+
+        if srcs.shape[0] == 1:
+            pred = one(srcs[0], key)  # N=1 keeps the caller's exact stream
+        else:
+            pred = jnp.sum(
+                jax.vmap(one)(srcs, jax.random.split(key, srcs.shape[0])),
+                axis=0)
         l_ir = _blur_rel_l2(pred, target_ir, sigma,
                             scale_invariant=gain_invariant)
-        d = jnp.linalg.norm(trace_params.listeners - src[None, :], axis=-1)
+        if srcs.shape[0] > 1:
+            # The target's first arrival is the min over sources — not a
+            # per-source observable; trilateration only applies to N = 1.
+            return ir_weight * l_ir
+        d = jnp.linalg.norm(trace_params.listeners - srcs[0][None, :],
+                            axis=-1)
         fa_pred = jnp.maximum(d - trace_params.listener_radius, 0.0) \
             / trace_params.speed_of_sound
         l_fa = jnp.mean(jnp.square((fa_pred - fa_target) * 1e3))  # ms^2
