@@ -541,29 +541,44 @@ def cmd_locate(args):
     eng = Engine(room.scene, cfg, n_listeners=n_l)
     p = eng.params(room.source, listeners)
 
+    bounds = None
+    if args.bounds:
+        vals = [float(v) for v in args.bounds.split(",")]
+        if len(vals) != 4:
+            raise SystemExit("--bounds wants xmin,ymin,xmax,ymax")
+        bounds = np.asarray([[vals[0], vals[1]], [vals[2], vals[3]]],
+                            np.float32)
+
     t0 = time.perf_counter()
     result = diff.localize_source(
         room.scene, p, target, jax.random.PRNGKey(args.seed),
-        n_rays=args.rays if args.fit_rays is None else args.fit_rays, max_bounces=args.bounces,
+        n_rays=args.rays if args.fit_rays is None else args.fit_rays,
+        max_bounces=args.bounces,
         sample_rate=cfg.audio.sample_rate, n_starts=args.starts,
-        steps=args.steps, lr=args.lr)
+        steps=args.steps, lr=args.lr, n_sources=args.sources,
+        bounds=bounds)
     dt = time.perf_counter() - t0
 
-    best = [round(float(v), 4) for v in np.asarray(result.position)]
+    pos = np.atleast_2d(np.asarray(result.position))
+    best = [[round(float(v), 4) for v in row] for row in pos]
+    if args.sources == 1:
+        best = best[0]
     report = {
         "position": best,
         "loss": round(float(result.loss), 6),
         "configured_source": [round(float(v), 4)
                               for v in np.asarray(room.source)],
         "starts": [
-            {"position": [round(float(v), 4) for v in pos],
+            {"position": np.round(np.asarray(sp, np.float64), 4).tolist(),
              "loss": round(float(loss), 6)}
-            for pos, loss in zip(np.asarray(result.positions),
-                                 np.asarray(result.losses))],
+            for sp, loss in zip(np.asarray(result.positions),
+                                np.asarray(result.losses))],
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
-    print(f"located source at ({best[0]}, {best[1]}) in {dt:.1f}s "
+    where = (f"({best[0]}, {best[1]})" if args.sources == 1 else
+             " + ".join(f"({x}, {y})" for x, y in best))
+    print(f"located source at {where} in {dt:.1f}s "
           f"({args.starts} starts x {args.steps} steps, "
           f"loss {report['loss']:.4f}) -> {args.out}")
 
@@ -684,6 +699,11 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=0.08)
     p.add_argument("--fit-rays", type=int, default=None,
                    help="rays per fitting step (default: --rays)")
+    p.add_argument("--sources", type=int, default=1,
+                   help="fit N simultaneous sources jointly")
+    p.add_argument("--bounds", default=None,
+                   help="search box xmin,ymin,xmax,ymax (default: scene "
+                        "AABB; pass the room INTERIOR for --sources > 1)")
     p.set_defaults(fn=cmd_locate)
 
     p = sub.add_parser("bench", help="run the benchmark suite")

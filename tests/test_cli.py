@@ -213,3 +213,16 @@ def test_cli_locate(tmp_path, capsys):
     assert len(report["starts"]) == 2
     assert np.isfinite(report["loss"])
     assert "located source" in capsys.readouterr().out
+
+
+def test_cli_locate_two_sources(tmp_path, capsys):
+    ir = str(tmp_path / "ir.npz")
+    main(["trace", "--room", "smoll", *TINY, "--ir-out", ir])
+    out = str(tmp_path / "located2.json")
+    main(["locate", "--room", "smoll", *TINY, "--target", ir, "--out", out,
+          "--steps", "3", "--starts", "2", "--fit-rays", "64",
+          "--sources", "2", "--bounds=-20,-4,0,9"])
+    report = json.load(open(out))
+    assert np.asarray(report["position"]).shape == (2, 2)
+    assert np.asarray(report["starts"][0]["position"]).shape == (2, 2)
+    assert " + " in capsys.readouterr().out
