@@ -20,7 +20,7 @@ Quick start::
     wet = eng.bake(dry_audio, ir_state)
 """
 
-from . import config, diff, parallel, utils
+from . import analysis, config, diff, parallel, utils
 from .config import (AudioConfig, DebugConfig, EngineConfig, SimConfig,
                      big_room_config, sample_scene_config,
                      smoll_room_config)
@@ -44,7 +44,7 @@ __all__ = [
     "Transform2D", "bake_audio", "big_room_config", "config", "convolve",
     "diff", "geometry", "ir", "materials", "parallel", "rooms",
     "sample_scene_config",
-    "scene", "smoll_room_config", "stream_chunk", "trace",
+    "analysis", "scene", "smoll_room_config", "stream_chunk", "trace",
     "trace_accumulate",
     "utils",
 ]

@@ -583,6 +583,66 @@ def cmd_locate(args):
           f"loss {report['loss']:.4f}) -> {args.out}")
 
 
+def cmd_analyze(args):
+    """Room-acoustics report (RT60/EDT/C50/C80/D50/centre time/first
+    arrival) from an IR — either a saved IRState npz (``--ir-in``) or a
+    fresh trace of the configured room. Optionally plots the Schroeder
+    decay curve (``--edc-out``)."""
+    from . import analysis
+
+    if args.ir_in:
+        from .utils.checkpoint import load_ir_state
+        state = load_ir_state(args.ir_in)
+        sample_rate = args.sample_rate
+        src = args.ir_in
+    else:
+        import jax
+
+        from .engine import Engine
+        room = _build_room(args)
+        cfg = _config(args)
+        listeners, n_l = _listeners(args, room)
+        eng = Engine(room.scene, cfg, n_listeners=n_l)
+        state = eng.trace_frames(eng.params(room.source, listeners),
+                                 jax.random.PRNGKey(args.seed),
+                                 n_frames=args.frames)
+        sample_rate = cfg.audio.sample_rate
+        src = f"traced {args.room} ({args.frames} frames x {args.rays} rays)"
+
+    ir = state.normalized()
+    metrics = analysis.analyze_ir(ir, sample_rate,
+                                  speed_of_sound=args.speed_of_sound)
+    n_listeners, _, n_bands = ir.shape
+    report = {"source": src, "sample_rate": sample_rate,
+              "ir_length": int(state.ir_length), "listeners": []}
+    for li in range(n_listeners):
+        bands = []
+        for k in range(n_bands):
+            bands.append({m: (None if np.isnan(v[li, k]) else
+                              round(float(v[li, k]), 6))
+                          for m, v in metrics.items()})
+        report["listeners"].append({"listener": li, "bands": bands})
+    text = json.dumps(report, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+        print(f"wrote {args.out}")
+    else:
+        print(text)
+    b0 = report["listeners"][0]["bands"][0]
+    rt = b0["rt60_t20_s"]
+    print(f"listener 0 band 0: RT60(T20) "
+          f"{'n/a (decay exceeds IR length)' if rt is None else f'{rt:.3f} s'}"
+          f", C50 {b0['c50_db']:.1f} dB, D50 {b0['d50']:.3f}, "
+          f"direct {b0['direct_time_s'] * 1e3:.2f} ms "
+          f"({b0['direct_distance_m']:.2f} m)")
+    if args.edc_out:
+        from .utils import viz
+        img = viz.decay_curve_image(np.asarray(ir)[0])
+        viz.save_image(args.edc_out, img)
+        print(f"wrote {args.edc_out}")
+
+
 def cmd_bench(args):
     import bench  # repo-root bench.py
     bench.main()
@@ -705,6 +765,21 @@ def main(argv=None):
                    help="search box xmin,ymin,xmax,ymax (default: scene "
                         "AABB; pass the room INTERIOR for --sources > 1)")
     p.set_defaults(fn=cmd_locate)
+
+    p = sub.add_parser("analyze", help="room-acoustics metrics (RT60, "
+                       "EDT, C50/C80, D50, centre time, first arrival) "
+                       "from a traced or saved IR")
+    _common(p)
+    p.add_argument("--ir-in", default=None,
+                   help="IRState npz to analyze (e.g. from trace "
+                        "--ir-out; --sample-rate must match it); default: "
+                        "trace the configured room")
+    p.add_argument("--out", default=None,
+                   help="report JSON (default: stdout)")
+    p.add_argument("--edc-out", default=None,
+                   help="Schroeder decay-curve plot PNG")
+    p.add_argument("--speed-of-sound", type=float, default=343.0)
+    p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("bench", help="run the benchmark suite")
     p.set_defaults(fn=cmd_bench)

@@ -226,3 +226,28 @@ def test_cli_locate_two_sources(tmp_path, capsys):
     assert np.asarray(report["position"]).shape == (2, 2)
     assert np.asarray(report["starts"][0]["position"]).shape == (2, 2)
     assert " + " in capsys.readouterr().out
+
+
+def test_cli_analyze_traced(tmp_path, capsys):
+    out = str(tmp_path / "report.json")
+    edc = str(tmp_path / "edc.png")
+    main(["analyze", "--room", "smoll", *TINY, "--out", out,
+          "--edc-out", edc])
+    assert os.path.exists(edc)
+    with open(out) as f:
+        report = json.load(f)
+    b0 = report["listeners"][0]["bands"][0]
+    assert 0.0 <= b0["d50"] <= 1.0
+    assert b0["direct_time_s"] > 0
+    assert "C50" in capsys.readouterr().out
+
+
+def test_cli_analyze_from_checkpoint(tmp_path, capsys):
+    ir_out = str(tmp_path / "ir.npz")
+    main(["trace", "--room", "smoll", *TINY, "--ir-out", ir_out])
+    capsys.readouterr()
+    main(["analyze", *TINY, "--ir-in", ir_out])
+    out = capsys.readouterr().out
+    report = json.loads(out[:out.rindex("}") + 1])
+    assert report["sample_rate"] == 8000
+    assert report["listeners"][0]["bands"][0]["total_energy"] > 0
