@@ -135,6 +135,30 @@ def _common(p):
                    help="stereo output with two ear listeners SEP apart")
 
 
+def _air_args(p):
+    p.add_argument("--air", action="store_true",
+                   help="apply ISO 9613-1 atmospheric absorption to the "
+                        "IR (per-band via log-spaced band centers)")
+    p.add_argument("--air-temp", type=float, default=20.0, metavar="C")
+    p.add_argument("--air-humidity", type=float, default=50.0,
+                   metavar="PCT")
+
+
+def _apply_air(state, sample_rate, speed_of_sound, args):
+    """Fold atmospheric absorption into an IRState's accumulated sum
+    (linear, so equivalent to attenuating each normalized IR)."""
+    if not getattr(args, "air", False):
+        return state
+    from .ops import air
+    n_bands = state.sum.shape[-1]
+    freqs = air.band_frequencies(n_bands)
+    alpha = air.iso9613_alpha(freqs, args.air_temp, args.air_humidity)
+    print("air absorption: " + ", ".join(
+        f"{f:.0f} Hz {a * 1000:.1f} dB/km" for f, a in zip(freqs, alpha)))
+    return state._replace(sum=air.apply_air_absorption(
+        state.sum, sample_rate, alpha, speed_of_sound))
+
+
 def cmd_trace(args):
     import jax
 
@@ -158,7 +182,12 @@ def cmd_trace(args):
         key = jax.random.fold_in(key, start_frame)
         print(f"resuming from {args.ir_in} at frame {start_frame}")
     t0 = time.perf_counter()
-    state = eng.trace_frames(p, key, n_frames=args.frames, state=state)
+    raw_state = eng.trace_frames(p, key, n_frames=args.frames, state=state)
+    # Air absorption is a linear view on the IR: displayed/printed
+    # outputs get it, but --ir-out checkpoints the RAW accumulation so a
+    # resume can't double-apply it.
+    state = _apply_air(raw_state, cfg.audio.sample_rate,
+                       cfg.sim.speed_of_sound, args)
     ir = np.asarray(state.normalized())[0, :, 0]  # readback = sync barrier
     dt = time.perf_counter() - t0
     print(f"traced {args.frames} frames x {args.rays} rays in {dt:.3f}s; "
@@ -198,7 +227,7 @@ def cmd_trace(args):
         print(f"wrote {args.scene_out}")
     if args.ir_out:
         from .utils.checkpoint import save_ir_state
-        save_ir_state(args.ir_out, state)
+        save_ir_state(args.ir_out, raw_state)
         print(f"wrote {args.ir_out}")
 
 
@@ -264,6 +293,8 @@ def cmd_bake(args):
     else:
         state = eng.trace_frames(p, jax.random.PRNGKey(args.seed),
                                  n_frames=args.frames)
+        state = _apply_air(state, cfg.audio.sample_rate,
+                           cfg.sim.speed_of_sound, args)
         t0 = time.perf_counter()
         wet = np.asarray(eng.bake(jnp.asarray(dry), state,
                                   normalize=not args.no_normalize))
@@ -595,6 +626,7 @@ def cmd_analyze(args):
         state = load_ir_state(args.ir_in)
         sample_rate = args.sample_rate
         src = args.ir_in
+        state = _apply_air(state, sample_rate, args.speed_of_sound, args)
     else:
         import jax
 
@@ -606,6 +638,8 @@ def cmd_analyze(args):
         state = eng.trace_frames(eng.params(room.source, listeners),
                                  jax.random.PRNGKey(args.seed),
                                  n_frames=args.frames)
+        state = _apply_air(state, cfg.audio.sample_rate,
+                           cfg.sim.speed_of_sound, args)
         sample_rate = cfg.audio.sample_rate
         src = f"traced {args.room} ({args.frames} frames x {args.rays} rays)"
 
@@ -666,6 +700,7 @@ def main(argv=None):
                    help="display gain (waveform default 1000; spectrogram "
                         "default auto-scale)")
     p.add_argument("--debug-rays", type=int, default=100)
+    _air_args(p)
     p.set_defaults(fn=cmd_trace)
 
     p = sub.add_parser("bake", help="offline convolution bake")
@@ -676,6 +711,7 @@ def main(argv=None):
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--legacy", action="store_true",
                    help="use the legacy frequency-binned (muffle) pipeline")
+    _air_args(p)  # applied on the modern path (ignored with --legacy)
     p.set_defaults(fn=cmd_bake)
 
     p = sub.add_parser("stream", help="chunked streaming convolution")
@@ -779,6 +815,7 @@ def main(argv=None):
     p.add_argument("--edc-out", default=None,
                    help="Schroeder decay-curve plot PNG")
     p.add_argument("--speed-of-sound", type=float, default=343.0)
+    _air_args(p)
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("bench", help="run the benchmark suite")

@@ -251,3 +251,20 @@ def test_cli_analyze_from_checkpoint(tmp_path, capsys):
     report = json.loads(out[:out.rindex("}") + 1])
     assert report["sample_rate"] == 8000
     assert report["listeners"][0]["bands"][0]["total_energy"] > 0
+
+
+def test_cli_air_absorption(tmp_path, capsys):
+    ir_out = str(tmp_path / "ir.npz")
+    main(["trace", "--room", "smoll", *TINY, "--bands", "2",
+          "--air", "--ir-out", ir_out])
+    out = capsys.readouterr().out
+    assert "air absorption" in out and "dB/km" in out
+    # --ir-out checkpoints the RAW accumulation: analyzing it without
+    # --air must show more total energy than with it.
+    from realisticaudioraytracing2d_tpu.utils.checkpoint import \
+        load_ir_state
+    from realisticaudioraytracing2d_tpu.ops import air
+    raw = load_ir_state(ir_out)
+    alpha = air.iso9613_alpha(air.band_frequencies(2))
+    wet = air.apply_air_absorption(raw.sum, 8000, alpha)
+    assert float(np.sum(wet)) < float(np.sum(np.asarray(raw.sum)))
