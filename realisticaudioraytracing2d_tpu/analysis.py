@@ -176,8 +176,37 @@ def analyze_ir(ir: jnp.ndarray, sample_rate: int,
         raise ValueError(f"expected [T] / [T,K] / [L,T,K], got {ir.shape}")
     x = jnp.moveaxis(x, 1, -1)  # [L, K, T]
 
+    out = _metrics(x, sample_rate, speed_of_sound)
+    nd = jnp.asarray(ir).ndim
+    result = {}
+    for k, v in out.items():
+        a = np.asarray(v)
+        if nd == 1:
+            a = a[0, 0]
+        elif nd == 2:
+            a = a[0]
+        result[k] = a
+    return result
+
+
+def analyze_dataset(irs, sample_rate: int,
+                    speed_of_sound: float = 343.0) -> Dict[str, np.ndarray]:
+    """Batch metrics for an IR dataset ``[n_rooms, L, T, K]`` (the
+    ``sweep`` output layout): one vectorized pass over the whole batch —
+    every estimator here is pure jnp over trailing time, so rooms,
+    listeners, and bands are just batch dims. Returns ``[n_rooms, L, K]``
+    arrays (same keys as :func:`analyze_ir`)."""
+    x = jnp.moveaxis(jnp.asarray(irs, jnp.float32), 2, -1)  # [N, L, K, T]
+    return {k: np.asarray(v)
+            for k, v in _metrics(x, sample_rate, speed_of_sound).items()}
+
+
+def _metrics(x: jnp.ndarray, sample_rate: int,
+             speed_of_sound: float) -> Dict[str, jnp.ndarray]:
+    """All metrics for ``x`` shaped ``[..., T]``; values keep the batch
+    dims."""
     t_direct = direct_arrival_time(x, sample_rate)
-    out = {
+    return {
         "rt60_t20_s": rt60_t20(x, sample_rate),
         "rt60_t30_s": rt60_t30(x, sample_rate),
         "edt_s": early_decay_time(x, sample_rate),
@@ -189,13 +218,3 @@ def analyze_ir(ir: jnp.ndarray, sample_rate: int,
         "direct_distance_m": t_direct * speed_of_sound,
         "total_energy": jnp.sum(x, axis=-1),
     }
-    nd = jnp.asarray(ir).ndim
-    result = {}
-    for k, v in out.items():
-        a = np.asarray(v)
-        if nd == 1:
-            a = a[0, 0]
-        elif nd == 2:
-            a = a[0]
-        result[k] = a
-    return result

@@ -325,11 +325,15 @@ def cmd_stream(args):
                                    cfg.audio.sample_rate))
     vel = np.asarray([float(v) for v in args.move_listener.split(",")]) \
         if args.move_listener else np.zeros(2)
+    svel = np.asarray([float(v) for v in args.move_source.split(",")]) \
+        if args.move_source else np.zeros(2)
     chunk_dt = cfg.audio.chunk_duration
 
     def poses(i):
         drift = (vel * i * chunk_dt).astype(np.float32)
-        return eng.params(room.source, listeners + drift)
+        sdrift = (svel * i * chunk_dt).astype(np.float32)
+        return eng.params(np.asarray(room.source, np.float32) + sdrift,
+                          listeners + drift)
 
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
@@ -466,6 +470,15 @@ def cmd_sweep(args):
     print(f"swept {args.rooms} rooms in {dt:.2f}s "
           f"({args.rooms / dt:.1f} rooms/s) -> {args.out} "
           f"irs shape {irs.shape}")
+    if args.metrics_out:
+        from .analysis import analyze_dataset
+        metrics = analyze_dataset(irs, args.sample_rate)  # already
+        # frame-normalized by sweep_rooms
+        np.savez_compressed(args.metrics_out, **metrics)
+        rt = metrics["rt60_t20_s"]
+        print(f"metrics -> {args.metrics_out}; RT60(T20) median "
+              f"{np.nanmedian(rt):.3f}s over {np.isfinite(rt).sum()}"
+              f"/{rt.size} decays spanning the fit window")
 
 
 def cmd_fit(args):
@@ -721,6 +734,12 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--move-listener", default=None,
                    help="listener velocity 'vx,vy' (m/s)")
+    p.add_argument("--move-source", default=None,
+                   help="source velocity 'vx,vy' (m/s) — the IR retraces "
+                        "each chunk, so a moving source reverberates "
+                        "correctly (no Doppler: IR convolution is "
+                        "time-invariant within a chunk, like the "
+                        "reference)")
     p.add_argument("--frames-per-chunk", type=int, default=1)
     p.add_argument("--duration", type=float, default=None,
                    help="stream for this many seconds; the clip loops at "
@@ -756,6 +775,10 @@ def main(argv=None):
     p.add_argument("--rooms", type=int, default=64)
     p.add_argument("--out", required=True)
     p.add_argument("--sharded", action="store_true")
+    p.add_argument("--metrics-out", default=None,
+                   help="also write per-room acoustics metrics "
+                        "(RT60/EDT/C50/C80/D50/... as [rooms, L, K] "
+                        "arrays) in one vectorized pass")
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("fit", help="inverse material estimation: fit "

@@ -127,3 +127,17 @@ def test_analyze_traced_smoll_room():
                                 - np.asarray(room.listener)))
     d_est = float(out["direct_distance_m"][0, 0])
     assert d_est == pytest.approx(dist, rel=0.25)
+
+
+def test_analyze_dataset_matches_per_ir():
+    rng = np.random.default_rng(1)
+    t60s = [0.3, 0.7]
+    irs = np.stack([np.asarray(exp_ir(t, 8000, sr=8000)) for t in t60s])
+    irs = irs[:, None, :, None]                      # [rooms, L=1, T, K=1]
+    out = analysis.analyze_dataset(irs, 8000)
+    assert out["rt60_t20_s"].shape == (2, 1, 1)
+    for i, t in enumerate(t60s):
+        assert out["rt60_t20_s"][i, 0, 0] == pytest.approx(t, rel=0.01)
+        single = analysis.analyze_ir(irs[i], 8000)
+        assert out["c50_db"][i, 0, 0] == pytest.approx(
+            float(single["c50_db"][0, 0]), abs=1e-4)

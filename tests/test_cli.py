@@ -268,3 +268,29 @@ def test_cli_air_absorption(tmp_path, capsys):
     alpha = air.iso9613_alpha(air.band_frequencies(2))
     wet = air.apply_air_absorption(raw.sum, 8000, alpha)
     assert float(np.sum(wet)) < float(np.sum(np.asarray(raw.sum)))
+
+
+def test_cli_sweep_metrics_and_move_source(tmp_path, capsys):
+    out = str(tmp_path / "ds.npz")
+    m_out = str(tmp_path / "metrics.npz")
+    main(["sweep", "--rooms", "4", *TINY, "--out", out,
+          "--metrics-out", m_out])
+    m = np.load(m_out)
+    assert m["rt60_t20_s"].shape == (4, 1, 1)
+    assert np.all((m["d50"] >= 0) & (m["d50"] <= 1))
+    capsys.readouterr()
+
+    from realisticaudioraytracing2d_tpu.utils.audio_io import (noise_burst,
+                                                               write_wav)
+    dry = str(tmp_path / "dry.wav")
+    write_wav(dry, noise_burst(0.12, 8000, seed=3), 8000)
+    wet_moving = str(tmp_path / "wet_mv.wav")
+    main(["stream", "--room", "smoll", *TINY, "--in", dry,
+          "--out", wet_moving, "--move-source", "4,0"])
+    wet_static = str(tmp_path / "wet_st.wav")
+    main(["stream", "--room", "smoll", *TINY, "--in", dry,
+          "--out", wet_static])
+    from realisticaudioraytracing2d_tpu.utils.audio_io import read_wav
+    a, _ = read_wav(wet_moving)
+    b, _ = read_wav(wet_static)
+    assert a.shape == b.shape and not np.allclose(a, b)
