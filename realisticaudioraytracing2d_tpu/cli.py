@@ -136,6 +136,10 @@ def _common(p):
 
 
 def _air_args(p):
+    p.add_argument("--diffraction", action="store_true",
+                   help="add first-order edge diffraction (Maekawa "
+                        "knife-edge shadow-zone fill; traced scenes "
+                        "only, ignored with analyze --ir-in)")
     p.add_argument("--air", action="store_true",
                    help="apply ISO 9613-1 atmospheric absorption to the "
                         "IR (per-band via log-spaced band centers)")
@@ -157,6 +161,25 @@ def _apply_air(state, sample_rate, speed_of_sound, args):
         f"{f:.0f} Hz {a * 1000:.1f} dB/km" for f, a in zip(freqs, alpha)))
     return state._replace(sum=air.apply_air_absorption(
         state.sum, sample_rate, alpha, speed_of_sound))
+
+
+def _apply_diffraction(state, scene, trace_params, sample_rate, args):
+    """Add the deterministic first-order edge-diffraction IR (Maekawa
+    knife-edge shadow-zone fill, ops/diffraction.py) to an IRState. The
+    term has no Monte-Carlo variance, so it scales by the frame count in
+    the accumulated sum."""
+    if not getattr(args, "diffraction", False):
+        return state
+    import jax.numpy as jnp
+
+    from .ops.diffraction import diffraction_ir
+    d_ir = diffraction_ir(scene, trace_params, sample_rate=sample_rate,
+                          ir_length=state.ir_length)
+    print(f"diffraction: added {float(d_ir.sum()):.3g} shadow-zone "
+          f"energy/frame over {int((np.asarray(d_ir) > 0).any(axis=(1, 2)).sum())}"
+          f"/{d_ir.shape[0]} listeners")
+    frames = jnp.maximum(1, state.frames).astype(jnp.float32)
+    return state._replace(sum=state.sum + frames * d_ir)
 
 
 def cmd_trace(args):
@@ -183,10 +206,13 @@ def cmd_trace(args):
         print(f"resuming from {args.ir_in} at frame {start_frame}")
     t0 = time.perf_counter()
     raw_state = eng.trace_frames(p, key, n_frames=args.frames, state=state)
-    # Air absorption is a linear view on the IR: displayed/printed
-    # outputs get it, but --ir-out checkpoints the RAW accumulation so a
-    # resume can't double-apply it.
-    state = _apply_air(raw_state, cfg.audio.sample_rate,
+    # Diffraction/air are linear views on the IR: displayed/printed
+    # outputs get them, but --ir-out checkpoints the RAW accumulation so
+    # a resume can't double-apply them. Diffraction first — air also
+    # attenuates the diffracted paths.
+    state = _apply_diffraction(raw_state, room.scene, p,
+                               cfg.audio.sample_rate, args)
+    state = _apply_air(state, cfg.audio.sample_rate,
                        cfg.sim.speed_of_sound, args)
     ir = np.asarray(state.normalized())[0, :, 0]  # readback = sync barrier
     dt = time.perf_counter() - t0
@@ -293,6 +319,8 @@ def cmd_bake(args):
     else:
         state = eng.trace_frames(p, jax.random.PRNGKey(args.seed),
                                  n_frames=args.frames)
+        state = _apply_diffraction(state, room.scene, p,
+                                   cfg.audio.sample_rate, args)
         state = _apply_air(state, cfg.audio.sample_rate,
                            cfg.sim.speed_of_sound, args)
         t0 = time.perf_counter()
@@ -651,6 +679,9 @@ def cmd_analyze(args):
         state = eng.trace_frames(eng.params(room.source, listeners),
                                  jax.random.PRNGKey(args.seed),
                                  n_frames=args.frames)
+        state = _apply_diffraction(state, room.scene,
+                                   eng.params(room.source, listeners),
+                                   cfg.audio.sample_rate, args)
         state = _apply_air(state, cfg.audio.sample_rate,
                            cfg.sim.speed_of_sound, args)
         sample_rate = cfg.audio.sample_rate

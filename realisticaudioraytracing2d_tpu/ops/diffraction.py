@@ -1,0 +1,163 @@
+"""First-order edge diffraction (Maekawa knife-edge model).
+
+The reference's propagation model has **hard shadows**: a listener with
+no unoccluded (or transmission-sampled) path hears nothing
+(`Raytrace2D.compute:101-119` — NEE is killed by any occluder). Real 2D
+sound bends around wall endpoints. This module adds the standard
+engineering model for that as a deterministic, vectorized pass:
+
+* Candidate edges are the endpoints of every real wall.
+* A path ``source -> edge -> listener`` contributes when the direct
+  ``source -> listener`` segment is occluded (shadow zone), both legs of
+  the bent path are unoccluded, and the endpoint is a true silhouette
+  edge (interior junctions of collinear walls are excluded; coincident
+  corner endpoints shared by several walls are counted once).
+* The deposit is the reference's own spreading law over the bent path
+  length (``input_gain / max(1, d_tot^2)``, `Raytrace2D.compute:110`)
+  times the Maekawa barrier attenuation ``1 / (3 + 20 N)`` with Fresnel
+  number ``N = 2 delta f / c`` (``delta`` = path detour) — frequency
+  dependent, so it maps naturally onto the banded IR axis.
+
+Modeling notes (documented approximations): first order only (no
+edge-to-edge double diffraction); the visibility tests treat every wall
+as opaque (transmission through walls is already modeled stochastically
+by the trace — this pass only fills shadow zones); legs propagate at the
+ambient speed of sound (no medium tracking). The pass is deterministic —
+independent of rays/frames — so it composes with the Monte-Carlo IR as a
+per-frame additive term (see :func:`diffraction_ir` and the CLI's
+``--diffraction``). Cost: O(W^2) ray-wall visibility tests + an O(W^2)
+endpoint-coincidence pass, fine for room-scale scenes (the accel path's
+cluster machinery is not needed at these sizes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import Scene
+from .geometry import EPS, pairwise_ray_segment_t
+from .trace import TraceParams
+
+# Endpoints closer than this are "the same corner"; wall pairs with
+# |cross| below this (per unit length) are collinear.
+_COINCIDENT_TOL = 1e-4
+_COLLINEAR_TOL = 1e-3
+
+
+def _segment_clear(p: jnp.ndarray, q: jnp.ndarray, scene: Scene,
+                   slack: float = 1e-3) -> jnp.ndarray:
+    """True where the open segment ``p -> q`` hits no wall.
+
+    ``p``/``q`` are ``[..., 2]`` (broadcast leading dims). ``slack``
+    trims both ends so a segment *ending on* a wall (at an edge) does
+    not count its own wall as an occluder — mirroring the reference's
+    NEE slack (`Raytrace2D.compute:106`, ``dist - 0.1``) but scaled to
+    the edge problem.
+    """
+    d = q - p
+    length = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dn = d / jnp.maximum(length, EPS)
+    t = pairwise_ray_segment_t(p, dn, scene.a, scene.b)     # [..., W]
+    return ~jnp.any(t < (length - slack), axis=-1)
+
+
+def edge_table(scene: Scene):
+    """Silhouette-edge candidates from a scene: returns
+    ``(points[E, 2], weight[E])`` with ``E = 2 W``; ``weight`` is 0 for
+    invalid edges (padding walls, interior collinear junctions) and
+    ``1/multiplicity`` for corner points shared by several walls."""
+    pts = jnp.concatenate([scene.a, scene.b], axis=0)           # [E, 2]
+    # Direction from the endpoint INTO its wall.
+    into = jnp.concatenate([scene.b - scene.a, scene.a - scene.b], axis=0)
+    length = jnp.linalg.norm(into, axis=-1)                     # [E]
+    valid = jnp.concatenate([scene.mask, scene.mask]) & (length > EPS)
+
+    diff = pts[:, None, :] - pts[None, :, :]                    # [E, E, 2]
+    coincident = (jnp.sum(diff * diff, axis=-1)
+                  < _COINCIDENT_TOL ** 2) & valid[None, :]      # [E, E]
+
+    # Interior junction: a DIFFERENT wall's endpoint at the same corner
+    # whose wall continues collinearly on the other side (into-dirs
+    # antiparallel) — sound does not diffract through a straight seam.
+    n_into = into / jnp.maximum(length, EPS)[..., None]
+    cross = (n_into[:, None, 0] * n_into[None, :, 1]
+             - n_into[:, None, 1] * n_into[None, :, 0])         # [E, E]
+    dot = jnp.sum(n_into[:, None, :] * n_into[None, :, :], axis=-1)
+    not_self = ~jnp.eye(pts.shape[0], dtype=bool)
+    straight_seam = jnp.any(coincident & not_self
+                            & (jnp.abs(cross) < _COLLINEAR_TOL)
+                            & (dot < 0.0), axis=-1)
+
+    valid = valid & ~straight_seam
+    multiplicity = jnp.sum(coincident & valid[None, :], axis=-1)
+    weight = jnp.where(valid & (multiplicity > 0),
+                       1.0 / jnp.maximum(multiplicity, 1), 0.0)
+    return pts, weight
+
+
+def diffraction_paths(scene: Scene, params: TraceParams,
+                      band_freqs) -> tuple:
+    """Evaluate all first-order edge paths.
+
+    Returns ``(delay[L, E], energy[L, E, K], valid[L, E])`` for ``E =
+    2 W`` candidate edges and the listener axis of ``params``.
+    ``band_freqs`` maps the scene's band axis to Hz (``[K]``).
+    """
+    pts, weight = edge_table(scene)                             # [E, 2]
+    src = params.source
+    lis = jnp.atleast_2d(params.listeners)                      # [L, 2]
+    c = params.speed_of_sound
+    freqs = jnp.asarray(band_freqs, jnp.float32)
+
+    d1 = jnp.linalg.norm(pts - src, axis=-1)                    # [E]
+    src_clear = _segment_clear(jnp.broadcast_to(src, pts.shape), pts,
+                               scene)                           # [E]
+
+    def per_listener(li):
+        d_dir = jnp.linalg.norm(li - src)
+        direct_blocked = ~_segment_clear(src[None, :], li[None, :],
+                                         scene)[0]
+        leg_clear = _segment_clear(pts, jnp.broadcast_to(li, pts.shape),
+                                   scene)                       # [E]
+        d2 = jnp.linalg.norm(li - pts, axis=-1)                 # [E]
+        d_tot = d1 + d2
+        delta = jnp.maximum(d_tot - d_dir, 0.0)
+        fresnel = 2.0 * delta[:, None] * freqs[None, :] / c     # [E, K]
+        base = params.input_gain / jnp.maximum(1.0, d_tot * d_tot)
+        energy = (weight * base)[:, None] / (3.0 + 20.0 * fresnel)
+        valid = (weight > 0) & src_clear & leg_clear & direct_blocked
+        return d_tot / c, energy * valid[:, None], valid
+
+    delay, energy, valid = jax.vmap(per_listener)(lis)
+    return delay, energy, valid
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "ir_length"))
+def diffraction_ir(scene: Scene, params: TraceParams, *,
+                   sample_rate: int, ir_length: int,
+                   band_freqs=None) -> jnp.ndarray:
+    """Deterministic diffraction IR ``[L, T, K]``.
+
+    Add it to a traced frame's IR (or ``frames *`` it into an
+    :class:`~..ops.ir.IRState`'s accumulated sum — it has no Monte-Carlo
+    variance). ``band_freqs`` defaults to the log-spaced band centers of
+    :func:`..ops.air.band_frequencies`.
+    """
+    k = scene.n_bands
+    if band_freqs is None:
+        from .air import band_frequencies
+        band_freqs = band_frequencies(k)
+    delay, energy, _ = diffraction_paths(scene, params, band_freqs)
+    bins = jnp.floor(delay * sample_rate).astype(jnp.int32)     # [L, E]
+    ok = (bins >= 0) & (bins < ir_length)
+    bins = jnp.where(ok, bins, ir_length)
+    energy = energy * ok[..., None]
+
+    def one_listener(b, e):
+        out = jnp.zeros((ir_length + 1, k), jnp.float32)
+        return out.at[b].add(e)[:ir_length]
+
+    return jax.vmap(one_listener)(bins, energy)

@@ -294,3 +294,39 @@ def test_cli_sweep_metrics_and_move_source(tmp_path, capsys):
     a, _ = read_wav(wet_moving)
     b, _ = read_wav(wet_static)
     assert a.shape == b.shape and not np.allclose(a, b)
+
+
+def test_cli_trace_diffraction_fills_shadow(tmp_path, capsys):
+    # Opaque barrier between source and listener: without diffraction the
+    # listener is in a hard shadow (near-zero IR); with it, energy lands.
+    # Thin barrier (2-point polygon -> doubled zero-thickness wall):
+    # first-order diffraction cannot round a THICK box (that takes
+    # edge-to-edge double diffraction, ops/diffraction.py docstring).
+    spec = {
+        "source": [-3.0, 0.0], "listener": [3.0, 0.0],
+        "listener_radius": 0.5,
+        "colliders": [{
+            "type": "polygon", "paths": [[[0.0, -4.0], [0.0, 4.0]]],
+            "material": {"absorption": 0.9, "scattering": 0.5,
+                         "transmission": 0.0, "ior": 1.0}}],
+    }
+    scene_json = str(tmp_path / "barrier.json")
+    with open(scene_json, "w") as f:
+        json.dump(spec, f)
+    base = ["trace", "--scene-json", scene_json, *TINY,
+            "--ir-out", str(tmp_path / "ir.npz")]
+    main(base)
+    capsys.readouterr()
+    from realisticaudioraytracing2d_tpu.utils.checkpoint import \
+        load_ir_state
+    dry = float(np.asarray(load_ir_state(
+        str(tmp_path / "ir.npz")).sum).sum())
+
+    main(base + ["--diffraction"])
+    out = capsys.readouterr().out
+    assert "diffraction" in out
+    # --ir-out stays raw; the printed IR energy line reflects the filled
+    # shadow. Re-run analyze-style check via the printed energy:
+    import re
+    m = re.search(r"IR energy ([0-9.eE+-]+)", out)
+    assert m and float(m.group(1)) > dry

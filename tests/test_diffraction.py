@@ -1,0 +1,147 @@
+"""First-order edge diffraction (ops/diffraction.py).
+
+Fixture: an opaque vertical barrier between source and listener — the
+trace alone leaves the listener in a hard shadow; the diffraction pass
+must fill it with the Maekawa-attenuated bent path around the barrier
+tip(s).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from realisticaudioraytracing2d_tpu.models.materials import AudioMaterial
+from realisticaudioraytracing2d_tpu.models.scene import (SceneBuilder,
+                                                         Transform2D)
+from realisticaudioraytracing2d_tpu.ops import diffraction
+from realisticaudioraytracing2d_tpu.ops.trace import TraceParams
+
+OPAQUE = AudioMaterial(absorption=0.9, scattering=0.5, transmission=0.0,
+                       ior=1.0)
+SR = 8000
+C = 343.0
+
+
+def barrier_scene(n_bands=1, split=False):
+    """A single vertical barrier from (0, -4) to (0, 4) as one polygon
+    wall (or two collinear halves when ``split``)."""
+    b = SceneBuilder(n_bands=n_bands)
+    if split:
+        b.add_segment((0.0, -4.0), (0.0, 0.0), (1.0, 0.0), OPAQUE)
+        b.add_segment((0.0, 0.0), (0.0, 4.0), (1.0, 0.0), OPAQUE)
+    else:
+        b.add_segment((0.0, -4.0), (0.0, 4.0), (1.0, 0.0), OPAQUE)
+    return b.build()
+
+
+def params(src=(-3.0, 0.0), lis=(3.0, 0.0)):
+    return TraceParams.make(np.asarray(src, np.float32),
+                            np.asarray(lis, np.float32),
+                            listener_radius=0.5, speed_of_sound=C)
+
+
+def bent_path_len(src, edge, lis):
+    src, edge, lis = (np.asarray(x, np.float64) for x in (src, edge, lis))
+    return np.linalg.norm(edge - src) + np.linalg.norm(lis - edge)
+
+
+def test_shadow_zone_gets_energy_at_the_right_delay():
+    scene = barrier_scene()
+    p = params()
+    ir = np.asarray(diffraction.diffraction_ir(
+        scene, p, sample_rate=SR, ir_length=SR // 2))
+    assert ir.sum() > 0
+    # Two symmetric paths around (0, +-4); both land in the same bin.
+    d = bent_path_len((-3, 0), (0, 4), (3, 0))
+    expect_bin = int(np.floor(d / C * SR))
+    hot = np.flatnonzero(ir[0, :, 0])
+    assert list(hot) == [expect_bin]
+    # Energy: two edges, each weight 1, spreading 1/d^2, Maekawa 1/(3+20N)
+    delta = d - 6.0
+    from realisticaudioraytracing2d_tpu.ops.air import band_frequencies
+    n = 2 * delta * band_frequencies(1)[0] / C
+    expect = 2 * (1.0 / d ** 2) / (3 + 20 * n)
+    assert ir[0, expect_bin, 0] == pytest.approx(expect, rel=1e-4)
+
+
+def test_no_contribution_when_line_of_sight_clear():
+    scene = barrier_scene()
+    p = params(src=(-3.0, 6.0), lis=(3.0, 6.0))   # both above the barrier
+    ir = np.asarray(diffraction.diffraction_ir(
+        scene, p, sample_rate=SR, ir_length=SR // 2))
+    assert ir.sum() == 0.0
+
+
+def test_split_collinear_barrier_matches_single():
+    # The interior seam at (0,0) must not diffract; the outer tips give
+    # exactly the single-barrier result.
+    p = params()
+    ir1 = np.asarray(diffraction.diffraction_ir(
+        barrier_scene(), p, sample_rate=SR, ir_length=SR // 2))
+    ir2 = np.asarray(diffraction.diffraction_ir(
+        barrier_scene(split=True), p, sample_rate=SR, ir_length=SR // 2))
+    np.testing.assert_allclose(ir2, ir1, rtol=1e-5)
+
+
+def test_higher_bands_attenuate_more():
+    scene = barrier_scene(n_bands=4)
+    ir = np.asarray(diffraction.diffraction_ir(
+        scene, params(), sample_rate=SR, ir_length=SR // 2))
+    per_band = ir[0].sum(axis=0)
+    assert np.all(np.diff(per_band) < 0)          # monotone in frequency
+
+
+def test_deeper_shadow_attenuates_more():
+    scene = barrier_scene()
+    shallow = np.asarray(diffraction.diffraction_ir(
+        scene, params(lis=(3.0, 0.0)), sample_rate=SR,
+        ir_length=SR)).sum()
+    # Hug the barrier: much longer detour around the tips.
+    deep = np.asarray(diffraction.diffraction_ir(
+        scene, params(src=(-0.3, 0.0), lis=(0.3, 0.0)), sample_rate=SR,
+        ir_length=SR)).sum()
+    assert deep < shallow
+
+
+def test_multi_listener_axis():
+    scene = barrier_scene()
+    # second listener shares the source's side of the barrier (clear LOS)
+    p = TraceParams.make(np.asarray((-3.0, 0.0), np.float32),
+                         np.asarray([[3.0, 0.0], [-3.0, 6.0]], np.float32),
+                         speed_of_sound=C)
+    ir = np.asarray(diffraction.diffraction_ir(
+        scene, p, sample_rate=SR, ir_length=SR // 2))
+    assert ir.shape[0] == 2
+    assert ir[0].sum() > 0          # shadowed listener
+    assert ir[1].sum() == 0.0       # clear line of sight
+
+
+def test_edge_table_weights():
+    scene = barrier_scene(split=True)
+    pts, w = diffraction.edge_table(scene)
+    w = np.asarray(w)
+    pts = np.asarray(pts)
+    seam = np.isclose(pts, [0.0, 0.0]).all(axis=-1)
+    tips = (np.isclose(pts, [0.0, 4.0]).all(axis=-1)
+            | np.isclose(pts, [0.0, -4.0]).all(axis=-1))
+    assert np.all(w[seam] == 0.0)
+    assert np.all(w[tips & (w > 0)] == 1.0)
+    # padding endpoints carry no weight
+    pad = ~np.asarray(np.concatenate([scene.mask, scene.mask]))
+    assert np.all(w[pad] == 0.0)
+
+
+def test_doubled_wall_counts_edges_once():
+    # A 2-point closed polygon "loop" yields two coincident opposite
+    # walls (the builder's loop closure); multiplicity weighting must
+    # make it diffract exactly like the single thin wall.
+    b = SceneBuilder(n_bands=1)
+    b.add_polygon([np.array([[0.0, -4.0], [0.0, 4.0]])], OPAQUE,
+                  Transform2D())
+    doubled = b.build()
+    p = params()
+    ir_single = np.asarray(diffraction.diffraction_ir(
+        barrier_scene(), p, sample_rate=SR, ir_length=SR // 2))
+    ir_doubled = np.asarray(diffraction.diffraction_ir(
+        doubled, p, sample_rate=SR, ir_length=SR // 2))
+    np.testing.assert_allclose(ir_doubled, ir_single, rtol=1e-5)
