@@ -148,6 +148,20 @@ def _air_args(p):
                    metavar="PCT")
 
 
+def _air_alpha_arr(args, n_bands):
+    """Per-band ISO 9613-1 alpha [K] (dB/m) for --air, else None."""
+    if not getattr(args, "air", False):
+        return None
+    import jax.numpy as jnp
+
+    from .ops import air
+    freqs = air.band_frequencies(n_bands)
+    alpha = air.iso9613_alpha(freqs, args.air_temp, args.air_humidity)
+    print("air absorption: " + ", ".join(
+        f"{f:.0f} Hz {a * 1000:.1f} dB/km" for f, a in zip(freqs, alpha)))
+    return jnp.asarray(alpha, jnp.float32)
+
+
 def _apply_air(state, sample_rate, speed_of_sound, args):
     """Fold atmospheric absorption into an IRState's accumulated sum
     (linear, so equivalent to attenuating each normalized IR)."""
@@ -365,7 +379,9 @@ def cmd_stream(args):
 
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
-                        frames_per_chunk=args.frames_per_chunk)
+                        frames_per_chunk=args.frames_per_chunk,
+                        diffraction=args.diffraction,
+                        air_alpha=_air_alpha_arr(args, room.scene.n_bands))
     on_chunk = None
     if args.viz_every:
         viz_cb = _viz_callback(args.out, args.viz_every)
@@ -452,7 +468,9 @@ def cmd_live(args):
     player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
-                        dsp_buffer=args.dsp_buffer)
+                        dsp_buffer=args.dsp_buffer,
+                        diffraction=args.diffraction,
+                        air_alpha=_air_alpha_arr(args, room.scene.n_bands))
     on_chunk = _viz_callback(args.out or "live.wav", args.viz_every) \
         if args.viz_every else None
     rep = player.run(dry, total_chunks=total_chunks,
@@ -779,6 +797,7 @@ def main(argv=None):
     p.add_argument("--viz-every", type=int, default=0, metavar="N",
                    help="write the live IR waveform PNG every N chunks "
                         "(<out stem>_ir_NNNN.png)")
+    _air_args(p)
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("live", help="producer/consumer live audio pipeline "
@@ -799,6 +818,7 @@ def main(argv=None):
     p.add_argument("--viz-every", type=int, default=0, metavar="N",
                    help="write the live IR waveform PNG every N chunks "
                         "(<out stem>_ir_NNNN.png)")
+    _air_args(p)
     p.set_defaults(fn=cmd_live)
 
     p = sub.add_parser("sweep", help="IR dataset over procedural rooms")

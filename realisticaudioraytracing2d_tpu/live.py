@@ -43,16 +43,18 @@ from .ops.trace import TraceParams
 
 
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
-                                   "frames_per_chunk"))
+                                   "frames_per_chunk", "diffraction"))
 def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
               dry: jax.Array, key: jax.Array, chunk_index: jax.Array, *,
               n_rays: int, max_bounces: int, sample_rate: int,
-              frames_per_chunk: int = 1):
+              frames_per_chunk: int = 1, diffraction: bool = False,
+              air_alpha=None):
     """One live step fully on-device: retrace a fresh IR for this chunk and
     return ``(wet[L, N+T], cur_ir)`` — the crossfaded convolution output
     *including* its reverb tail, ready for host overlap-add (the
     ``ProcessChunk`` dispatch, RayTraceManager.cs:100-122)."""
     from .engine import trace_accumulate
+    from .streaming import _augment_ir
 
     l, t, k = prev_ir.shape
     ir_state = trace_accumulate(
@@ -60,7 +62,8 @@ def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
         _rng.frame_key(key, chunk_index), n_rays=n_rays,
         max_bounces=max_bounces, sample_rate=sample_rate,
         n_frames=frames_per_chunk)
-    cur_ir = ir_state.normalized()
+    cur_ir = _augment_ir(ir_state.normalized(), scene, params,
+                         sample_rate, diffraction, air_alpha)
     prev = jnp.where(chunk_index == 0, cur_ir, prev_ir)
     return _crossfaded_wet(dry, prev, cur_ir), cur_ir
 
@@ -100,13 +103,16 @@ class LivePlayer:
 
     def __init__(self, scene: Scene, config: EngineConfig, key: jax.Array,
                  n_listeners: int = 1, frames_per_chunk: int = 1,
-                 dsp_buffer: int = 1024, ring_size: Optional[int] = None):
+                 dsp_buffer: int = 1024, ring_size: Optional[int] = None,
+                 diffraction: bool = False, air_alpha=None):
         self.scene = scene
         self.config = config
         self.key = key
         self.n_listeners = n_listeners
         self.frames_per_chunk = frames_per_chunk
         self.dsp_buffer = dsp_buffer
+        self.diffraction = diffraction
+        self.air_alpha = air_alpha
         n = config.audio.chunk_samples
         t = config.audio.ir_length
         if ring_size is None:
@@ -174,7 +180,9 @@ class LivePlayer:
                         n_rays=cfg.sim.ray_count,
                         max_bounces=cfg.sim.max_bounces,
                         sample_rate=sr,
-                        frames_per_chunk=self.frames_per_chunk)
+                        frames_per_chunk=self.frames_per_chunk,
+                        diffraction=self.diffraction,
+                        air_alpha=self.air_alpha)
                     wet_np = np.asarray(wet)  # device->host readback
                     if wet_np.ndim == 1:
                         wet_np = wet_np[None, :]

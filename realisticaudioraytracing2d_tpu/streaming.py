@@ -110,14 +110,33 @@ def _crossfaded_wet(chunk: jax.Array, ir_prev: jax.Array, ir_cur: jax.Array
     return y[0] * (1.0 - ramp) + y[1] * ramp
 
 
+def _augment_ir(cur_ir: jax.Array, scene: Scene, params: TraceParams,
+                sample_rate: int, diffraction: bool,
+                air_alpha) -> jax.Array:
+    """Optional physics addenda on a freshly traced chunk IR (all
+    jit-safe): first-order edge diffraction (shadow-zone fill — matters
+    exactly when a moving pose slips behind an occluder) and ISO 9613-1
+    atmospheric absorption (``air_alpha`` = per-band dB/m, or None)."""
+    if diffraction:
+        from .ops.diffraction import diffraction_ir
+        cur_ir = cur_ir + diffraction_ir(
+            scene, params, sample_rate=sample_rate,
+            ir_length=cur_ir.shape[-2])
+    if air_alpha is not None:
+        from .ops.air import apply_air_absorption
+        cur_ir = apply_air_absorption(cur_ir, sample_rate, air_alpha,
+                                      params.speed_of_sound)
+    return cur_ir
+
+
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
-                                   "frames_per_chunk"),
+                                   "frames_per_chunk", "diffraction"),
          donate_argnames=("state",))
 def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
                  dry_chunk: jax.Array, key: jax.Array, *,
                  n_rays: int, max_bounces: int, sample_rate: int,
-                 frames_per_chunk: int = 1
-                 ) -> Tuple[jax.Array, StreamState]:
+                 frames_per_chunk: int = 1, diffraction: bool = False,
+                 air_alpha=None) -> Tuple[jax.Array, StreamState]:
     """One streaming step: retrace -> crossfaded convolution -> overlap-add
     -> drain. Returns ``(out_chunk[L, N], new_state)``. Fully on-device;
     ``state`` buffers are donated so the 60 Hz loop allocates nothing."""
@@ -133,7 +152,8 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
         scene, params, irm.IRState.zeros(t, l, k), chunk_key,
         n_rays=n_rays, max_bounces=max_bounces, sample_rate=sample_rate,
         n_frames=frames_per_chunk)
-    cur_ir = ir_state.normalized()                              # [L, T, K]
+    cur_ir = _augment_ir(ir_state.normalized(), scene, params,
+                         sample_rate, diffraction, air_alpha)  # [L, T, K]
 
     # First chunk has no predecessor: fade in from the current IR itself.
     is_first = state.chunk_index == 0
@@ -159,12 +179,15 @@ class Streamer:
     listener, BASELINE.json config #3)."""
 
     def __init__(self, scene: Scene, config: EngineConfig, key: jax.Array,
-                 n_listeners: int = 1, frames_per_chunk: int = 1):
+                 n_listeners: int = 1, frames_per_chunk: int = 1,
+                 diffraction: bool = False, air_alpha=None):
         self.scene = scene
         self.config = config
         self.key = key
         self.frames_per_chunk = frames_per_chunk
         self.n_listeners = n_listeners
+        self.diffraction = diffraction
+        self.air_alpha = air_alpha
         self.state = init_stream(config.audio.ir_length,
                                  config.audio.chunk_samples,
                                  n_listeners, scene.n_bands)
@@ -182,7 +205,8 @@ class Streamer:
             n_rays=self.config.sim.ray_count,
             max_bounces=self.config.sim.max_bounces,
             sample_rate=self.config.audio.sample_rate,
-            frames_per_chunk=self.frames_per_chunk)
+            frames_per_chunk=self.frames_per_chunk,
+            diffraction=self.diffraction, air_alpha=self.air_alpha)
         return out
 
     def stream_clip(self, dry: jax.Array, params_fn, scene_fn=None,

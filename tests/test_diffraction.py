@@ -145,3 +145,47 @@ def test_doubled_wall_counts_edges_once():
     ir_doubled = np.asarray(diffraction.diffraction_ir(
         doubled, p, sample_rate=SR, ir_length=SR // 2))
     np.testing.assert_allclose(ir_doubled, ir_single, rtol=1e-5)
+
+
+def test_stream_chunk_diffraction_and_air():
+    # The streaming step can fold both physics addenda into its per-chunk
+    # IR, entirely inside the compiled program.
+    import jax
+    from realisticaudioraytracing2d_tpu.streaming import (init_stream,
+                                                          stream_chunk)
+
+    scene = barrier_scene()
+    p = params()
+    dry = jnp.ones(256, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    kw = dict(n_rays=64, max_bounces=2, sample_rate=SR)
+
+    out_plain, _ = stream_chunk(scene, p, init_stream(1024, 256), dry,
+                                key, **kw)
+    # hard shadow: barrier is opaque, nothing reflects around it
+    assert float(np.abs(np.asarray(out_plain)).sum()) == 0.0
+
+    out_diff, _ = stream_chunk(scene, p, init_stream(1024, 256), dry,
+                               key, diffraction=True, **kw)
+    e_diff = float(np.abs(np.asarray(out_diff)).sum())
+    assert e_diff > 0.0
+
+    out_air, _ = stream_chunk(scene, p, init_stream(1024, 256), dry, key,
+                              diffraction=True,
+                              air_alpha=jnp.asarray([5.0]), **kw)
+    assert 0.0 < float(np.abs(np.asarray(out_air)).sum()) < e_diff
+
+
+def test_live_wet_chunk_diffraction():
+    import jax
+    from realisticaudioraytracing2d_tpu.live import wet_chunk
+
+    scene = barrier_scene()
+    p = params()
+    prev = jnp.zeros((1, 1024, 1), jnp.float32)
+    dry = jnp.ones(256, jnp.float32)
+    wet, cur = wet_chunk(scene, p, prev, dry, jax.random.PRNGKey(0),
+                         jnp.asarray(0, jnp.int32), n_rays=64,
+                         max_bounces=2, sample_rate=SR, diffraction=True)
+    assert float(np.asarray(cur).sum()) > 0.0
+    assert float(np.abs(np.asarray(wet)).sum()) > 0.0
