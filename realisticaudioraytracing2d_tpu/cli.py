@@ -137,9 +137,14 @@ def _common(p):
 
 def _air_args(p):
     p.add_argument("--diffraction", action="store_true",
-                   help="add first-order edge diffraction (Maekawa "
-                        "knife-edge shadow-zone fill; traced scenes "
-                        "only, ignored with analyze --ir-in)")
+                   help="add edge diffraction (Maekawa knife-edge "
+                        "shadow-zone fill; traced scenes only, ignored "
+                        "with analyze --ir-in)")
+    p.add_argument("--diffraction-order", type=int, default=1,
+                   choices=[1, 2],
+                   help="2 adds edge-to-edge double diffraction "
+                        "(rounds thick obstacles; O(W^3), room-scale "
+                        "scenes)")
     p.add_argument("--air", action="store_true",
                    help="apply ISO 9613-1 atmospheric absorption to the "
                         "IR (per-band via log-spaced band centers)")
@@ -188,7 +193,8 @@ def _apply_diffraction(state, scene, trace_params, sample_rate, args):
 
     from .ops.diffraction import diffraction_ir
     d_ir = diffraction_ir(scene, trace_params, sample_rate=sample_rate,
-                          ir_length=state.ir_length)
+                          ir_length=state.ir_length,
+                          order=args.diffraction_order)
     print(f"diffraction: added {float(d_ir.sum()):.3g} shadow-zone "
           f"energy/frame over {int((np.asarray(d_ir) > 0).any(axis=(1, 2)).sum())}"
           f"/{d_ir.shape[0]} listeners")
@@ -380,7 +386,8 @@ def cmd_stream(args):
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
-                        diffraction=args.diffraction,
+                        diffraction=(args.diffraction
+                                     and args.diffraction_order),
                         air_alpha=_air_alpha_arr(args, room.scene.n_bands))
     on_chunk = None
     if args.viz_every:
@@ -469,7 +476,8 @@ def cmd_live(args):
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
                         dsp_buffer=args.dsp_buffer,
-                        diffraction=args.diffraction,
+                        diffraction=(args.diffraction
+                                     and args.diffraction_order),
                         air_alpha=_air_alpha_arr(args, room.scene.n_bands))
     on_chunk = _viz_callback(args.out or "live.wav", args.viz_every) \
         if args.viz_every else None

@@ -135,29 +135,104 @@ def diffraction_paths(scene: Scene, params: TraceParams,
     return delay, energy, valid
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "ir_length"))
+def diffraction_paths2(scene: Scene, params: TraceParams,
+                       band_freqs) -> tuple:
+    """Second-order (edge-to-edge) paths ``S -> E1 -> E2 -> L``.
+
+    This is what rounds a THICK obstacle: first order clips the far
+    corner (both single-edge legs are occluded), second order bends at
+    both corners. Attenuation is the Maekawa cascade — each wedge gets
+    its own Fresnel factor ``1/(3 + 20 N)``, with the detour of its
+    local triangle (``N1`` from ``S->E1->E2`` vs straight ``S->E2``,
+    ``N2`` from ``E1->E2->L`` vs straight ``E1->L``) — the standard
+    double-barrier engineering approximation. Cost is O(W^3) visibility
+    (all edge pairs against all walls, evaluated row-by-row via
+    ``lax.map`` to bound memory): opt-in, sized for room-scale scenes.
+
+    Returns ``(delay[L, E, E], energy[L, E, E, K], valid[L, E, E])``.
+    """
+    pts, weight = edge_table(scene)                             # [E, 2]
+    e = pts.shape[0]
+    src = params.source
+    lis = jnp.atleast_2d(params.listeners)
+    c = params.speed_of_sound
+    freqs = jnp.asarray(band_freqs, jnp.float32)
+
+    d1 = jnp.linalg.norm(pts - src, axis=-1)                    # [E]
+    src_clear = _segment_clear(jnp.broadcast_to(src, pts.shape), pts,
+                               scene)                           # [E]
+    d12 = jnp.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    pair_clear = jax.lax.map(
+        lambda p: _segment_clear(jnp.broadcast_to(p, pts.shape), pts,
+                                 scene), pts)                   # [E, E]
+    distinct = d12 > _COINCIDENT_TOL
+    # straight-line references for the two local detours
+    s_to_e2 = jnp.linalg.norm(pts - src, axis=-1)               # [E]
+
+    def per_listener(li):
+        direct_blocked = ~_segment_clear(src[None, :], li[None, :],
+                                         scene)[0]
+        leg_clear = _segment_clear(pts, jnp.broadcast_to(li, pts.shape),
+                                   scene)                       # [E]
+        d2 = jnp.linalg.norm(li - pts, axis=-1)                 # [E]
+        e1_to_l = d2                                            # [E]
+        d_tot = d1[:, None] + d12 + d2[None, :]                 # [E, E]
+        delta1 = jnp.maximum(d1[:, None] + d12 - s_to_e2[None, :], 0.0)
+        delta2 = jnp.maximum(d12 + d2[None, :] - e1_to_l[:, None], 0.0)
+        n1 = 2.0 * delta1[..., None] * freqs / c                # [E,E,K]
+        n2 = 2.0 * delta2[..., None] * freqs / c
+        att = 1.0 / ((3.0 + 20.0 * n1) * (3.0 + 20.0 * n2))
+        base = params.input_gain / jnp.maximum(1.0, d_tot * d_tot)
+        w2d = weight[:, None] * weight[None, :]
+        valid = ((w2d > 0) & distinct & src_clear[:, None] & pair_clear
+                 & leg_clear[None, :] & direct_blocked)
+        energy = (w2d * base)[..., None] * att * valid[..., None]
+        return d_tot / c, energy, valid
+
+    return jax.vmap(per_listener)(lis)
+
+
+def _scatter_paths(delay, energy, sample_rate: int, ir_length: int,
+                   k: int) -> jnp.ndarray:
+    """Bin path families ``delay[L, ...]`` / ``energy[L, ..., K]`` into an
+    IR ``[L, T, K]`` (invalid paths carry zero energy)."""
+    l = delay.shape[0]
+    delay = delay.reshape(l, -1)
+    energy = energy.reshape(l, -1, k)
+    bins = jnp.floor(delay * sample_rate).astype(jnp.int32)
+    ok = (bins >= 0) & (bins < ir_length)
+    bins = jnp.where(ok, bins, ir_length)
+    energy = energy * ok[..., None]
+
+    def one_listener(b, en):
+        out = jnp.zeros((ir_length + 1, k), jnp.float32)
+        return out.at[b].add(en)[:ir_length]
+
+    return jax.vmap(one_listener)(bins, energy)
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "ir_length", "order"))
 def diffraction_ir(scene: Scene, params: TraceParams, *,
                    sample_rate: int, ir_length: int,
-                   band_freqs=None) -> jnp.ndarray:
+                   band_freqs=None, order: int = 1) -> jnp.ndarray:
     """Deterministic diffraction IR ``[L, T, K]``.
 
     Add it to a traced frame's IR (or ``frames *`` it into an
     :class:`~..ops.ir.IRState`'s accumulated sum — it has no Monte-Carlo
     variance). ``band_freqs`` defaults to the log-spaced band centers of
-    :func:`..ops.air.band_frequencies`.
+    :func:`..ops.air.band_frequencies`. ``order=2`` adds edge-to-edge
+    double diffraction (:func:`diffraction_paths2` — O(W^3), opt-in).
     """
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order}")
     k = scene.n_bands
     if band_freqs is None:
         from .air import band_frequencies
         band_freqs = band_frequencies(k)
     delay, energy, _ = diffraction_paths(scene, params, band_freqs)
-    bins = jnp.floor(delay * sample_rate).astype(jnp.int32)     # [L, E]
-    ok = (bins >= 0) & (bins < ir_length)
-    bins = jnp.where(ok, bins, ir_length)
-    energy = energy * ok[..., None]
-
-    def one_listener(b, e):
-        out = jnp.zeros((ir_length + 1, k), jnp.float32)
-        return out.at[b].add(e)[:ir_length]
-
-    return jax.vmap(one_listener)(bins, energy)
+    ir = _scatter_paths(delay, energy, sample_rate, ir_length, k)
+    if order >= 2:
+        delay2, energy2, _ = diffraction_paths2(scene, params, band_freqs)
+        ir = ir + _scatter_paths(delay2, energy2, sample_rate, ir_length,
+                                 k)
+    return ir

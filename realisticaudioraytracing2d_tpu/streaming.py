@@ -111,17 +111,18 @@ def _crossfaded_wet(chunk: jax.Array, ir_prev: jax.Array, ir_cur: jax.Array
 
 
 def _augment_ir(cur_ir: jax.Array, scene: Scene, params: TraceParams,
-                sample_rate: int, diffraction: bool,
+                sample_rate: int, diffraction,
                 air_alpha) -> jax.Array:
     """Optional physics addenda on a freshly traced chunk IR (all
-    jit-safe): first-order edge diffraction (shadow-zone fill — matters
-    exactly when a moving pose slips behind an occluder) and ISO 9613-1
-    atmospheric absorption (``air_alpha`` = per-band dB/m, or None)."""
+    jit-safe): edge diffraction (shadow-zone fill — matters exactly when
+    a moving pose slips behind an occluder; ``diffraction`` is falsy, 1,
+    or 2 = edge-to-edge double diffraction) and ISO 9613-1 atmospheric
+    absorption (``air_alpha`` = per-band dB/m, or None)."""
     if diffraction:
         from .ops.diffraction import diffraction_ir
         cur_ir = cur_ir + diffraction_ir(
             scene, params, sample_rate=sample_rate,
-            ir_length=cur_ir.shape[-2])
+            ir_length=cur_ir.shape[-2], order=int(diffraction))
     if air_alpha is not None:
         from .ops.air import apply_air_absorption
         cur_ir = apply_air_absorption(cur_ir, sample_rate, air_alpha,

@@ -189,3 +189,47 @@ def test_live_wet_chunk_diffraction():
                          max_bounces=2, sample_rate=SR, diffraction=True)
     assert float(np.asarray(cur).sum()) > 0.0
     assert float(np.abs(np.asarray(wet)).sum()) > 0.0
+
+
+def thick_box_scene():
+    b = SceneBuilder(n_bands=1)
+    b.add_box(OPAQUE, Transform2D(position=(0.0, -1.0)), size=(1.0, 6.0))
+    return b.build()
+
+
+def test_second_order_rounds_a_thick_box():
+    # First order cannot round a box (the bent path clips the far
+    # corner); the edge-to-edge cascade can.
+    scene = thick_box_scene()
+    p = params(src=(-3.0, 0.0), lis=(3.0, 0.0))
+    ir1 = np.asarray(diffraction.diffraction_ir(
+        scene, p, sample_rate=SR, ir_length=SR // 2, order=1))
+    ir2 = np.asarray(diffraction.diffraction_ir(
+        scene, p, sample_rate=SR, ir_length=SR // 2, order=2))
+    assert ir1.sum() == 0.0
+    assert ir2.sum() > 0.0
+    # The dominant path goes over the two top corners (+-0.5, 2): check
+    # the arrival bin.
+    d = (np.linalg.norm([-3 - -0.5, 0 - 2.0])
+         + 1.0 + np.linalg.norm([3 - 0.5, 2.0]))
+    expect_bin = int(np.floor(d / C * SR))
+    assert np.flatnonzero(ir2[0, :, 0])[0] == expect_bin
+
+
+def test_second_order_weaker_than_first_on_thin_barrier():
+    # On a thin barrier first order dominates; the added second-order
+    # family must be a small positive correction.
+    scene = barrier_scene()
+    p = params()
+    ir1 = np.asarray(diffraction.diffraction_ir(
+        scene, p, sample_rate=SR, ir_length=SR // 2, order=1))
+    ir2 = np.asarray(diffraction.diffraction_ir(
+        scene, p, sample_rate=SR, ir_length=SR // 2, order=2))
+    extra = ir2.sum() - ir1.sum()
+    assert 0.0 <= extra < 0.25 * ir1.sum()
+
+
+def test_order_validation():
+    with pytest.raises(ValueError):
+        diffraction.diffraction_ir(barrier_scene(), params(),
+                                   sample_rate=SR, ir_length=128, order=3)
