@@ -133,6 +133,26 @@ def _common(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--stereo", default=None, metavar="SEP",
                    help="stereo output with two ear listeners SEP apart")
+    p.add_argument("--directivity", default=None, metavar="PATTERN",
+                   help="source directivity: omni (default), "
+                        "cardioid[:AIM_DEG], figure8[:AIM_DEG] — "
+                        "weighted at emission (jnp path)")
+
+
+def _directivity_arr(args):
+    """Parse --directivity into Fourier coefficients (or None)."""
+    spec = getattr(args, "directivity", None)
+    if spec is None or spec == "omni":
+        return None
+    from .ops import directivity as dv
+    name, _, aim = spec.partition(":")
+    aim_rad = float(aim) * np.pi / 180.0 if aim else 0.0
+    try:
+        return {"cardioid": dv.cardioid,
+                "figure8": dv.figure_eight}[name](aim_rad)
+    except KeyError:
+        raise SystemExit(f"unknown directivity {name!r}; pick "
+                         "omni/cardioid/figure8")
 
 
 def _air_args(p):
@@ -212,7 +232,8 @@ def cmd_trace(args):
     cfg = _config(args)
     listeners, n_l = _listeners(args, room)
     eng = Engine(room.scene, cfg, n_listeners=n_l)
-    p = eng.params(room.source, listeners)
+    p = eng.params(room.source, listeners,
+                   directivity=_directivity_arr(args))
     key = jax.random.PRNGKey(args.seed)
     state = None
     start_frame = 0
@@ -306,7 +327,8 @@ def cmd_bake(args):
     cfg = _config(args)
     listeners, n_l = _listeners(args, room)
     eng = Engine(room.scene, cfg, n_listeners=n_l)
-    p = eng.params(room.source, listeners)
+    p = eng.params(room.source, listeners,
+                   directivity=_directivity_arr(args))
     x, rate = read_audio(args.infile or builtin_clip_path())
     dry = np.asarray(load_samples(jnp.asarray(x), rate,
                                   cfg.audio.sample_rate))
@@ -381,7 +403,8 @@ def cmd_stream(args):
         drift = (vel * i * chunk_dt).astype(np.float32)
         sdrift = (svel * i * chunk_dt).astype(np.float32)
         return eng.params(np.asarray(room.source, np.float32) + sdrift,
-                          listeners + drift)
+                          listeners + drift,
+                          directivity=_directivity_arr(args))
 
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
@@ -483,7 +506,8 @@ def cmd_live(args):
         if args.viz_every else None
     rep = player.run(dry, total_chunks=total_chunks,
                      realtime=args.realtime,
-                     params=eng.params(room.source, listeners),
+                     params=eng.params(room.source, listeners,
+                   directivity=_directivity_arr(args)),
                      on_chunk=on_chunk)
     if on_chunk is not None:
         on_chunk.flush()
@@ -561,7 +585,8 @@ def cmd_fit(args):
             f"{room.scene.n_bands} (set --bands to match)")
 
     eng = Engine(room.scene, cfg, n_listeners=n_l)
-    p = eng.params(room.source, listeners)
+    p = eng.params(room.source, listeners,
+                   directivity=_directivity_arr(args))
     groups, n_groups = diff.infer_material_groups(room.scene)
     fields = tuple(f for f in args.fields.split(",") if f)
     unknown = set(fields) - {"absorption", "scattering", "transmission",
@@ -637,7 +662,8 @@ def cmd_locate(args):
             f"{room.scene.n_bands} (set --bands to match)")
 
     eng = Engine(room.scene, cfg, n_listeners=n_l)
-    p = eng.params(room.source, listeners)
+    p = eng.params(room.source, listeners,
+                   directivity=_directivity_arr(args))
 
     bounds = None
     if args.bounds:
@@ -702,11 +728,13 @@ def cmd_analyze(args):
         cfg = _config(args)
         listeners, n_l = _listeners(args, room)
         eng = Engine(room.scene, cfg, n_listeners=n_l)
-        state = eng.trace_frames(eng.params(room.source, listeners),
+        state = eng.trace_frames(eng.params(room.source, listeners,
+                                 directivity=_directivity_arr(args)),
                                  jax.random.PRNGKey(args.seed),
                                  n_frames=args.frames)
         state = _apply_diffraction(state, room.scene,
-                                   eng.params(room.source, listeners),
+                                   eng.params(room.source, listeners,
+                   directivity=_directivity_arr(args)),
                                    cfg.audio.sample_rate, args)
         state = _apply_air(state, cfg.audio.sample_rate,
                            cfg.sim.speed_of_sound, args)

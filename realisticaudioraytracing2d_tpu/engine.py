@@ -35,8 +35,10 @@ def _fused_eligible(scene: Scene, params: TraceParams,
     (bit-exact, one shared compile); it only pays off on real TPU
     hardware (interpret mode elsewhere would be slower than XLA). Only
     scenes past the brute kernel's wall ceiling (routed to accel/jnp)
-    or absurd band counts (>~320) fall back."""
-    if jax.default_backend() != "tpu":
+    or absurd band counts (>~320) fall back. Directive sources
+    (params.directivity) are weighted at emission in the jnp oracle
+    only — they route there."""
+    if jax.default_backend() != "tpu" or params.directivity is not None:
         return False
     from .ops.pallas.bounce_kernel import auto_tile, time_window
     try:
@@ -57,7 +59,7 @@ def _rooms_fused_eligible(scene: Scene, params: TraceParams,
     so banded/long-IR sweeps and mixdowns stay fused — only scenes past
     the brute kernel's wall ceiling or absurd band counts (>~320) fall
     back to jnp."""
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or params.directivity is not None:
         return False
     from .ops.pallas.bounce_kernel import auto_tile, time_window
     try:
@@ -75,6 +77,7 @@ def _accel_eligible(scene, params: TraceParams, ir_length: int) -> bool:
     one-launch accel kernel (early-out without re-sort)."""
     from .ops.pallas.bounce_kernel import time_window
     return (jax.default_backend() == "tpu"
+            and params.directivity is None
             and time_window(scene.n_bands) >= 1)
 
 
@@ -101,6 +104,10 @@ def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
     per-bounce Morton ray re-sort); "jnp" forces the reference XLA-graph
     path; "fused"/"accel" force the respective kernel paths.
     """
+    if backend in ("fused", "accel") and params.directivity is not None:
+        raise ValueError("directive sources run on the jnp path; the "
+                         "fused/accel kernels emit omnidirectionally "
+                         "(use backend='auto' or 'jnp')")
     use_fused = (backend == "fused" or
                  (backend == "auto"
                   and _fused_eligible(scene, params, state.ir_length)))
@@ -176,12 +183,14 @@ class Engine:
         return irm.IRState.zeros(self.config.audio.ir_length,
                                  self.n_listeners, self.scene.n_bands)
 
-    def params(self, source, listener, ) -> TraceParams:
+    def params(self, source, listener,
+               directivity=None) -> TraceParams:
         return TraceParams.make(
             source, listener,
             listener_radius=self.config.sim.listener_radius,
             speed_of_sound=self.config.sim.speed_of_sound,
-            input_gain=self.config.sim.input_gain)
+            input_gain=self.config.sim.input_gain,
+            directivity=directivity)
 
     # -- simulation ----------------------------------------------------------
     def trace_frames(self, params: TraceParams, key: jax.Array,

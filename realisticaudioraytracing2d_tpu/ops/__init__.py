@@ -1,1 +1,1 @@
-from . import air, convolve, diffraction, geometry, ir, rng, trace  # noqa: F401
+from . import air, convolve, diffraction, directivity, geometry, ir, rng, trace  # noqa: F401

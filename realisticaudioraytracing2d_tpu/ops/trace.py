@@ -56,17 +56,25 @@ class TraceParams(NamedTuple):
     listener_radius: jax.Array   # scalar
     speed_of_sound: jax.Array    # scalar
     input_gain: jax.Array        # scalar
+    # Optional source directivity: Fourier power-gain coefficients
+    # [2M+1] (ops/directivity.py), or None for the reference's omni
+    # emission. Weighted in _emit — deposits are linear in a ray's
+    # initial energy, so this is exact. None/array changes the pytree
+    # structure, which is what lets engine routing act on it.
+    directivity: Optional[jax.Array] = None
 
     @staticmethod
     def make(source, listeners, listener_radius=0.5, speed_of_sound=343.0,
-             input_gain=1.0) -> "TraceParams":
+             input_gain=1.0, directivity=None) -> "TraceParams":
         listeners = jnp.atleast_2d(jnp.asarray(listeners, jnp.float32))
         return TraceParams(
             source=jnp.asarray(source, jnp.float32),
             listeners=listeners,
             listener_radius=jnp.asarray(listener_radius, jnp.float32),
             speed_of_sound=jnp.asarray(speed_of_sound, jnp.float32),
-            input_gain=jnp.asarray(input_gain, jnp.float32))
+            input_gain=jnp.asarray(input_gain, jnp.float32),
+            directivity=None if directivity is None
+            else jnp.asarray(directivity, jnp.float32))
 
 
 class Hits(NamedTuple):
@@ -114,11 +122,14 @@ def _emit(params: TraceParams, n_rays: int, n_bands: int,
     idx = jnp.arange(n_rays, dtype=jnp.float32)
     angle = (idx + emit_jitter) / n_rays * (2.0 * PI)
     direction = jnp.stack([jnp.cos(angle), jnp.sin(angle)], axis=-1)
+    gain = jnp.asarray(params.input_gain, jnp.float32)
+    if params.directivity is not None:
+        from .directivity import evaluate
+        gain = gain * evaluate(params.directivity, angle)[:, None]
     return _RayState(
         pos=jnp.broadcast_to(params.source, (n_rays, 2)).astype(jnp.float32),
         dir=direction,
-        energy=jnp.full((n_rays, n_bands), params.input_gain,
-                        dtype=jnp.float32),
+        energy=jnp.broadcast_to(gain, (n_rays, n_bands)).astype(jnp.float32),
         time=jnp.zeros((n_rays,), jnp.float32),
         dist=jnp.zeros((n_rays,), jnp.float32),
         speed=jnp.full((n_rays,), params.speed_of_sound, jnp.float32),

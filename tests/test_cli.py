@@ -330,3 +330,19 @@ def test_cli_trace_diffraction_fills_shadow(tmp_path, capsys):
     import re
     m = re.search(r"IR energy ([0-9.eE+-]+)", out)
     assert m and float(m.group(1)) > dry
+
+
+def test_cli_trace_directivity(tmp_path, capsys):
+    ir_a = str(tmp_path / "a.npz")
+    ir_b = str(tmp_path / "b.npz")
+    main(["trace", "--room", "smoll", *TINY, "--ir-out", ir_a])
+    main(["trace", "--room", "smoll", *TINY, "--ir-out", ir_b,
+          "--directivity", "cardioid:45"])
+    from realisticaudioraytracing2d_tpu.utils.checkpoint import \
+        load_ir_state
+    a = np.asarray(load_ir_state(ir_a).sum)
+    b = np.asarray(load_ir_state(ir_b).sum)
+    assert a.shape == b.shape and not np.allclose(a, b)
+    with pytest.raises(SystemExit):
+        main(["trace", "--room", "smoll", *TINY,
+              "--directivity", "nope"])

@@ -1,0 +1,114 @@
+"""Source directivity (ops/directivity.py + emission weighting)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from realisticaudioraytracing2d_tpu.config import smoll_room_config
+from realisticaudioraytracing2d_tpu.engine import Engine, trace_accumulate
+from realisticaudioraytracing2d_tpu.models.materials import AudioMaterial
+from realisticaudioraytracing2d_tpu.models.rooms import smoll_room
+from realisticaudioraytracing2d_tpu.models.scene import SceneBuilder
+from realisticaudioraytracing2d_tpu.ops import directivity as dv
+from realisticaudioraytracing2d_tpu.ops.ir import IRState
+from realisticaudioraytracing2d_tpu.ops.trace import TraceParams
+
+
+def test_evaluate_matches_presets():
+    theta = jnp.linspace(0, 2 * np.pi, 64)
+    g = np.asarray(dv.evaluate(jnp.asarray(dv.cardioid(0.3)), theta))
+    np.testing.assert_allclose(g, 1 + np.cos(np.asarray(theta) - 0.3),
+                               atol=1e-5)
+    g8 = np.asarray(dv.evaluate(jnp.asarray(dv.figure_eight(0.0)), theta))
+    np.testing.assert_allclose(g8, 2 * np.cos(np.asarray(theta)) ** 2,
+                               atol=1e-5)
+
+
+def test_from_function_recovers_cardioid():
+    c = dv.from_function(lambda t: 1 + np.cos(t - 0.7), n_harmonics=4)
+    np.testing.assert_allclose(c[:3], dv.cardioid(0.7), atol=1e-6)
+    np.testing.assert_allclose(c[3:], 0.0, atol=1e-6)
+
+
+def test_from_function_rejects_negative():
+    with pytest.raises(ValueError):
+        dv.from_function(lambda t: np.cos(t))
+
+
+def far_field():
+    # single distant wall so the scene is non-empty; effectively free field
+    m = AudioMaterial(absorption=1.0, scattering=0.0, transmission=0.0,
+                      ior=1.0)
+    b = SceneBuilder(n_bands=1)
+    b.add_segment((500.0, -1.0), (500.0, 1.0), (1.0, 0.0), m)
+    return b.build()
+
+
+def run(scene, directivity, listener, rays=4096):
+    p = TraceParams.make(np.float32([0.0, 0.0]), np.float32(listener),
+                         listener_radius=0.5, directivity=directivity)
+    st = trace_accumulate(scene, p, IRState.zeros(2048), jax.random.PRNGKey(0),
+                          n_rays=rays, max_bounces=2, sample_rate=8000)
+    return float(np.asarray(st.sum).sum())
+
+
+def test_omni_none_equals_unit_coeff():
+    scene = far_field()
+    assert run(scene, None, (5.0, 0.0)) == pytest.approx(
+        run(scene, dv.omni(), (5.0, 0.0)), rel=1e-6)
+
+
+def test_cardioid_front_vs_back():
+    scene = far_field()
+    aim = dv.cardioid(0.0)   # aimed at +x
+    front = run(scene, aim, (5.0, 0.0))
+    back = run(scene, aim, (-5.0, 0.0))
+    assert front > 0
+    # g(pi) = 0 for the cardioid: the back listener only gets the tiny
+    # near-null strata around pi
+    assert back < 0.02 * front
+
+
+def test_figure_eight_null_perpendicular():
+    scene = far_field()
+    f8 = dv.figure_eight(0.0)
+    on_axis = run(scene, f8, (5.0, 0.0))
+    null = run(scene, f8, (0.0, 5.0))
+    assert null < 0.02 * on_axis
+
+
+def test_linearity_in_pattern_scale():
+    scene = far_field()
+    e1 = run(scene, dv.cardioid(0.0), (5.0, 0.0))
+    e2 = run(scene, 2.0 * dv.cardioid(0.0), (5.0, 0.0))
+    assert e2 == pytest.approx(2 * e1, rel=1e-5)
+
+
+def test_cardioid_front_matches_omni_level():
+    # Mean-1 normalization: a cardioid's on-axis direct level is ~2x
+    # omni (g(0) = 2), same total radiated power.
+    scene = far_field()
+    omni_e = run(scene, None, (5.0, 0.0))
+    card_e = run(scene, dv.cardioid(0.0), (5.0, 0.0))
+    assert card_e == pytest.approx(2 * omni_e, rel=0.05)
+
+
+def test_forced_fused_backend_raises():
+    room = smoll_room()
+    p = TraceParams.make(room.source, room.listener,
+                         directivity=dv.cardioid(0.0))
+    with pytest.raises(ValueError, match="directive"):
+        trace_accumulate(room.scene, p, IRState.zeros(1024),
+                         jax.random.PRNGKey(0), n_rays=64, max_bounces=2,
+                         sample_rate=8000, backend="fused")
+
+
+def test_engine_params_passthrough_and_room_trace():
+    room = smoll_room()
+    cfg = smoll_room_config(ray_count=2000)
+    eng = Engine(room.scene, cfg)
+    p = eng.params(room.source, room.listener,
+                   directivity=dv.cardioid(np.pi / 4))
+    st = eng.trace_frames(p, jax.random.PRNGKey(0), n_frames=2)
+    assert float(np.asarray(st.sum).sum()) > 0
