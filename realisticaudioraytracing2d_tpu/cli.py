@@ -137,11 +137,12 @@ def _common(p):
                    help="source directivity: omni (default), "
                         "cardioid[:AIM_DEG], figure8[:AIM_DEG] — "
                         "weighted at emission (jnp path)")
+    p.add_argument("--mic-directivity", default=None, metavar="PATTERN",
+                   help="listener pickup pattern (same syntax); "
+                        "weighted by arrival angle at each capture")
 
 
-def _directivity_arr(args):
-    """Parse --directivity into Fourier coefficients (or None)."""
-    spec = getattr(args, "directivity", None)
+def _parse_pattern(spec):
     if spec is None or spec == "omni":
         return None
     from .ops import directivity as dv
@@ -153,6 +154,15 @@ def _directivity_arr(args):
     except KeyError:
         raise SystemExit(f"unknown directivity {name!r}; pick "
                          "omni/cardioid/figure8")
+
+
+def _directivity_arr(args):
+    """Parse --directivity into Fourier coefficients (or None)."""
+    return _parse_pattern(getattr(args, "directivity", None))
+
+
+def _mic_directivity_arr(args):
+    return _parse_pattern(getattr(args, "mic_directivity", None))
 
 
 def _air_args(p):
@@ -233,7 +243,8 @@ def cmd_trace(args):
     listeners, n_l = _listeners(args, room)
     eng = Engine(room.scene, cfg, n_listeners=n_l)
     p = eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args))
+                   directivity=_directivity_arr(args),
+                   mic_directivity=_mic_directivity_arr(args))
     key = jax.random.PRNGKey(args.seed)
     state = None
     start_frame = 0
@@ -328,7 +339,8 @@ def cmd_bake(args):
     listeners, n_l = _listeners(args, room)
     eng = Engine(room.scene, cfg, n_listeners=n_l)
     p = eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args))
+                   directivity=_directivity_arr(args),
+                   mic_directivity=_mic_directivity_arr(args))
     x, rate = read_audio(args.infile or builtin_clip_path())
     dry = np.asarray(load_samples(jnp.asarray(x), rate,
                                   cfg.audio.sample_rate))
@@ -404,7 +416,8 @@ def cmd_stream(args):
         sdrift = (svel * i * chunk_dt).astype(np.float32)
         return eng.params(np.asarray(room.source, np.float32) + sdrift,
                           listeners + drift,
-                          directivity=_directivity_arr(args))
+                          directivity=_directivity_arr(args),
+                   mic_directivity=_mic_directivity_arr(args))
 
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
@@ -507,7 +520,8 @@ def cmd_live(args):
     rep = player.run(dry, total_chunks=total_chunks,
                      realtime=args.realtime,
                      params=eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args)),
+                   directivity=_directivity_arr(args),
+                   mic_directivity=_mic_directivity_arr(args)),
                      on_chunk=on_chunk)
     if on_chunk is not None:
         on_chunk.flush()
@@ -586,7 +600,8 @@ def cmd_fit(args):
 
     eng = Engine(room.scene, cfg, n_listeners=n_l)
     p = eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args))
+                   directivity=_directivity_arr(args),
+                   mic_directivity=_mic_directivity_arr(args))
     groups, n_groups = diff.infer_material_groups(room.scene)
     fields = tuple(f for f in args.fields.split(",") if f)
     unknown = set(fields) - {"absorption", "scattering", "transmission",
@@ -663,7 +678,8 @@ def cmd_locate(args):
 
     eng = Engine(room.scene, cfg, n_listeners=n_l)
     p = eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args))
+                   directivity=_directivity_arr(args),
+                   mic_directivity=_mic_directivity_arr(args))
 
     bounds = None
     if args.bounds:
@@ -729,12 +745,14 @@ def cmd_analyze(args):
         listeners, n_l = _listeners(args, room)
         eng = Engine(room.scene, cfg, n_listeners=n_l)
         state = eng.trace_frames(eng.params(room.source, listeners,
-                                 directivity=_directivity_arr(args)),
+                                 directivity=_directivity_arr(args),
+                   mic_directivity=_mic_directivity_arr(args)),
                                  jax.random.PRNGKey(args.seed),
                                  n_frames=args.frames)
         state = _apply_diffraction(state, room.scene,
                                    eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args)),
+                   directivity=_directivity_arr(args),
+                   mic_directivity=_mic_directivity_arr(args)),
                                    cfg.audio.sample_rate, args)
         state = _apply_air(state, cfg.audio.sample_rate,
                            cfg.sim.speed_of_sound, args)

@@ -38,7 +38,8 @@ def _fused_eligible(scene: Scene, params: TraceParams,
     or absurd band counts (>~320) fall back. Directive sources
     (params.directivity) are weighted at emission in the jnp oracle
     only — they route there."""
-    if jax.default_backend() != "tpu" or params.directivity is not None:
+    if (jax.default_backend() != "tpu" or params.directivity is not None
+            or params.mic_directivity is not None):
         return False
     from .ops.pallas.bounce_kernel import auto_tile, time_window
     try:
@@ -59,7 +60,8 @@ def _rooms_fused_eligible(scene: Scene, params: TraceParams,
     so banded/long-IR sweeps and mixdowns stay fused — only scenes past
     the brute kernel's wall ceiling or absurd band counts (>~320) fall
     back to jnp."""
-    if jax.default_backend() != "tpu" or params.directivity is not None:
+    if (jax.default_backend() != "tpu" or params.directivity is not None
+            or params.mic_directivity is not None):
         return False
     from .ops.pallas.bounce_kernel import auto_tile, time_window
     try:
@@ -78,6 +80,7 @@ def _accel_eligible(scene, params: TraceParams, ir_length: int) -> bool:
     from .ops.pallas.bounce_kernel import time_window
     return (jax.default_backend() == "tpu"
             and params.directivity is None
+            and params.mic_directivity is None
             and time_window(scene.n_bands) >= 1)
 
 
@@ -104,9 +107,11 @@ def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
     per-bounce Morton ray re-sort); "jnp" forces the reference XLA-graph
     path; "fused"/"accel" force the respective kernel paths.
     """
-    if backend in ("fused", "accel") and params.directivity is not None:
-        raise ValueError("directive sources run on the jnp path; the "
-                         "fused/accel kernels emit omnidirectionally "
+    if backend in ("fused", "accel") and (
+            params.directivity is not None
+            or params.mic_directivity is not None):
+        raise ValueError("directive sources/mics run on the jnp path; "
+                         "the fused/accel kernels are omnidirectional "
                          "(use backend='auto' or 'jnp')")
     use_fused = (backend == "fused" or
                  (backend == "auto"
@@ -183,14 +188,14 @@ class Engine:
         return irm.IRState.zeros(self.config.audio.ir_length,
                                  self.n_listeners, self.scene.n_bands)
 
-    def params(self, source, listener,
-               directivity=None) -> TraceParams:
+    def params(self, source, listener, directivity=None,
+               mic_directivity=None) -> TraceParams:
         return TraceParams.make(
             source, listener,
             listener_radius=self.config.sim.listener_radius,
             speed_of_sound=self.config.sim.speed_of_sound,
             input_gain=self.config.sim.input_gain,
-            directivity=directivity)
+            directivity=directivity, mic_directivity=mic_directivity)
 
     # -- simulation ----------------------------------------------------------
     def trace_frames(self, params: TraceParams, key: jax.Array,

@@ -132,7 +132,31 @@ def diffraction_paths(scene: Scene, params: TraceParams,
         return d_tot / c, energy * valid[:, None], valid
 
     delay, energy, valid = jax.vmap(per_listener)(lis)
+    energy = energy * _pattern_weights(params, pts, lis)[..., None]
     return delay, energy, valid
+
+
+def _pattern_weights(params: TraceParams, pts: jnp.ndarray,
+                     lis: jnp.ndarray) -> jnp.ndarray:
+    """Directivity weights ``[L, E]`` for bent paths whose middle point
+    is ``pts``: source pattern at the departure angle (source -> edge)
+    times mic pattern at the arrival angle (listener -> edge = incoming
+    direction of the bent path's last leg)."""
+    w = jnp.ones((lis.shape[0], pts.shape[0]), jnp.float32)
+    if params.directivity is not None:
+        from .directivity import evaluate
+        out = pts - params.source                               # [E, 2]
+        w = w * evaluate(params.directivity,
+                         jnp.arctan2(out[:, 1], out[:, 0]))[None, :]
+    if params.mic_directivity is not None:
+        from .directivity import evaluate
+        inc = pts[None, :, :] - lis[:, None, :]                 # [L, E, 2]
+        ang = jnp.arctan2(inc[..., 1], inc[..., 0])             # [L, E]
+        c = jnp.asarray(params.mic_directivity, jnp.float32)
+        if c.ndim == 2:
+            c = c[:, None, :]                 # [L, 1, C] vs ang [L, E]
+        w = w * evaluate(c, ang)
+    return w
 
 
 def diffraction_paths2(scene: Scene, params: TraceParams,
@@ -189,7 +213,22 @@ def diffraction_paths2(scene: Scene, params: TraceParams,
         energy = (w2d * base)[..., None] * att * valid[..., None]
         return d_tot / c, energy, valid
 
-    return jax.vmap(per_listener)(lis)
+    delay, energy, valid = jax.vmap(per_listener)(lis)
+    if params.directivity is not None:
+        from .directivity import evaluate
+        out = pts - src
+        g = evaluate(params.directivity,
+                     jnp.arctan2(out[:, 1], out[:, 0]))        # [E1]
+        energy = energy * g[None, :, None, None]
+    if params.mic_directivity is not None:
+        from .directivity import evaluate
+        inc = pts[None, :, :] - lis[:, None, :]                 # [L, E2, 2]
+        ang = jnp.arctan2(inc[..., 1], inc[..., 0])
+        cm = jnp.asarray(params.mic_directivity, jnp.float32)
+        if cm.ndim == 2:
+            cm = cm[:, None, :]
+        energy = energy * evaluate(cm, ang)[:, None, :, None]
+    return delay, energy, valid
 
 
 def _scatter_paths(delay, energy, sample_rate: int, ir_length: int,

@@ -36,14 +36,20 @@ import jax.numpy as jnp
 
 
 def evaluate(coeffs: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """Power gain ``g(angle)`` (>= 0) of a coefficient vector ``[2M+1]``.
-    jnp, broadcasts over ``angle``'s shape."""
+    """Power gain ``g(angle)`` (>= 0).
+
+    ``coeffs`` is ``[2M+1]`` (one pattern) or ``[..., 2M+1]`` (batched —
+    e.g. one pattern per listener); the coefficient batch dims broadcast
+    against ``angle``'s shape (a ``[L, C]`` table against ``[R, L]``
+    angles yields ``[R, L]`` gains)."""
     c = jnp.asarray(coeffs, jnp.float32)
-    g = jnp.full_like(jnp.asarray(angle, jnp.float32), c[0])
-    m = (c.shape[0] - 1) // 2
+    angle = jnp.asarray(angle, jnp.float32)
+    g = jnp.broadcast_to(c[..., 0], jnp.broadcast_shapes(
+        c[..., 0].shape, angle.shape)).astype(jnp.float32)
+    m = (c.shape[-1] - 1) // 2
     for n in range(1, m + 1):
-        g = g + c[2 * n - 1] * jnp.cos(n * angle) \
-              + c[2 * n] * jnp.sin(n * angle)
+        g = g + c[..., 2 * n - 1] * jnp.cos(n * angle) \
+              + c[..., 2 * n] * jnp.sin(n * angle)
     return jnp.maximum(g, 0.0)
 
 

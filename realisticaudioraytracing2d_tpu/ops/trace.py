@@ -62,10 +62,16 @@ class TraceParams(NamedTuple):
     # initial energy, so this is exact. None/array changes the pytree
     # structure, which is what lets engine routing act on it.
     directivity: Optional[jax.Array] = None
+    # Optional microphone (listener) pickup pattern: [2M+1] shared or
+    # [L, 2M+1] per listener. Weighted at both capture sites by the
+    # INCOMING sound direction at the listener (direct capture and NEE;
+    # the diffraction pass applies it to its bent paths too).
+    mic_directivity: Optional[jax.Array] = None
 
     @staticmethod
     def make(source, listeners, listener_radius=0.5, speed_of_sound=343.0,
-             input_gain=1.0, directivity=None) -> "TraceParams":
+             input_gain=1.0, directivity=None,
+             mic_directivity=None) -> "TraceParams":
         listeners = jnp.atleast_2d(jnp.asarray(listeners, jnp.float32))
         return TraceParams(
             source=jnp.asarray(source, jnp.float32),
@@ -74,7 +80,9 @@ class TraceParams(NamedTuple):
             speed_of_sound=jnp.asarray(speed_of_sound, jnp.float32),
             input_gain=jnp.asarray(input_gain, jnp.float32),
             directivity=None if directivity is None
-            else jnp.asarray(directivity, jnp.float32))
+            else jnp.asarray(directivity, jnp.float32),
+            mic_directivity=None if mic_directivity is None
+            else jnp.asarray(mic_directivity, jnp.float32))
 
 
 class Hits(NamedTuple):
@@ -165,6 +173,12 @@ def _bounce(scene: Scene, params: TraceParams, st: _RayState,
     total_d = st.dist[:, None] + t_lis
     direct_energy = st.energy[:, None, :] / \
         jnp.maximum(1.0, total_d * total_d)[..., None]     # [R, L, K]
+    if params.mic_directivity is not None:
+        # incoming sound direction at the listener = -ray direction
+        from .directivity import evaluate
+        ang = jnp.arctan2(-st.dir[:, 1], -st.dir[:, 0])[:, None]  # [R, 1]
+        direct_energy = direct_energy \
+            * evaluate(params.mic_directivity, ang)[..., None]
     direct_delay = st.time[:, None] + t_lis / st.speed[:, None]
 
     # --- advance to the wall (compute:92-94) --------------------------------
@@ -209,6 +223,12 @@ def _bounce(scene: Scene, params: TraceParams, st: _RayState,
     geom = cos_t * 0.5 / (total_d_nee * total_d_nee)          # [R, L]
     nee_energy = st.energy[:, None, :] * (1.0 - w_abs)[:, None, :] \
         * geom[..., None]                                     # [R, L, K]
+    if params.mic_directivity is not None:
+        # incoming direction at the listener = listener -> bounce point
+        from .directivity import evaluate
+        ang = jnp.arctan2(-to_lis[..., 1], -to_lis[..., 0])   # [R, L]
+        nee_energy = nee_energy \
+            * evaluate(params.mic_directivity, ang)[..., None]
     nee_valid = hit_wall[:, None] & (st.depth == 0)[:, None] & visible \
         & (jnp.max(nee_energy, axis=-1) > NEE_CONTRIB_CUTOFF)
     # Listener leg uses the *rest-frame* speed of sound, matching the
