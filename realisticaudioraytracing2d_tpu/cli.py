@@ -140,6 +140,10 @@ def _common(p):
     p.add_argument("--mic-directivity", default=None, metavar="PATTERN",
                    help="listener pickup pattern (same syntax); "
                         "weighted by arrival angle at each capture")
+    p.add_argument("--stereo-aim", type=float, default=None, metavar="DEG",
+                   help="with --stereo: record through an XY cardioid "
+                        "pair aimed at +-DEG (overrides "
+                        "--mic-directivity)")
 
 
 def _parse_pattern(spec):
@@ -162,6 +166,14 @@ def _directivity_arr(args):
 
 
 def _mic_directivity_arr(args):
+    aim = getattr(args, "stereo_aim", None)
+    if aim is not None:
+        if getattr(args, "stereo", None) is None:
+            raise SystemExit("--stereo-aim needs --stereo")
+        from .ops import directivity as dv
+        a = float(aim) * np.pi / 180.0
+        # left ear listens left (+aim), right ear right (-aim)
+        return np.stack([dv.cardioid(a), dv.cardioid(-a)])
     return _parse_pattern(getattr(args, "mic_directivity", None))
 
 

@@ -346,3 +346,20 @@ def test_cli_trace_directivity(tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["trace", "--room", "smoll", *TINY,
               "--directivity", "nope"])
+
+
+def test_cli_stereo_xy_pair(tmp_path):
+    dry = str(tmp_path / "dry.wav")
+    write_wav(dry, noise_burst(0.12, 8000, seed=3), 8000)
+    wet = str(tmp_path / "xy.wav")
+    main(["bake", "--room", "smoll", *TINY, "--in", dry, "--out", wet,
+          "--stereo", "0.2", "--stereo-aim", "45", "--no-normalize"])
+    y, _ = read_wav(wet)
+    assert y.ndim == 2 and y.shape[1] == 2
+    left, right = np.abs(y[:, 0]).sum(), np.abs(y[:, 1]).sum()
+    # the XY pair must decorrelate the ears (different pickup of the
+    # same field); exact balance depends on the room
+    assert left > 0 and right > 0 and not np.isclose(left, right)
+    with pytest.raises(SystemExit):
+        main(["bake", "--room", "smoll", *TINY, "--in", dry,
+              "--out", wet, "--stereo-aim", "45"])
