@@ -120,4 +120,31 @@ audio_io.write_wav(os.path.join(args.out, "bake_banded.wav"), wet_b,
                    cfg_b.audio.sample_rate)
 print("wrote spectrogram.png, bake_banded.wav (8-band HF-rolloff materials)")
 
+# --- room-acoustics analysis + physics addenda (docs/ACOUSTICS.md) ------------
+from realisticaudioraytracing2d_tpu import analysis  # noqa: E402
+from realisticaudioraytracing2d_tpu.ops import air, directivity  # noqa: E402
+
+sr_b = cfg_b.audio.sample_rate
+ir_b = state_b.normalized()
+wet_ir = air.apply_air_absorption(
+    ir_b, sr_b, air.iso9613_alpha(air.band_frequencies(8)))
+m_dry = analysis.analyze_ir(ir_b, sr_b)
+m_wet = analysis.analyze_ir(wet_ir, sr_b)
+print(f"SmollRoom band 0/7 RT60(T20): "
+      f"{m_dry['rt60_t20_s'][0, 0]:.3f}/{m_dry['rt60_t20_s'][0, 7]:.3f} s "
+      f"(with air absorption: {m_wet['rt60_t20_s'][0, 0]:.3f}/"
+      f"{m_wet['rt60_t20_s'][0, 7]:.3f} s); "
+      f"D50 {m_dry['d50'][0, 0]:.2f}, direct "
+      f"{m_dry['direct_distance_m'][0, 0]:.1f} m")
+viz.save_image(os.path.join(args.out, "edc.png"),
+               viz.decay_curve_image(np.asarray(ir_b)[0]))
+
+state_card = eng_b.trace_frames(
+    eng_b.params(room_b.source, room_b.listener,
+                 directivity=directivity.cardioid(0.0)), key, n_frames=4)
+e_omni = float(np.asarray(state_b.sum).sum())
+e_card = float(np.asarray(state_card.sum).sum())
+print(f"cardioid source aimed +x vs omni: {e_card / e_omni:.2f}x captured "
+      f"energy (same total radiated power); wrote edc.png")
+
 print(f"done -> {args.out}/")
