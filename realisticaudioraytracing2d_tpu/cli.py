@@ -36,7 +36,10 @@ def load_scene_json(spec, default_bands: int = 1):
     (position/angle/scale), a type-specific shape (box: size+offset;
     polygon: paths; circle: radius+offset+resolution) and a material
     (absorption/scattering/transmission/ior, optionally band_absorption).
-    Top-level: source, listener (or listeners), listener_radius, n_bands.
+    Top-level: source, listener (or listeners), listener_radius, n_bands,
+    and optional ``directivity`` / ``mic_directivity`` patterns (a spec
+    string like "cardioid:30", explicit Fourier coefficients, or — for
+    mics — a per-listener list of spec strings).
     ``boxes: [...]`` is accepted as shorthand for box colliders.
     """
     import numpy as np
@@ -79,11 +82,30 @@ def load_scene_json(spec, default_bands: int = 1):
         else:
             raise SystemExit(f"unknown collider type {kind!r}")
     listener = spec.get("listeners", spec.get("listener"))
+
+    def pattern_of(key):
+        # "cardioid:30" / "figure8" / explicit coefficient list;
+        # mic patterns also accept a list of per-listener specs
+        v = spec.get(key)
+        if v is None:
+            return None
+        if isinstance(v, str):
+            return _parse_pattern(v)
+        v = list(v)
+        if v and isinstance(v[0], str):
+            pats = [_parse_pattern(x) for x in v]
+            width = max(len(p) for p in pats)
+            return np.stack([np.pad(p, (0, width - len(p)))
+                             for p in pats])
+        return np.asarray(v, np.float32)
+
     return RoomSetup(
         scene=b.build(),
         source=np.asarray(spec["source"], np.float32),
         listener=np.asarray(listener, np.float32),
-        listener_radius=float(spec.get("listener_radius", 0.5)))
+        listener_radius=float(spec.get("listener_radius", 0.5)),
+        directivity=pattern_of("directivity"),
+        mic_directivity=pattern_of("mic_directivity"))
 
 
 def _build_room(args):
@@ -160,12 +182,16 @@ def _parse_pattern(spec):
                          "omni/cardioid/figure8")
 
 
-def _directivity_arr(args):
-    """Parse --directivity into Fourier coefficients (or None)."""
-    return _parse_pattern(getattr(args, "directivity", None))
+def _directivity_arr(args, room=None):
+    """--directivity coefficients; falls back to the scene JSON's
+    shipped pattern when the flag is absent."""
+    flag = _parse_pattern(getattr(args, "directivity", None))
+    if flag is not None:
+        return flag
+    return getattr(room, "directivity", None)
 
 
-def _mic_directivity_arr(args):
+def _mic_directivity_arr(args, room=None):
     aim = getattr(args, "stereo_aim", None)
     if aim is not None:
         if getattr(args, "stereo", None) is None:
@@ -174,7 +200,10 @@ def _mic_directivity_arr(args):
         a = float(aim) * np.pi / 180.0
         # left ear listens left (+aim), right ear right (-aim)
         return np.stack([dv.cardioid(a), dv.cardioid(-a)])
-    return _parse_pattern(getattr(args, "mic_directivity", None))
+    flag = _parse_pattern(getattr(args, "mic_directivity", None))
+    if flag is not None:
+        return flag
+    return getattr(room, "mic_directivity", None)
 
 
 def _air_args(p):
@@ -255,8 +284,8 @@ def cmd_trace(args):
     listeners, n_l = _listeners(args, room)
     eng = Engine(room.scene, cfg, n_listeners=n_l)
     p = eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args),
-                   mic_directivity=_mic_directivity_arr(args))
+                   directivity=_directivity_arr(args, room),
+                   mic_directivity=_mic_directivity_arr(args, room))
     key = jax.random.PRNGKey(args.seed)
     state = None
     start_frame = 0
@@ -351,8 +380,8 @@ def cmd_bake(args):
     listeners, n_l = _listeners(args, room)
     eng = Engine(room.scene, cfg, n_listeners=n_l)
     p = eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args),
-                   mic_directivity=_mic_directivity_arr(args))
+                   directivity=_directivity_arr(args, room),
+                   mic_directivity=_mic_directivity_arr(args, room))
     x, rate = read_audio(args.infile or builtin_clip_path())
     dry = np.asarray(load_samples(jnp.asarray(x), rate,
                                   cfg.audio.sample_rate))
@@ -428,8 +457,8 @@ def cmd_stream(args):
         sdrift = (svel * i * chunk_dt).astype(np.float32)
         return eng.params(np.asarray(room.source, np.float32) + sdrift,
                           listeners + drift,
-                          directivity=_directivity_arr(args),
-                   mic_directivity=_mic_directivity_arr(args))
+                          directivity=_directivity_arr(args, room),
+                   mic_directivity=_mic_directivity_arr(args, room))
 
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
@@ -532,8 +561,8 @@ def cmd_live(args):
     rep = player.run(dry, total_chunks=total_chunks,
                      realtime=args.realtime,
                      params=eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args),
-                   mic_directivity=_mic_directivity_arr(args)),
+                   directivity=_directivity_arr(args, room),
+                   mic_directivity=_mic_directivity_arr(args, room)),
                      on_chunk=on_chunk)
     if on_chunk is not None:
         on_chunk.flush()
@@ -612,8 +641,8 @@ def cmd_fit(args):
 
     eng = Engine(room.scene, cfg, n_listeners=n_l)
     p = eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args),
-                   mic_directivity=_mic_directivity_arr(args))
+                   directivity=_directivity_arr(args, room),
+                   mic_directivity=_mic_directivity_arr(args, room))
     groups, n_groups = diff.infer_material_groups(room.scene)
     fields = tuple(f for f in args.fields.split(",") if f)
     unknown = set(fields) - {"absorption", "scattering", "transmission",
@@ -690,8 +719,8 @@ def cmd_locate(args):
 
     eng = Engine(room.scene, cfg, n_listeners=n_l)
     p = eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args),
-                   mic_directivity=_mic_directivity_arr(args))
+                   directivity=_directivity_arr(args, room),
+                   mic_directivity=_mic_directivity_arr(args, room))
 
     bounds = None
     if args.bounds:
@@ -757,14 +786,14 @@ def cmd_analyze(args):
         listeners, n_l = _listeners(args, room)
         eng = Engine(room.scene, cfg, n_listeners=n_l)
         state = eng.trace_frames(eng.params(room.source, listeners,
-                                 directivity=_directivity_arr(args),
-                   mic_directivity=_mic_directivity_arr(args)),
+                                 directivity=_directivity_arr(args, room),
+                   mic_directivity=_mic_directivity_arr(args, room)),
                                  jax.random.PRNGKey(args.seed),
                                  n_frames=args.frames)
         state = _apply_diffraction(state, room.scene,
                                    eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args),
-                   mic_directivity=_mic_directivity_arr(args)),
+                   directivity=_directivity_arr(args, room),
+                   mic_directivity=_mic_directivity_arr(args, room)),
                                    cfg.audio.sample_rate, args)
         state = _apply_air(state, cfg.audio.sample_rate,
                            cfg.sim.speed_of_sound, args)

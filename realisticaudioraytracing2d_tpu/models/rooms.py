@@ -29,6 +29,9 @@ class RoomSetup(NamedTuple):
     source: np.ndarray       # [2]
     listener: np.ndarray     # [2] (or [L, 2] for multi-listener setups)
     listener_radius: float
+    # optional shipped patterns (ops/directivity.py coefficient arrays)
+    directivity: np.ndarray | None = None
+    mic_directivity: np.ndarray | None = None
 
 
 def _quat_z_angle(z: float, w: float) -> float:

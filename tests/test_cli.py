@@ -363,3 +363,33 @@ def test_cli_stereo_xy_pair(tmp_path):
     with pytest.raises(SystemExit):
         main(["bake", "--room", "smoll", *TINY, "--in", dry,
               "--out", wet, "--stereo-aim", "45"])
+
+
+def test_cli_scene_json_ships_patterns(tmp_path):
+    # the exported-scene schema can carry source/mic patterns; the CLI
+    # honors them when no flag overrides
+    spec = {
+        "source": [0.0, 0.0],
+        "listeners": [[5.0, 0.1], [5.0, -0.1]],
+        "listener_radius": 0.5,
+        "directivity": "cardioid:0",
+        "mic_directivity": ["cardioid:180", "cardioid:0"],
+        "boxes": [
+            {"position": [8.0, 0.0], "scale": [1.0, 20.0],
+             "material": {"absorption": 0.9, "scattering": 0.1,
+                          "transmission": 0.0, "ior": 1.0}}],
+    }
+    sj = str(tmp_path / "scene.json")
+    with open(sj, "w") as f:
+        json.dump(spec, f)
+    ir_out = str(tmp_path / "ir.npz")
+    main(["trace", "--scene-json", sj, *TINY, "--bounces", "2",
+          "--ir-out", ir_out])
+    from realisticaudioraytracing2d_tpu.utils.checkpoint import \
+        load_ir_state
+    per_l = np.asarray(load_ir_state(ir_out).sum).sum(axis=(1, 2))
+    # mic 0 faces the source (direct + echo); mic 1 faces away — its
+    # direct path is nulled but it still hears the wall echo from +x,
+    # so the level gap is large yet finite
+    assert per_l[1] > 0
+    assert per_l[0] > 10 * per_l[1]
