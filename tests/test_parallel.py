@@ -350,3 +350,36 @@ def test_multisource_sharded_per_source_gains():
             ir_length=IR_LEN)
     np.testing.assert_allclose(np.asarray(ir), np.asarray(total),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_rays_sharded_with_directive_params():
+    # The extended TraceParams (directivity/mic patterns) must flow
+    # through shard_map unchanged: sharded == sum of the per-device
+    # partial scatters, and the pattern actually bites (differs from
+    # omni).
+    from realisticaudioraytracing2d_tpu.ops import directivity as dv
+    from realisticaudioraytracing2d_tpu.ops import ir as irm
+    from realisticaudioraytracing2d_tpu.ops.trace import trace_hits_only
+
+    room = smoll_room()
+    params = TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0,
+                              directivity=dv.cardioid(1.0),
+                              mic_directivity=dv.cardioid(2.0))
+    mesh = make_mesh((1, 8), ("rooms", "rays"))
+    kw = dict(n_rays=1024, max_bounces=4, sample_rate=SR, ir_length=IR_LEN)
+    sharded = np.asarray(trace_rays_sharded(
+        room.scene, params, jax.random.PRNGKey(5), mesh, **kw))
+
+    expect = np.zeros_like(sharded)
+    for d in range(8):
+        k = jax.random.fold_in(jax.random.PRNGKey(5), d)
+        hits = trace_hits_only(room.scene, params, k, n_rays=128,
+                               max_bounces=4)
+        expect += np.asarray(irm.scatter_hits(hits, SR, IR_LEN))
+    np.testing.assert_allclose(sharded, expect, rtol=1e-5, atol=1e-12)
+
+    omni = np.asarray(trace_rays_sharded(
+        room.scene,
+        TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0),
+        jax.random.PRNGKey(5), mesh, **kw))
+    assert not np.allclose(sharded, omni)
