@@ -340,8 +340,12 @@ def cmd_trace(args):
     if args.scene_out:
         _, dbg = eng.trace_debug(p, key, n_debug=args.debug_rays)
         lis0 = np.asarray(listeners, np.float32).reshape(-1, 2)[0]
+        extra = viz.diffraction_polylines(
+            room.scene, p, order=args.diffraction_order) \
+            if args.diffraction else None
         img = viz.render_scene(room.scene, room.source, lis0,
-                               room.listener_radius, dbg)
+                               room.listener_radius, dbg,
+                               extra_paths=extra)
         viz.save_image(args.scene_out, img)
         print(f"wrote {args.scene_out}")
     if args.ir_out:

@@ -131,10 +131,13 @@ def render_scene(scene: Scene, source=None, listener=None,
                  listener_radius: float = 0.5,
                  debug_paths: Optional[DebugPaths] = None,
                  width: int = 800, height: int = 600,
-                 draw_normals: bool = False) -> np.ndarray:
+                 draw_normals: bool = False,
+                 extra_paths=None) -> np.ndarray:
     """Scene overview image: red walls, green source, cyan listener and
     energy-tinted ray paths — mirroring ``OnDrawGizmos``
-    (RayTraceManager.cs:261-279)."""
+    (RayTraceManager.cs:261-279). ``extra_paths``: optional list of
+    world-space polylines ``[P, 2]`` drawn yellow (e.g. the valid
+    diffraction bent paths from :func:`diffraction_polylines`)."""
     a = np.asarray(scene.a)
     b = np.asarray(scene.b)
     m = np.asarray(scene.mask)
@@ -163,11 +166,40 @@ def render_scene(scene: Scene, source=None, listener=None,
             mid = (a[i] + b[i]) / 2
             nrm = np.asarray(scene.normal)[i]
             canvas.line(mid, mid + nrm, CYAN, alpha=0.7)
+    for poly in (extra_paths or []):
+        poly = np.asarray(poly, np.float64)
+        for i in range(len(poly) - 1):
+            canvas.line(poly[i], poly[i + 1], YELLOW, alpha=0.9)
     if source is not None:
         canvas.circle(source, 0.2, GREEN)
     if listener is not None:
         canvas.circle(listener, listener_radius, CYAN)
     return canvas.img
+
+
+def diffraction_polylines(scene: Scene, params, band_freqs=None,
+                          order: int = 1):
+    """World-space polylines of the VALID diffraction paths for listener
+    0 — ``[S, E, L]`` triples (and ``[S, E1, E2, L]`` for order 2) ready
+    for :func:`render_scene`'s ``extra_paths`` (the gizmo view of
+    docs/ACOUSTICS.md's shadow fill)."""
+    from ..ops import diffraction as dfr
+    if band_freqs is None:
+        from ..ops.air import band_frequencies
+        band_freqs = band_frequencies(scene.n_bands)
+    pts, _ = dfr.edge_table(scene)
+    pts = np.asarray(pts)
+    src = np.asarray(params.source)
+    lis = np.asarray(params.listeners).reshape(-1, 2)[0]
+    polys = []
+    _, _, valid = dfr.diffraction_paths(scene, params, band_freqs)
+    for e in np.flatnonzero(np.asarray(valid)[0]):
+        polys.append(np.stack([src, pts[e], lis]))
+    if order >= 2:
+        _, _, valid2 = dfr.diffraction_paths2(scene, params, band_freqs)
+        for e1, e2 in zip(*np.nonzero(np.asarray(valid2)[0])):
+            polys.append(np.stack([src, pts[e1], pts[e2], lis]))
+    return polys
 
 
 def render_trajectory(scene: Scene, true_path, est_path, listener=None,

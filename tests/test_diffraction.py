@@ -233,3 +233,23 @@ def test_order_validation():
     with pytest.raises(ValueError):
         diffraction.diffraction_ir(barrier_scene(), params(),
                                    sample_rate=SR, ir_length=128, order=3)
+
+
+def test_diffraction_polylines_render():
+    from realisticaudioraytracing2d_tpu.utils import viz
+    scene = barrier_scene()
+    p = params()
+    polys = viz.diffraction_polylines(scene, p)
+    assert len(polys) == 2                      # the two barrier tips
+    tips = sorted(tuple(np.round(pl[1], 3)) for pl in polys)
+    assert tips == [(0.0, -4.0), (0.0, 4.0)]
+    img = viz.render_scene(scene, np.asarray(p.source),
+                           np.asarray(p.listeners)[0], 0.5,
+                           extra_paths=polys)
+    blank = viz.render_scene(scene, np.asarray(p.source),
+                             np.asarray(p.listeners)[0], 0.5)
+    assert img.sum() > blank.sum()              # paths actually drawn
+    polys2 = viz.diffraction_polylines(thick_box_scene(),
+                                       params(src=(-3.0, 0.0),
+                                              lis=(3.0, 0.0)), order=2)
+    assert any(len(pl) == 4 for pl in polys2)   # 2nd-order S-E1-E2-L
