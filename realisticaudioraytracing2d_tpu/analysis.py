@@ -48,10 +48,15 @@ def schroeder_edc(ir: jnp.ndarray) -> jnp.ndarray:
 
 
 def edc_db(ir: jnp.ndarray) -> jnp.ndarray:
-    """EDC normalized to its initial value, in dB: 0 at t=0, falling."""
+    """EDC normalized to its initial value, in dB: 0 at t=0, falling.
+
+    The *normalized ratio* is floored (not just the raw EDC): for
+    gain-scaled IRs ``edc / total`` can underflow float32 to exactly 0
+    at the tail, and a -inf dB there poisons every downstream masked
+    sum (``0 * -inf = nan`` in :func:`_fit_decay_slope`)."""
     edc = schroeder_edc(ir)
     total = jnp.maximum(edc[..., :1], _EDC_FLOOR)
-    return 10.0 * jnp.log10(jnp.maximum(edc, _EDC_FLOOR) / total)
+    return 10.0 * jnp.log10(jnp.maximum(edc / total, _EDC_FLOOR))
 
 
 def _fit_decay_slope(db: jnp.ndarray, sample_rate: int,
@@ -66,6 +71,9 @@ def _fit_decay_slope(db: jnp.ndarray, sample_rate: int,
     """
     t = jnp.arange(db.shape[-1], dtype=jnp.float32) / sample_rate
     w = ((db <= db_start) & (db >= db_end)).astype(jnp.float32)
+    # where(w, db, 0) rather than w * db: a -inf/nan OUTSIDE the window
+    # (e.g. an all-zero tail) must not poison the masked sums.
+    db = jnp.where(w > 0, db, 0.0)
     n = jnp.sum(w, axis=-1)
     sum_t = jnp.sum(w * t, axis=-1)
     sum_y = jnp.sum(w * db, axis=-1)
