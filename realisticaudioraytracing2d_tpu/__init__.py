@@ -20,7 +20,7 @@ Quick start::
     wet = eng.bake(dry_audio, ir_state)
 """
 
-from . import analysis, config, diff, parallel, utils
+from . import analysis, config, diff, parallel, spatial, utils
 from .config import (AudioConfig, DebugConfig, EngineConfig, SimConfig,
                      big_room_config, sample_scene_config,
                      smoll_room_config)

@@ -352,6 +352,35 @@ def cmd_trace(args):
         from .utils.checkpoint import save_ir_state
         save_ir_state(args.ir_out, raw_state)
         print(f"wrote {args.ir_out}")
+    if args.spatial_out:
+        _write_spatial(args, room, cfg, p, key)
+
+
+def _write_spatial(args, room, cfg, p, key):
+    """Trace the 3-virtual-mic spatial capture and write W/X/Y +
+    direction-of-arrival channels (npz); print the arrival table."""
+    from . import spatial as spm
+    if p.mic_directivity is not None:
+        raise SystemExit("--spatial-out replaces --mic-directivity "
+                         "(steer the spatial IR afterwards instead)")
+    sp_ir, _ = spm.trace_spatial(
+        room.scene, p, key, n_rays=cfg.sim.ray_count,
+        max_bounces=cfg.sim.max_bounces,
+        sample_rate=cfg.audio.sample_rate,
+        ir_length=cfg.audio.ir_length, n_frames=args.frames)
+    np.savez(args.spatial_out,
+             w=np.asarray(sp_ir.w), x=np.asarray(sp_ir.x),
+             y=np.asarray(sp_ir.y),
+             arrival_angle=np.asarray(sp_ir.arrival_angle()),
+             diffuseness=np.asarray(sp_ir.diffuseness()),
+             sample_rate=cfg.audio.sample_rate)
+    print(f"wrote {args.spatial_out}")
+    arrivals = spm.dominant_arrivals(sp_ir, cfg.audio.sample_rate)
+    for i, a in enumerate(arrivals):
+        print(f"  arrival {i}: t={a['time_s'] * 1e3:7.2f} ms  "
+              f"from {np.degrees(a['bearing_rad']):7.1f} deg  "
+              f"diffuseness {a['diffuseness']:.3f}  "
+              f"energy {a['energy']:.4g}")
 
 
 def _listeners(args, room):
@@ -855,6 +884,10 @@ def main(argv=None):
                         "legacy muffle model for scalar IRs)")
     p.add_argument("--scene-out", default=None, help="scene/ray-path PNG")
     p.add_argument("--ir-out", default=None, help="IR state checkpoint npz")
+    p.add_argument("--spatial-out", default=None, metavar="NPZ",
+                   help="also trace a spatial (W/X/Y intensity) IR and "
+                        "write its channels + per-bin direction-of-"
+                        "arrival/diffuseness; prints the arrival table")
     p.add_argument("--ir-in", default=None,
                    help="resume accumulation from an IR checkpoint npz")
     p.add_argument("--gain", type=float, default=None,

@@ -223,14 +223,18 @@ def _bounce(scene: Scene, params: TraceParams, st: _RayState,
     geom = cos_t * 0.5 / (total_d_nee * total_d_nee)          # [R, L]
     nee_energy = st.energy[:, None, :] * (1.0 - w_abs)[:, None, :] \
         * geom[..., None]                                     # [R, L, K]
+    # The contribution cutoff is a *path importance* test
+    # (Raytrace2D.compute:111 applies it to the raw contribution), so it
+    # runs BEFORE any mic pickup weighting — all virtual mics at one
+    # position agree on which paths exist (spatial.py relies on this).
+    nee_valid = hit_wall[:, None] & (st.depth == 0)[:, None] & visible \
+        & (jnp.max(nee_energy, axis=-1) > NEE_CONTRIB_CUTOFF)
     if params.mic_directivity is not None:
         # incoming direction at the listener = listener -> bounce point
         from .directivity import evaluate
         ang = jnp.arctan2(-to_lis[..., 1], -to_lis[..., 0])   # [R, L]
         nee_energy = nee_energy \
             * evaluate(params.mic_directivity, ang)[..., None]
-    nee_valid = hit_wall[:, None] & (st.depth == 0)[:, None] & visible \
-        & (jnp.max(nee_energy, axis=-1) > NEE_CONTRIB_CUTOFF)
     # Listener leg uses the *rest-frame* speed of sound, matching the
     # reference (compute:114 divides by speedOfSound, not curSpeed).
     nee_delay = time[:, None] + dist_lis / c

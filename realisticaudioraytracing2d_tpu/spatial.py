@@ -1,0 +1,251 @@
+"""Spatial impulse responses: per-bin 2D acoustic intensity (W/X/Y).
+
+The reference records a scalar energy IR per listener — it has no notion
+of *where* sound arrives from (``Raytrace2D.compute:74-84,101-119`` keep
+only delay + energy). This module adds the 2D analogue of a first-order
+Ambisonics / sound-intensity measurement, built entirely from machinery
+that already exists and is already tested:
+
+* ``W[t] = sum_h e_h``                 — omnidirectional energy (the
+  ordinary IR),
+* ``X[t] = sum_h e_h cos(theta_h)``,
+* ``Y[t] = sum_h e_h sin(theta_h)``    — the per-bin energy-weighted
+  arrival-direction resultant (2D intensity vector),
+
+where ``theta_h`` is the incoming sound direction of hit ``h`` at the
+listener and the sums run over the hits landing in IR bin ``t``.
+
+**Exact extraction via virtual microphones.** Signed weights cannot ride
+:func:`..ops.directivity.evaluate` directly (it clamps power gains at
+zero), but the first-order cardioid family never clamps:
+``1 + cos(theta - aim) >= 0``. So each listener is traced as THREE
+coincident virtual microphones — omni ``g = 1``, cardioid at 0
+``g = 1 + cos(theta)``, cardioid at pi/2 ``g = 1 + sin(theta)`` — using
+the per-listener ``mic_directivity`` table, and
+
+``X = IR_cardioid0 - IR_omni``,  ``Y = IR_cardioid90 - IR_omni``
+
+hold *per hit*, hence exactly per bin. No new capture code, no new
+scatter: the spatial IR inherits every tested behavior of the capture
+paths (direct, NEE, and the diffraction pass, which all honor
+``mic_directivity``).
+
+What it buys:
+
+* **post-hoc steering** (:meth:`SpatialIR.steer`): the IR of any
+  first-order virtual mic ``g = a + b cos(theta - aim)`` with
+  ``|b| <= a`` (so ``g >= 0`` per hit) is the exact linear combination
+  ``a W + b (X cos aim + Y sin aim)`` — re-aim a stereo pair without
+  retracing;
+* **direction-of-arrival analysis** (:meth:`SpatialIR.arrival_angle`):
+  ``atan2(Y, X)`` per bin localizes the direct sound and each early
+  reflection from one receiver position;
+* **diffuseness** (:meth:`SpatialIR.diffuseness`):
+  ``1 - |(X, Y)| / W`` per bin — 0 for a single coherent arrival
+  direction, -> 1 for isotropic late reverberation (the energy-vector
+  form used by DirAC-style spatial-IR analysis).
+
+Runs on the jnp oracle path (directive mics route there,
+``engine._fused_eligible``); the fused kernels keep the omni fast path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops import ir as irm
+from .ops.trace import TraceParams
+
+#: Virtual-microphone coefficient rows (Fourier power-gain series
+#: ``[c0, c_cos, c_sin]``): omni, cardioid aimed at 0, cardioid at pi/2.
+_PATTERNS = ((1.0, 0.0, 0.0), (1.0, 1.0, 0.0), (1.0, 0.0, 1.0))
+
+
+class SpatialIR(NamedTuple):
+    """Per-bin spatial energy IR. All channels are ``[L, T, K]``."""
+
+    w: jax.Array  # omni energy (identical to the ordinary IR)
+    x: jax.Array  # energy-weighted sum of cos(arrival angle)
+    y: jax.Array  # energy-weighted sum of sin(arrival angle)
+
+    @property
+    def n_listeners(self) -> int:
+        return self.w.shape[0]
+
+    def steer(self, aim, b: float = 1.0, a: float = 1.0) -> jax.Array:
+        """IR of a virtual first-order mic ``g = a + b cos(theta - aim)``
+        at the same position(s), ``[L, T, K]``.
+
+        Exactly equals retracing with
+        ``mic_directivity = [a, b cos(aim), b sin(aim)]`` as long as the
+        pattern is non-negative per hit (``|b| <= a``); values outside
+        that range raise (they would need per-hit clamping that a linear
+        combination cannot reproduce)."""
+        if abs(b) > a:
+            raise ValueError(
+                f"|b| <= a required for a valid power pattern (a={a}, "
+                f"b={b}): g = a + b cos would go negative per hit")
+        aim = jnp.asarray(aim, jnp.float32)
+        return a * self.w + b * (jnp.cos(aim) * self.x +
+                                 jnp.sin(aim) * self.y)
+
+    def stereo(self, aim=0.0, spread: float = math.pi / 2
+               ) -> Tuple[jax.Array, jax.Array]:
+        """(left, right) cardioid-pair IRs, aimed ``aim +- spread/2`` —
+        the post-hoc equivalent of the CLI's ``--stereo-aim`` XY pair."""
+        half = spread / 2.0
+        return self.steer(aim + half), self.steer(aim - half)
+
+    def arrival_angle(self) -> jax.Array:
+        """Dominant arrival bearing per bin, ``atan2(Y, X)`` in
+        ``(-pi, pi]``, ``[L, T, K]``. Meaningful where the bin holds
+        energy and :meth:`diffuseness` is low."""
+        return jnp.arctan2(self.y, self.x)
+
+    def diffuseness(self) -> jax.Array:
+        """``1 - |(X, Y)| / W`` per bin in [0, 1]: 0 = one coherent
+        direction, 1 = isotropic. Bins with no energy report 1 (nothing
+        coherent there). ``[L, T, K]``."""
+        r = jnp.sqrt(self.x * self.x + self.y * self.y)
+        psi = 1.0 - r / jnp.where(self.w > 0.0, self.w, 1.0)
+        return jnp.clip(jnp.where(self.w > 0.0, psi, 1.0), 0.0, 1.0)
+
+
+def spatial_params(params: TraceParams) -> TraceParams:
+    """Expand ``params`` so each of its ``L`` listeners becomes the three
+    coincident virtual microphones (listener axis ``3L``, pattern-major:
+    rows ``[0, L)`` omni, ``[L, 2L)`` cardioid-0, ``[2L, 3L)``
+    cardioid-90).
+
+    The result routes down the jnp oracle (it carries a
+    ``mic_directivity``) and can be used anywhere a ``TraceParams`` is —
+    ``engine.trace_accumulate``, the streaming chunk step, the
+    diffraction pass — with an ``IRState.zeros(T, 3 * L, K)`` state.
+
+    Raises if ``params`` already has a mic pattern: spatial capture IS a
+    mic-pattern assignment, the two cannot compose.
+    """
+    if params.mic_directivity is not None:
+        raise ValueError("spatial capture replaces mic_directivity; "
+                         "steer the SpatialIR afterwards instead")
+    listeners = params.listeners                       # [L, 2]
+    n_l = listeners.shape[0]
+    table = jnp.repeat(jnp.asarray(_PATTERNS, jnp.float32), n_l, axis=0)
+    return params._replace(
+        listeners=jnp.tile(listeners, (len(_PATTERNS), 1)),
+        mic_directivity=table)
+
+
+def spatial_from_ir(ir: jax.Array) -> SpatialIR:
+    """Split an IR traced under :func:`spatial_params` — shape
+    ``[3L, T, K]`` (normalized or raw sum alike; the split is linear) —
+    into :class:`SpatialIR` channels ``[L, T, K]``."""
+    if ir.ndim != 3 or ir.shape[0] % len(_PATTERNS) != 0:
+        raise ValueError(f"expected [3L, T, K] from spatial_params, got "
+                         f"{ir.shape}")
+    n_l = ir.shape[0] // len(_PATTERNS)
+    w = ir[:n_l]
+    return SpatialIR(w=w, x=ir[n_l:2 * n_l] - w, y=ir[2 * n_l:] - w)
+
+
+def dominant_arrivals(sp_ir: SpatialIR, sample_rate: int, *,
+                      listener: int = 0, band: int = 0, n: int = 5,
+                      window_bins: int = 16, min_fraction: float = 0.02):
+    """Peak-pick the strongest distinct arrivals of one listener/band and
+    report where each came from — the DoA summary table.
+
+    Greedy host-side analysis (numpy, not jitted): repeatedly take the
+    most energetic remaining bin, aggregate the intensity vector over
+    ``+- window_bins`` around it (one reflection's energy smears over a
+    few bins), and suppress that window. Stops after ``n`` arrivals or
+    when a peak falls below ``min_fraction`` of the strongest.
+
+    Returns a list of dicts with ``time_s``, ``bearing_rad`` (direction
+    the sound arrives FROM, in world frame), ``diffuseness``, ``energy``.
+    """
+    import numpy as np
+
+    w = np.asarray(sp_ir.w)[listener, :, band].copy()
+    x = np.asarray(sp_ir.x)[listener, :, band]
+    y = np.asarray(sp_ir.y)[listener, :, band]
+    out = []
+    floor = float(w.max()) * min_fraction
+    for _ in range(n):
+        peak = int(w.argmax())
+        if w[peak] <= max(floor, 0.0):
+            break
+        lo, hi = max(0, peak - window_bins), peak + window_bins + 1
+        ew, ex, ey = w[lo:hi].sum(), x[lo:hi].sum(), y[lo:hi].sum()
+        out.append({
+            "time_s": peak / sample_rate,
+            "bearing_rad": float(math.atan2(ey, ex)),
+            "diffuseness": float(1.0 - min(1.0, math.hypot(ex, ey) /
+                                           max(ew, 1e-30))),
+            "energy": float(ew),
+        })
+        w[lo:hi] = 0.0
+    return out
+
+
+def onset_bearing(sp_ir: SpatialIR, time_s: float, sample_rate: int, *,
+                  listener: int = 0, band: int = 0, onset_bins: int = 4,
+                  background_bins: int = 8, guard_bins: int = 2) -> float:
+    """Bearing (radians) of the arrival whose energy ONSET is at
+    ``time_s``, with the pre-arrival field subtracted.
+
+    Between discrete reflections the IR is not silent: NEE deposits at
+    every bounce form a smoothly decaying directional continuum, and a
+    window straddling an echo onset mixes the two. This estimator models
+    the continuum as locally constant: the per-bin mean intensity vector
+    over ``background_bins`` bins ending ``guard_bins`` before the onset
+    is scaled to the onset span and subtracted from the onset's summed
+    vector — leaving the new arrival's direction.
+
+    For a listener disc of radius ``r``, capture begins ``r / c`` before
+    the center-distance arrival time: pass the rim-corrected onset
+    ``(d - r) / c``. Keep ``onset_bins`` SHORT (a few bins): the tracer's
+    NEE connects from every wall point, so a wall reflection is the onset
+    of a continuum — only the earliest bins are dominated by the
+    stationary (specular) wall point; a window covering the full
+    ``2 r / c`` disc smear also integrates continuum energy that is
+    biased toward the wall end nearer the listener.
+    """
+    import numpy as np
+
+    x = np.asarray(sp_ir.x)[listener, :, band]
+    y = np.asarray(sp_ir.y)[listener, :, band]
+    t0 = int(round(time_s * sample_rate))
+    lo = max(0, t0 - guard_bins - background_bins)
+    hi = max(0, t0 - guard_bins)
+    n_bg = max(1, hi - lo)
+    bg_x = x[lo:hi].sum() / n_bg
+    bg_y = y[lo:hi].sum() / n_bg
+    vx = x[t0:t0 + onset_bins].sum() - onset_bins * bg_x
+    vy = y[t0:t0 + onset_bins].sum() - onset_bins * bg_y
+    return float(math.atan2(vy, vx))
+
+
+def trace_spatial(scene, params: TraceParams, key: jax.Array, *,
+                  n_rays: int, max_bounces: int, sample_rate: int,
+                  ir_length: int, n_frames: int = 1,
+                  state: Optional[irm.IRState] = None
+                  ) -> Tuple[SpatialIR, irm.IRState]:
+    """One-call spatial trace: accumulate ``n_frames`` frames of the
+    3-virtual-mic capture and split the frame-averaged result.
+
+    Returns ``(SpatialIR, IRState)`` — keep the state to accumulate more
+    frames (pass it back as ``state=``).
+    """
+    from .engine import trace_accumulate
+    sp = spatial_params(params)
+    if state is None:
+        state = irm.IRState.zeros(ir_length, sp.listeners.shape[0],
+                                  scene.n_bands)
+    state = trace_accumulate(scene, sp, state, key, n_rays=n_rays,
+                             max_bounces=max_bounces,
+                             sample_rate=sample_rate, n_frames=n_frames)
+    return spatial_from_ir(state.normalized()), state

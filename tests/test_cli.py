@@ -393,3 +393,14 @@ def test_cli_scene_json_ships_patterns(tmp_path):
     # so the level gap is large yet finite
     assert per_l[1] > 0
     assert per_l[0] > 10 * per_l[1]
+
+
+def test_cli_trace_spatial_out(tmp_path, capsys):
+    out = str(tmp_path / "spatial.npz")
+    main(["trace", "--room", "smoll", *TINY, "--spatial-out", out])
+    assert os.path.exists(out)
+    z = np.load(out)
+    assert z["w"].shape == z["x"].shape == z["arrival_angle"].shape
+    assert int(z["sample_rate"]) == 8000
+    cap = capsys.readouterr().out
+    assert "arrival 0:" in cap and "deg" in cap

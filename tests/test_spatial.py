@@ -1,0 +1,198 @@
+"""Spatial (W/X/Y intensity) impulse responses — spatial.py."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from realisticaudioraytracing2d_tpu import spatial as sp
+from realisticaudioraytracing2d_tpu.engine import trace_accumulate
+from realisticaudioraytracing2d_tpu.models.materials import AudioMaterial
+from realisticaudioraytracing2d_tpu.models.scene import SceneBuilder
+from realisticaudioraytracing2d_tpu.ops import directivity as dv
+from realisticaudioraytracing2d_tpu.ops.ir import IRState
+from realisticaudioraytracing2d_tpu.ops.trace import TraceParams
+
+
+def far_field():
+    m = AudioMaterial(absorption=1.0, scattering=0.0, transmission=0.0,
+                      ior=1.0)
+    b = SceneBuilder(n_bands=1)
+    b.add_segment((500.0, -1.0), (500.0, 1.0), (1.0, 0.0), m)
+    return b.build()
+
+
+def echo_scene():
+    # reflective wall at x=10; source at origin, listener at (5, 0):
+    # direct arrives from -x (bearing pi), the wall echo from +x (bearing 0)
+    m = AudioMaterial(absorption=0.1, scattering=0.0, transmission=0.0,
+                      ior=1.0)
+    b = SceneBuilder(n_bands=1)
+    b.add_segment((10.0, -20.0), (10.0, 20.0), (-1.0, 0.0), m)
+    return b.build()
+
+
+def box_room(side=8.0, absorption=0.3):
+    # closed square, fully diffuse walls -> isotropic late field
+    m = AudioMaterial(absorption=absorption, scattering=1.0,
+                      transmission=0.0, ior=1.0)
+    s = side / 2
+    b = SceneBuilder(n_bands=1)
+    b.add_segment((-s, -s), (s, -s), (0.0, 1.0), m)
+    b.add_segment((s, -s), (s, s), (-1.0, 0.0), m)
+    b.add_segment((s, s), (-s, s), (0.0, -1.0), m)
+    b.add_segment((-s, s), (-s, -s), (1.0, 0.0), m)
+    return b.build()
+
+
+def run_spatial(scene, listener, rays=8192, bounces=2, ir_length=2048,
+                sample_rate=8000, key=0, source=(0.0, 0.0)):
+    p = TraceParams.make(np.float32(source), np.float32(listener),
+                         listener_radius=0.5)
+    ir, _ = sp.trace_spatial(scene, p, jax.random.PRNGKey(key),
+                             n_rays=rays, max_bounces=bounces,
+                             sample_rate=sample_rate, ir_length=ir_length)
+    return ir
+
+
+def test_w_channel_equals_plain_omni_ir():
+    scene = far_field()
+    ir = run_spatial(scene, (5.0, 0.0))
+    p = TraceParams.make(np.float32([0.0, 0.0]), np.float32([5.0, 0.0]),
+                         listener_radius=0.5)
+    st = trace_accumulate(scene, p, IRState.zeros(2048),
+                          jax.random.PRNGKey(0), n_rays=8192, max_bounces=2,
+                          sample_rate=8000)
+    np.testing.assert_allclose(np.asarray(ir.w), np.asarray(st.normalized()),
+                               rtol=1e-6, atol=0)
+
+
+def test_steer_matches_retraced_cardioid():
+    # post-hoc steering == actually tracing with that mic pattern
+    scene = echo_scene()
+    aim = 0.7
+    ir = run_spatial(scene, (5.0, 0.0))
+    p = TraceParams.make(np.float32([0.0, 0.0]), np.float32([5.0, 0.0]),
+                         listener_radius=0.5,
+                         mic_directivity=jnp.asarray(dv.cardioid(aim)))
+    st = trace_accumulate(scene, p, IRState.zeros(2048),
+                          jax.random.PRNGKey(0), n_rays=8192, max_bounces=2,
+                          sample_rate=8000)
+    want = np.asarray(st.normalized())
+    got = np.asarray(ir.steer(aim))
+    np.testing.assert_allclose(got, want, rtol=2e-4,
+                               atol=1e-7 * want.max())
+
+
+def test_steer_rejects_invalid_pattern():
+    ir = sp.SpatialIR(w=jnp.ones((1, 4, 1)), x=jnp.zeros((1, 4, 1)),
+                      y=jnp.zeros((1, 4, 1)))
+    with pytest.raises(ValueError, match="power pattern"):
+        ir.steer(0.0, b=2.0, a=1.0)
+
+
+def test_spatial_params_rejects_existing_mic():
+    p = TraceParams.make(np.float32([0.0, 0.0]), np.float32([5.0, 0.0]),
+                         mic_directivity=jnp.asarray(dv.cardioid(0.0)))
+    with pytest.raises(ValueError, match="mic_directivity"):
+        sp.spatial_params(p)
+
+
+def test_spatial_from_ir_shape_check():
+    with pytest.raises(ValueError, match="3L"):
+        sp.spatial_from_ir(jnp.zeros((4, 8, 1)))
+
+
+def test_direct_path_bearing():
+    # source at origin seen from (5, 3): bearing atan2(-3, -5)
+    scene = far_field()
+    ir = run_spatial(scene, (5.0, 3.0))
+    w = np.asarray(ir.w)[0, :, 0]
+    peak = int(w.argmax())
+    assert w[peak] > 0
+    ang = float(np.asarray(ir.arrival_angle())[0, peak, 0])
+    want = np.arctan2(-3.0, -5.0)
+    assert abs(ang - want) < 0.1
+    # a single coherent arrival: nearly zero diffuseness at the peak bin
+    assert float(np.asarray(ir.diffuseness())[0, peak, 0]) < 0.05
+
+
+def test_direct_and_echo_bearings_in_one_ir():
+    scene = echo_scene()
+    ir = run_spatial(scene, (5.0, 0.0))
+    ang = np.asarray(ir.arrival_angle())[0, :, 0]
+    w = np.asarray(ir.w)[0, :, 0]
+    direct_bin = int(np.floor(5.0 / 343.0 * 8000))
+    echo_bin = int(np.floor(15.0 / 343.0 * 8000))
+    db = slice(max(0, direct_bin - 3), direct_bin + 4)
+    eb = slice(echo_bin - 3, echo_bin + 4)
+    assert w[db].sum() > 0 and w[eb].sum() > 0
+    d_ang = ang[db][w[db].argmax()]
+    e_ang = ang[eb][w[eb].argmax()]
+    assert abs(abs(d_ang) - np.pi) < 0.1      # direct from -x
+    assert abs(e_ang) < 0.1                   # echo from +x
+
+
+def test_intensity_vector_bounded_by_energy():
+    # |(X, Y)| <= W per bin (triangle inequality on the per-hit sums)
+    ir = run_spatial(box_room(), (1.0, 0.5), bounces=8, ir_length=4096)
+    w = np.asarray(ir.w)
+    r = np.sqrt(np.asarray(ir.x) ** 2 + np.asarray(ir.y) ** 2)
+    assert np.all(r <= w * (1 + 1e-5) + 1e-12)
+
+
+def test_late_reverb_more_diffuse_than_direct():
+    ir = run_spatial(box_room(), (1.0, 0.5), bounces=12, ir_length=4096,
+                     rays=16384)
+    w = np.asarray(ir.w)[0, :, 0]
+    psi = np.asarray(ir.diffuseness())[0, :, 0]
+    peak = int(w.argmax())
+    late = w > 0
+    late[: peak + 200] = False            # > 25 ms after the direct sound
+    assert late.any()
+    late_psi = float((psi[late] * w[late]).sum() / w[late].sum())
+    assert float(psi[peak]) < 0.1
+    assert late_psi > 0.5
+    assert late_psi > 4 * max(float(psi[peak]), 1e-3)
+
+
+def test_stereo_pair_is_steered_cardioids():
+    ir = run_spatial(echo_scene(), (5.0, 0.0))
+    left, right = ir.stereo(aim=0.0)
+    np.testing.assert_allclose(np.asarray(left),
+                               np.asarray(ir.steer(np.pi / 4)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(right),
+                               np.asarray(ir.steer(-np.pi / 4)), rtol=1e-6)
+
+
+def test_multi_listener_spatial():
+    scene = echo_scene()
+    p = TraceParams.make(np.float32([0.0, 0.0]),
+                         np.float32([[5.0, 0.0], [2.0, 1.0]]),
+                         listener_radius=0.5)
+    ir, state = sp.trace_spatial(scene, p, jax.random.PRNGKey(0),
+                                 n_rays=4096, max_bounces=2,
+                                 sample_rate=8000, ir_length=2048)
+    assert ir.w.shape == (2, 2048, 1)
+    assert state.sum.shape == (6, 2048, 1)
+    # both listeners see the source roughly along -x-ish bearings
+    for li, pos in enumerate([(5.0, 0.0), (2.0, 1.0)]):
+        w = np.asarray(ir.w)[li, :, 0]
+        peak = int(w.argmax())
+        ang = float(np.asarray(ir.arrival_angle())[li, peak, 0])
+        want = float(np.arctan2(-pos[1], -pos[0]))
+        assert abs(ang - want) < 0.15
+
+
+def test_accumulation_across_calls():
+    scene = far_field()
+    p = TraceParams.make(np.float32([0.0, 0.0]), np.float32([5.0, 0.0]),
+                         listener_radius=0.5)
+    ir1, st = sp.trace_spatial(scene, p, jax.random.PRNGKey(0), n_rays=2048,
+                               max_bounces=2, sample_rate=8000,
+                               ir_length=2048)
+    ir2, st = sp.trace_spatial(scene, p, jax.random.PRNGKey(1), n_rays=2048,
+                               max_bounces=2, sample_rate=8000,
+                               ir_length=2048, state=st)
+    assert int(st.frames) == 2
+    assert float(np.asarray(ir2.w).sum()) > 0
