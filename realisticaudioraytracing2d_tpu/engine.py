@@ -35,11 +35,11 @@ def _fused_eligible(scene: Scene, params: TraceParams,
     (bit-exact, one shared compile); it only pays off on real TPU
     hardware (interpret mode elsewhere would be slower than XLA). Only
     scenes past the brute kernel's wall ceiling (routed to accel/jnp)
-    or absurd band counts (>~320) fall back. Directive sources
-    (params.directivity) are weighted at emission in the jnp oracle
-    only — they route there."""
-    if (jax.default_backend() != "tpu" or params.directivity is not None
-            or params.mic_directivity is not None):
+    or absurd band counts (>~320) fall back. Directive sources and
+    microphone patterns (round 3) run in-kernel: emission and capture
+    weighting by the Fourier gain series, so spatial IRs
+    (``spatial.py``) and ``--stereo-aim`` ride the fast path too."""
+    if jax.default_backend() != "tpu":
         return False
     from .ops.pallas.bounce_kernel import auto_tile, time_window
     try:
@@ -107,12 +107,11 @@ def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
     per-bounce Morton ray re-sort); "jnp" forces the reference XLA-graph
     path; "fused"/"accel" force the respective kernel paths.
     """
-    if backend in ("fused", "accel") and (
-            params.directivity is not None
-            or params.mic_directivity is not None):
-        raise ValueError("directive sources/mics run on the jnp path; "
-                         "the fused/accel kernels are omnidirectional "
-                         "(use backend='auto' or 'jnp')")
+    if backend == "accel" and (params.directivity is not None
+                               or params.mic_directivity is not None):
+        raise ValueError("directive sources/mics run on the fused or jnp "
+                         "paths; the accel kernels are omnidirectional "
+                         "(use backend='auto', 'fused' or 'jnp')")
     use_fused = (backend == "fused" or
                  (backend == "auto"
                   and _fused_eligible(scene, params, state.ir_length)))

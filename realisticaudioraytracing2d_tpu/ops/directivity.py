@@ -15,10 +15,12 @@ streaming) recompiles nothing.
 Because IR deposits are linear in a ray's initial energy, weighting
 emission by ``g`` is exact: every path from ray ``r`` scales by
 ``g(theta_r)``. The weighting lives in the jnp oracle's emission
-(:func:`..trace._emit`); the auto-router sends directive sources down
-that path (`engine._fused_eligible`) — the fused Pallas kernels keep
-the omni fast path (forcing ``backend="fused"/"accel"`` with a
-directive source raises).
+(:func:`..trace._emit`) AND in the fused whole/mega kernels (round 3:
+``bounce_kernel._fourier_gain`` evaluates the same series in-kernel via
+the angle-addition recurrence — no trig), so on TPU directive sources
+and microphone patterns ride the fast path (~2.7x the oracle at the
+reference workload). Only the accel (large-scene) kernels remain
+omni-only — forcing ``backend="accel"`` with directive params raises.
 
 Presets return exact coefficients; :func:`from_function` projects any
 callable pattern onto ``n_harmonics`` via FFT. ``mean power = c[0]``,

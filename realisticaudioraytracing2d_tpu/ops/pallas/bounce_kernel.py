@@ -137,6 +137,23 @@ def _recip(x):
     return inv * (2.0 - x * inv)
 
 
+def _fourier_gain(c1, s1, coeffs):
+    """Clamped Fourier power-gain series (``ops/directivity.py::evaluate``
+    semantics: ``max(0, c0 + sum_n c[2n-1] cos(n a) + c[2n] sin(n a))``)
+    evaluated from ``cos a``/``sin a`` row values via the angle-addition
+    recurrence — no in-kernel ``arctan2``/trig, so directive emission and
+    microphone pickup stay VPU-cheap. ``coeffs`` is a Python list of
+    scalar traced values (read from a VMEM table), length ``2M + 1``."""
+    g = c1 * 0.0 + coeffs[0]
+    m = (len(coeffs) - 1) // 2
+    cn, sn = c1, s1
+    for n in range(1, m + 1):
+        g = g + coeffs[2 * n - 1] * cn + coeffs[2 * n] * sn
+        if n < m:
+            cn, sn = cn * c1 - sn * s1, sn * c1 + cn * s1
+    return jnp.maximum(g, 0.0)
+
+
 def _wall_pass(ox, oy, dx, dy, geo_ref):
     """[Wp, T] ray-segment distances: per-ray scalars are [1, T] rows,
     per-wall scalars [Wp, 1] columns.
@@ -204,7 +221,8 @@ def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
 
 
 def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
-                 n_listeners=1, n_bands=1, passes=None, lis_ref=None):
+                 n_listeners=1, n_bands=1, passes=None, lis_ref=None,
+                 mic_rows=0):
     """Pure bounce body on [1, T] row values (energy is [K, T] for K
     frequency bands); ``u0/u1/u2`` are this bounce's uniforms
     (transmission test / refraction jitter / diffuse angle). Returns
@@ -220,7 +238,14 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
     plugs in the large-scene cluster-early-out implementations of the
     three wall sweeps — nearest-hit, attribute gather, NEE occlusion
     (see :func:`_cluster_passes`). Semantics are identical either way;
-    only which wall chunks get *computed* changes."""
+    only which wall chunks get *computed* changes.
+
+    ``mic_rows > 0`` enables per-listener microphone pickup patterns:
+    ``lis_ref`` rows ``[2, 2 + mic_rows)`` hold each listener's Fourier
+    power-gain coefficients (``ops/directivity.py``), applied to both
+    capture kinds by the incoming sound direction at the listener —
+    AFTER the NEE contribution cutoff, which is a path-importance test
+    on the raw contribution (matches ``..trace._bounce``)."""
     radius = scal_ref[0, 2]
     c = scal_ref[0, 3]
     if lis_ref is None:
@@ -231,6 +256,11 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
     else:
         listener_xy = [(lis_ref[0, l], lis_ref[1, l])
                        for l in range(n_listeners)]
+    mic_coeffs = None
+    if mic_rows:
+        assert lis_ref is not None, "mic patterns need the listener table"
+        mic_coeffs = [[lis_ref[2 + j, l] for j in range(mic_rows)]
+                      for l in range(n_listeners)]
     px, py, dx, dy, en, tm, ds, sp, dep, alive = vals
 
     wp = geo_ref.shape[0]
@@ -252,7 +282,7 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
     inv_sp = _recip(sp)
     r2 = radius * radius
     direct_hits = []
-    for lis_x, lis_y in listener_xy:
+    for l, (lis_x, lis_y) in enumerate(listener_xy):
         lx = lis_x - px
         ly = lis_y - py
         tca = lx * dx + ly * dy
@@ -265,6 +295,9 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
         d_valid = alive & outside & (t_lis < closest) & (t_lis < INF)
         total_d = ds + t_lis
         d_energy = en * _recip(jnp.maximum(1.0, total_d * total_d))
+        if mic_coeffs is not None:
+            # incoming sound direction at the listener = -ray direction
+            d_energy = d_energy * _fourier_gain(-dx, -dy, mic_coeffs[l])
         d_delay = tm + t_lis * inv_sp
         direct_hits.append((d_delay, d_energy, d_valid))
 
@@ -309,7 +342,7 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
     d_dot_n = dx * w_nx + dy * w_ny
     eff_sign = jnp.where(d_dot_n > 0.0, -1.0, 1.0)
     nee_hits = []
-    for lis_x, lis_y in listener_xy:
+    for l, (lis_x, lis_y) in enumerate(listener_xy):
         tlx = lis_x - npx
         tly = lis_y - npy
         inv_dl = jax.lax.rsqrt(jnp.maximum(tlx * tlx + tly * tly, 1e-20))
@@ -330,6 +363,12 @@ def _bounce_step(scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
             _recip(total_dn * total_dn)                     # [K, T]
         n_valid = hit_wall & outside & visible & \
             (jnp.max(n_energy, axis=0, keepdims=True) > NEE_CONTRIB_CUTOFF)
+        if mic_coeffs is not None:
+            # incoming direction = listener -> bounce point (unit), after
+            # the raw-contribution cutoff above
+            n_energy = n_energy * _fourier_gain(-tlx * inv_dl,
+                                                -tly * inv_dl,
+                                                mic_coeffs[l])
         n_delay = ntm + dist_l * (1.0 / c)
         nee_hits.append((n_delay, n_energy, n_valid))
 
@@ -445,15 +484,27 @@ def _hist_listener(ir_ref, listener, n_bands, hi_rows, hi_ids, lo_ids,
         ir_ref[block * hi_rows:(block + 1) * hi_rows, :] += acc[kb]
 
 
+def _src_gain(scal_ref, ca, sa, n_src):
+    """Source-directivity emission gain from ``n_src`` coefficients
+    stored 8-per-row in scal rows 3+ (see :func:`_pack_scal2`)."""
+    coeffs = [scal_ref[3 + j // 8, j % 8] for j in range(n_src)]
+    return _fourier_gain(ca, sa, coeffs)
+
+
 def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
                             max_bounces: int, n_rays: int,
-                            in_kernel_rng: bool = False, n_bands: int = 1):
+                            in_kernel_rng: bool = False, n_bands: int = 1,
+                            mic_rows: int = 0, n_src: int = 0):
     """Whole-frame kernel: emission + all bounces + IR binning in one
     pallas_call. Ray state lives purely in VMEM/registers for the entire
     frame — no per-bounce HBM round trips, no per-bounce launches.
     scal row 1 carries (src_x, src_y, gain, c). With ``in_kernel_rng``,
     ``u_ref`` is a [1, 8] int32 seed and bounce uniforms come from the
-    TPU-core PRNG (one seed per tile; draws advance the stream)."""
+    TPU-core PRNG (one seed per tile; draws advance the stream).
+    ``mic_rows``/``n_src`` enable directive microphones (coefficient rows
+    in the listener table) and a directive source (coefficient rows in
+    the scal table, weighting emission — exact, since every deposit is
+    linear in a ray's initial energy)."""
 
     def kernel(scal_ref, lis_ref, emit_ref, u_ref, geo_ref, attrs_ref,
                ir_ref):
@@ -476,9 +527,12 @@ def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
         c = scal_ref[0, 3]
         sr = scal_ref[0, 4]
         ones = jnp.ones((1, tile), jnp.float32)
-        en0 = gain * jnp.ones((n_bands, tile), jnp.float32)
-        vals = (src_x * ones, src_y * ones,
-                jnp.cos(angle), jnp.sin(angle),
+        ca = jnp.cos(angle)
+        sa = jnp.sin(angle)
+        g0 = gain * ones if n_src == 0 else \
+            gain * _src_gain(scal_ref, ca, sa, n_src)
+        en0 = g0 * jnp.ones((n_bands, tile), jnp.float32)
+        vals = (src_x * ones, src_y * ones, ca, sa,
                 en0, 0.0 * ones, 0.0 * ones, c * ones,
                 0.0 * ones, ray_idx < n_rays)
 
@@ -495,7 +549,8 @@ def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
                 u2 = u_ref[b * 8 + 2:b * 8 + 3, :]
             vals, direct_hits, nee_hits = _bounce_step(
                 scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
-                n_listeners, n_bands, lis_ref=lis_ref)
+                n_listeners, n_bands, lis_ref=lis_ref,
+                mic_rows=mic_rows)
             for l in range(n_listeners):
                 _hist_listener(ir_ref, l, n_bands, hi_rows, hi_ids,
                                lo_ids, sr, ir_length,
@@ -507,11 +562,13 @@ def _make_frame_hist_kernel(hi_rows: int, ir_length: int, n_listeners: int,
 
 def _make_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
                       max_bounces: int, n_rays: int, n_bands: int,
-                      tile: int):
+                      tile: int, mic_rows: int = 0, n_src: int = 0):
     """Multi-frame kernel: grid = (frames, ray tiles); every frame's
     emission, bounces, uniforms (TPU-core PRNG) and IR binning run
     entirely on-core, accumulating into one VMEM-resident partial IR.
-    The only HBM inputs are the wall tables and a per-frame seed row."""
+    The only HBM inputs are the wall tables and a per-frame seed row.
+    ``mic_rows``/``n_src``: directive microphone / source coefficient
+    rows, as in :func:`_make_frame_hist_kernel`."""
 
     def kernel(scal_ref, lis_ref, seed_ref, geo_ref, attrs_ref, ir_ref):
         f = pl.program_id(0)
@@ -537,9 +594,12 @@ def _make_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
         c = scal_ref[0, 3]
         sr = scal_ref[0, 4]
         ones = jnp.ones((1, tile), jnp.float32)
-        en0 = gain * jnp.ones((n_bands, tile), jnp.float32)
-        vals = (src_x * ones, src_y * ones,
-                jnp.cos(angle), jnp.sin(angle),
+        ca = jnp.cos(angle)
+        sa = jnp.sin(angle)
+        g0 = gain * ones if n_src == 0 else \
+            gain * _src_gain(scal_ref, ca, sa, n_src)
+        en0 = g0 * jnp.ones((n_bands, tile), jnp.float32)
+        vals = (src_x * ones, src_y * ones, ca, sa,
                 en0, 0.0 * ones, 0.0 * ones, c * ones,
                 0.0 * ones, ray_idx < n_rays)
 
@@ -551,7 +611,7 @@ def _make_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
             vals, direct_hits, nee_hits = _bounce_step(
                 scal_ref, vals, u[0:1, :], u[1:2, :], u[2:3, :],
                 geo_ref, attrs_ref, n_listeners, n_bands,
-                lis_ref=lis_ref)
+                lis_ref=lis_ref, mic_rows=mic_rows)
             for l in range(n_listeners):
                 _hist_listener(ir_ref, l, n_bands, hi_rows, hi_ids,
                                lo_ids, sr, ir_length,
@@ -562,12 +622,15 @@ def _make_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
 
 
 def _pack_scal2(source, listeners, listener_radius, speed_of_sound,
-                input_gain, sample_rate, bin_offset=0) -> jax.Array:
+                input_gain, sample_rate, bin_offset=0,
+                directivity=None) -> jax.Array:
     """[3, 8] scalar table: row 0 = listener0 xy, radius, c, sample rate,
     0, listener1 xy; row 1 = source xy, gain, bin_offset (the IR
     time-window start for windowed launches), 0...4; row 2 = listener2
     xy, listener3 xy, 0...4 (absent listeners fall back to listener 0 —
-    the kernels never read past ``n_listeners``-derived slots)."""
+    the kernels never read past ``n_listeners``-derived slots).
+    ``directivity`` (source Fourier coefficients ``[2M+1]``) appends
+    rows 3+, 8 coefficients per row (read by :func:`_src_gain`)."""
     def lis(i):
         return listeners[i] if listeners.shape[0] > i else listeners[0]
 
@@ -581,7 +644,13 @@ def _pack_scal2(source, listeners, listener_radius, speed_of_sound,
                       jnp.asarray(bin_offset, jnp.float32), z, z, z, z])
     row2 = jnp.stack([lis(2)[0], lis(2)[1], lis(3)[0], lis(3)[1],
                       z, z, z, z])
-    return jnp.stack([row0, row1, row2]).astype(jnp.float32)
+    scal = jnp.stack([row0, row1, row2]).astype(jnp.float32)
+    if directivity is not None:
+        c = jnp.asarray(directivity, jnp.float32).reshape(-1)
+        n = c.shape[0]
+        c = jnp.pad(c, (0, _round_up(n, 8) - n)).reshape(-1, 8)
+        scal = jnp.concatenate([scal, c], axis=0)
+    return scal
 
 
 def _make_rooms_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
@@ -857,15 +926,23 @@ def listener_block(n_bands: int, ir_length: int) -> int:
     return min(_LISTENER_CAP, _HIST_VMEM_BUDGET // per_l)
 
 
-def pack_listeners(listeners: jax.Array) -> jax.Array:
-    """[2, Lp] listener coordinate table (VMEM scalar operand, lanes
+def pack_listeners(listeners: jax.Array,
+                   mic_directivity=None) -> jax.Array:
+    """[2 + C, Lp] listener coordinate table (VMEM scalar operand, lanes
     padded to a sublane multiple like the scal table): row 0 = x,
-    row 1 = y. The kernels extract ``lis_ref[0, l]``/``lis_ref[1, l]``
-    scalars for the static per-launch listener count."""
-    lp = _round_up(max(listeners.shape[0], 1), _SUB)
-    rows = jnp.stack([listeners[:, 0], listeners[:, 1]])
-    return jnp.pad(rows, [(0, 0), (0, lp - listeners.shape[0])]) \
-        .astype(jnp.float32)
+    row 1 = y; rows 2+ = each listener's microphone Fourier coefficients
+    when ``mic_directivity`` (``[C]`` shared or ``[L, C]`` per listener)
+    is given. The kernels extract ``lis_ref[r, l]`` scalars for the
+    static per-launch listener count."""
+    n_l = listeners.shape[0]
+    lp = _round_up(max(n_l, 1), _SUB)
+    rows = [listeners[:, 0], listeners[:, 1]]
+    if mic_directivity is not None:
+        mic = jnp.asarray(mic_directivity, jnp.float32)
+        mic = jnp.broadcast_to(jnp.atleast_2d(mic), (n_l, mic.shape[-1]))
+        rows += [mic[:, j] for j in range(mic.shape[-1])]
+    rows = jnp.stack(rows)
+    return jnp.pad(rows, [(0, 0), (0, lp - n_l)]).astype(jnp.float32)
 
 
 def time_window(n_bands: int) -> int:
@@ -929,9 +1006,15 @@ def _blocked_listeners(fn, scene, params: TraceParams, key, n_l: int,
         raise ValueError(
             f"one listener x {n_k} bands x {ir_length} bins exceeds the "
             f"fused kernel's VMEM histogram budget; use backend='jnp'")
-    parts = [fn(scene,
-                params._replace(listeners=params.listeners[s:s + blk]),
-                key, **kwargs)
+
+    def sub(s):
+        p = params._replace(listeners=params.listeners[s:s + blk])
+        mic = params.mic_directivity
+        if mic is not None and mic.ndim == 2:   # per-listener patterns
+            p = p._replace(mic_directivity=mic[s:s + blk])
+        return p
+
+    parts = [fn(scene, sub(s), key, **kwargs)
              for s in range(0, n_l, blk)]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
@@ -976,7 +1059,8 @@ def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
     attrs = pack_wall_attrs_t(scene)
     scal = _pack_scal2(params.source, params.listeners,
                        params.listener_radius, params.speed_of_sound,
-                       params.input_gain, sample_rate, bin_offset)
+                       params.input_gain, sample_rate, bin_offset,
+                       directivity=params.directivity)
     # One base draw, then structurally disjoint seeds: (frame f, tile i)
     # seeds the core PRNG with base + f*n_tiles + i (kernel adds i), so no
     # two streams can collide by construction — independent per-frame draws
@@ -990,15 +1074,17 @@ def trace_frames_ir_mega(scene, params: TraceParams, key: jax.Array, *,
         (base + jnp.arange(n_frames, dtype=jnp.int32) * n_tiles
          )[:, None, None], (n_frames, 1, 8))
 
-    lis = pack_listeners(params.listeners)
+    lis = pack_listeners(params.listeners, params.mic_directivity)
+    mic_rows = lis.shape[0] - 2
+    n_src = 0 if params.directivity is None else params.directivity.shape[-1]
     wp = geo.shape[0]
     hi_rows = _hist_rows(ir_length)
     kernel = pl.pallas_call(
         _make_mega_kernel(hi_rows, ir_length, n_l, max_bounces, n_rays,
-                          n_k, tile_r),
+                          n_k, tile_r, mic_rows=mic_rows, n_src=n_src),
         grid=(n_frames, n_tiles),
         in_specs=[
-            pl.BlockSpec((3, 8), lambda f, i: (0, 0),
+            pl.BlockSpec(scal.shape, lambda f, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lis.shape, lambda f, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1074,16 +1160,19 @@ def trace_frame_ir_whole(scene, params: TraceParams, key: jax.Array, *,
                               memory_space=pltpu.VMEM)
     emit = jnp.pad(emit_jitter, (0, rp - n_rays))[None, :]
 
-    lis = pack_listeners(params.listeners)
+    lis = pack_listeners(params.listeners, params.mic_directivity)
+    mic_rows = lis.shape[0] - 2
+    n_src = 0 if params.directivity is None else params.directivity.shape[-1]
     wp = geo.shape[0]
     hi_rows = _hist_rows(ir_length)
     grid = (rp // tile_r,)
     kernel = pl.pallas_call(
         _make_frame_hist_kernel(hi_rows, ir_length, n_l, max_bounces,
-                                n_rays, in_kernel_rng, n_k),
+                                n_rays, in_kernel_rng, n_k,
+                                mic_rows=mic_rows, n_src=n_src),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, 8), lambda i: (0, 0),
+            pl.BlockSpec(scal.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lis.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1194,11 +1283,15 @@ def trace_fused_rows(scene, params: TraceParams, key: jax.Array, *,
         raise ValueError("trace_fused supports exactly one listener")
     if scene.n_bands != 1:
         raise ValueError("trace_fused supports n_bands == 1")
+    if params.mic_directivity is not None:
+        raise ValueError("mic patterns need the whole/mega kernels "
+                         "(trace_frame_ir_whole / trace_frames_ir_mega)")
 
     tile_r = tile_r or auto_tile(scene.a.shape[0])
     r = n_rays
     state0, u_rows, scal, geo, attrs, rp, _ = _fused_setup(
         scene, params, key, n_rays, max_bounces, tile_r)
+    scal = scal[:3]   # emission already weighted in state0 (directivity)
     wp = geo.shape[0]
     grid = (rp // tile_r,)
     kernel = pl.pallas_call(
@@ -1259,7 +1352,10 @@ def scatter_hits_rows(hits_rows: jax.Array, sample_rate: int,
 def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
                  sample_rate=0.0, skip_u=False, bin_offset=0):
     """Shared state/operand packing for the fused kernels. Returns
-    (state0, u_rows, scal, geo, attrs, rp, emit_jitter)."""
+    (state0, u_rows, scal, geo, attrs, rp, emit_jitter). The scal table
+    carries the source-directivity rows when ``params.directivity`` is
+    set (whole/mega kernels weight emission in-kernel; the row-output
+    kernels must reject directive params — they ignore the extra rows)."""
     r = n_rays
     rp = _round_up(max(r, tile_r), tile_r)
     if skip_u:
@@ -1273,12 +1369,17 @@ def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
     ray_idx = jnp.arange(rp, dtype=jnp.float32)
     angle = (ray_idx + jnp.pad(emit_jitter, (0, rp - r))) / n_rays * \
         (2.0 * PI)
+    en0 = jnp.broadcast_to(jnp.asarray(params.input_gain, jnp.float32),
+                           (rp,))
+    if params.directivity is not None:
+        from ..directivity import evaluate
+        en0 = en0 * evaluate(params.directivity, angle)
     state0 = jnp.zeros((_STATE_ROWS, rp), jnp.float32)
     state0 = state0.at[_PX].set(params.source[0])
     state0 = state0.at[_PY].set(params.source[1])
     state0 = state0.at[_DX].set(jnp.cos(angle))
     state0 = state0.at[_DY].set(jnp.sin(angle))
-    state0 = state0.at[_EN].set(params.input_gain)
+    state0 = state0.at[_EN].set(en0)
     state0 = state0.at[_SP].set(params.speed_of_sound)
     state0 = state0.at[_ALV].set((jnp.arange(rp) < r).astype(jnp.float32))
 
@@ -1286,7 +1387,8 @@ def _fused_setup(scene, params, key, n_rays, max_bounces, tile_r,
     attrs = pack_wall_attrs_t(scene)
     scal = _pack_scal2(params.source, params.listeners,
                        params.listener_radius, params.speed_of_sound,
-                       params.input_gain, sample_rate, bin_offset)
+                       params.input_gain, sample_rate, bin_offset,
+                       directivity=params.directivity)
     u_rows = None if u is None else \
         jnp.pad(jnp.moveaxis(u, -1, 1), [(0, 0), (0, 5), (0, rp - r)])
     return state0, u_rows, scal, geo, attrs, rp, emit_jitter
@@ -1310,6 +1412,9 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
     n_l = params.listeners.shape[0]
     if n_l > 4 or scene.n_bands != 1:
         raise ValueError("fused path supports <=4 listeners, one band")
+    if params.mic_directivity is not None:
+        raise ValueError("mic patterns need the whole/mega kernels "
+                         "(trace_frame_ir_whole / trace_frames_ir_mega)")
     tile_r = tile_r or auto_tile(scene.a.shape[0])
     if in_kernel_rng and _interpret():
         # the TPU-core PRNG primitives have no interpret-mode lowering;
@@ -1318,6 +1423,7 @@ def trace_frame_ir_fused(scene, params: TraceParams, key: jax.Array, *,
     state0, u_rows, scal, geo, attrs, rp, _ = _fused_setup(
         scene, params, key, n_rays, max_bounces, tile_r, sample_rate,
         skip_u=in_kernel_rng)
+    scal = scal[:3]   # emission already weighted in state0 (directivity)
     if in_kernel_rng:
         # one int32 seed row per bounce; kernel offsets by program_id.
         # Seeds are base + b*n_tiles (structurally disjoint streams per
@@ -1835,6 +1941,9 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
     ``in_kernel_rng=False`` uses host-threefry uniforms (single frame) —
     the interpret-mode parity path, bit-comparable to
     :func:`trace_frame_ir_whole` on the same pre-sorted scene."""
+    if params.directivity is not None or params.mic_directivity is not None:
+        raise ValueError("directive sources/mics run on the fused "
+                         "whole/mega kernels, not the accel path")
     n_l = params.listeners.shape[0]
     n_k = scene.n_bands
     if listener_block(n_k, ir_length) < 1:
@@ -2049,6 +2158,9 @@ def trace_frames_ir_accel_sorted(scene, params: TraceParams,
     n_l = params.listeners.shape[0]
     if scene.n_bands != 1:
         raise ValueError("accel-sorted path supports K=1")
+    if params.directivity is not None or params.mic_directivity is not None:
+        raise ValueError("directive sources/mics run on the fused "
+                         "whole/mega kernels, not the accel path")
     if listener_block(1, ir_length) < 1:
         # very long IRs (> ~1.3M bins): IR time-axis windows, same
         # decomposition as the other kernel wrappers (ADVICE.md round 2:

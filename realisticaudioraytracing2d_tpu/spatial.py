@@ -45,8 +45,11 @@ What it buys:
   direction, -> 1 for isotropic late reverberation (the energy-vector
   form used by DirAC-style spatial-IR analysis).
 
-Runs on the jnp oracle path (directive mics route there,
-``engine._fused_eligible``); the fused kernels keep the omni fast path.
+On TPU the capture runs in the fused mega kernel (round 3:
+``bounce_kernel._fourier_gain`` weights capture in-kernel, so
+``engine._fused_eligible`` routes directive mics fused — ~5x the jnp
+oracle for this 3-mic trace, ~1 ms/frame at the reference workload);
+off-TPU it runs on the jnp oracle.
 """
 
 from __future__ import annotations
@@ -121,8 +124,7 @@ def spatial_params(params: TraceParams) -> TraceParams:
     rows ``[0, L)`` omni, ``[L, 2L)`` cardioid-0, ``[2L, 3L)``
     cardioid-90).
 
-    The result routes down the jnp oracle (it carries a
-    ``mic_directivity``) and can be used anywhere a ``TraceParams`` is —
+    The result can be used anywhere a ``TraceParams`` is —
     ``engine.trace_accumulate``, the streaming chunk step, the
     diffraction pass — with an ``IRState.zeros(T, 3 * L, K)`` state.
 

@@ -94,14 +94,17 @@ def test_cardioid_front_matches_omni_level():
     assert card_e == pytest.approx(2 * omni_e, rel=0.05)
 
 
-def test_forced_fused_backend_raises():
+def test_forced_accel_backend_raises():
+    # Round 3: the whole/mega fused kernels run directive params
+    # in-kernel (tests/test_directive_fused.py); only the accel
+    # (large-scene) kernels remain omni-only.
     room = smoll_room()
     p = TraceParams.make(room.source, room.listener,
                          directivity=dv.cardioid(0.0))
     with pytest.raises(ValueError, match="directive"):
         trace_accumulate(room.scene, p, IRState.zeros(1024),
                          jax.random.PRNGKey(0), n_rays=64, max_bounces=2,
-                         sample_rate=8000, backend="fused")
+                         sample_rate=8000, backend="accel")
 
 
 def test_engine_params_passthrough_and_room_trace():

@@ -1,7 +1,7 @@
 """On-chip checks for the round-3 physics addenda (docs/ACOUSTICS.md):
 edge diffraction + air absorption inside the compiled streaming chunk
-step (fused trace underneath), and directive sources/mics through the
-jnp-oracle-on-TPU route. Mirrors the CPU assertions of
+step (fused trace underneath), and directive sources/mics (in-kernel on
+the fused paths since round 3). Mirrors the CPU assertions of
 tests/test_diffraction.py / tests/test_directivity.py on the real
 backend."""
 
@@ -87,11 +87,13 @@ def test_directivity_on_chip():
     assert mic_away < 0.02 * omni
 
 
-def test_forced_fused_with_directivity_raises_on_chip():
+def test_forced_accel_with_directivity_raises_on_chip():
+    # Round 3: directivity runs in-kernel on the fused whole/mega paths
+    # (tests_tpu/test_directive_tpu.py); only the accel kernels stay omni.
     scene = barrier_scene()
     p = TraceParams.make(np.float32([-3.0, 0.0]), np.float32([3.0, 0.0]),
                          directivity=dv.cardioid(0.0))
-    with pytest.raises(ValueError, match="jnp path"):
+    with pytest.raises(ValueError, match="omnidirectional"):
         trace_accumulate(scene, p, IRState.zeros(1024),
                          jax.random.PRNGKey(0), n_rays=64, max_bounces=2,
-                         sample_rate=SR, backend="fused")
+                         sample_rate=SR, backend="accel")
