@@ -59,9 +59,9 @@ def _rooms_fused_eligible(scene: Scene, params: TraceParams,
     the same IR time-window decomposition as the single-scene wrappers,
     so banded/long-IR sweeps and mixdowns stay fused — only scenes past
     the brute kernel's wall ceiling or absurd band counts (>~320) fall
-    back to jnp."""
-    if (jax.default_backend() != "tpu" or params.directivity is not None
-            or params.mic_directivity is not None):
+    back to jnp. Directive sources/mics (including per-source aims in a
+    mixdown) run in-kernel here too (round 3)."""
+    if jax.default_backend() != "tpu":
         return False
     from .ops.pallas.bounce_kernel import auto_tile, time_window
     try:
@@ -76,11 +76,11 @@ def _accel_eligible(scene, params: TraceParams, ir_length: int) -> bool:
     any listener count (blocked launches), over-VMEM histograms as IR
     time windows, TPU only. K = 1 additionally gets the per-bounce
     Morton ray re-sort (best skip rates); banded scenes use the
-    one-launch accel kernel (early-out without re-sort)."""
+    one-launch accel kernel (early-out without re-sort). Directive
+    sources/mics run in-kernel here too (round 3), so large directive
+    scenes stay on the accel fast path."""
     from .ops.pallas.bounce_kernel import time_window
     return (jax.default_backend() == "tpu"
-            and params.directivity is None
-            and params.mic_directivity is None
             and time_window(scene.n_bands) >= 1)
 
 
@@ -107,11 +107,6 @@ def trace_accumulate(scene: Scene, params: TraceParams, state: irm.IRState,
     per-bounce Morton ray re-sort); "jnp" forces the reference XLA-graph
     path; "fused"/"accel" force the respective kernel paths.
     """
-    if backend == "accel" and (params.directivity is not None
-                               or params.mic_directivity is not None):
-        raise ValueError("directive sources/mics run on the fused or jnp "
-                         "paths; the accel kernels are omnidirectional "
-                         "(use backend='auto', 'fused' or 'jnp')")
     use_fused = (backend == "fused" or
                  (backend == "auto"
                   and _fused_eligible(scene, params, state.ir_length)))

@@ -186,7 +186,7 @@ def _bounce_kernel(scal_ref, state_ref, u_ref, geo_ref, attrs_ref,
 
 def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
                  out_state_ref, hits_ref, n_listeners=1, passes=None,
-                 lis_ref=None):
+                 lis_ref=None, mic_rows=0):
     """Ref-based bounce: load state rows, run :func:`_bounce_step`, store
     the next state and hit rows. Listener l (static count; coords from
     the ``lis_ref`` table, or the legacy scal slots when absent) writes
@@ -199,7 +199,7 @@ def _bounce_core(scal_ref, state_ref, u0, u1, u2, geo_ref, attrs_ref,
             state_ref[_ALV:_ALV + 1, :] > 0.5)
     new_vals, direct_hits, nee_hits = _bounce_step(
         scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref, n_listeners,
-        passes=passes, lis_ref=lis_ref)
+        passes=passes, lis_ref=lis_ref, mic_rows=mic_rows)
 
     for row, val in zip((_PX, _PY, _DX, _DY, _EN, _TM, _DS, _SP, _DEP),
                         new_vals[:9]):
@@ -655,7 +655,7 @@ def _pack_scal2(source, listeners, listener_radius, speed_of_sound,
 
 def _make_rooms_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
                             max_bounces: int, n_rays: int, n_bands: int,
-                            tile: int):
+                            tile: int, mic_rows: int = 0, n_src: int = 0):
     """Rooms-batched mega kernel: grid = (rooms, frames, ray tiles). One
     launch sweeps an entire room dataset — per-room geometry/attribute/
     scalar tables are block-indexed by the rooms axis, each room's partial
@@ -663,7 +663,10 @@ def _make_rooms_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
     on-core (seed row = base + (room*frames + frame)*n_tiles, kernel adds
     the tile id: globally disjoint streams by construction). Replaces the
     round-1 serial ``lax.scan`` over rooms (one launch sequence per room,
-    VERDICT weak #5)."""
+    VERDICT weak #5). ``mic_rows``/``n_src``: per-entry directive
+    microphone / source coefficient rows (each batch entry — each SOURCE
+    in a mixdown — carries its own pattern/aim), as in
+    :func:`_make_frame_hist_kernel`."""
 
     def kernel(scal_ref, lis_ref, seed_ref, geo_ref, attrs_ref, ir_ref):
         f = pl.program_id(1)
@@ -675,8 +678,8 @@ def _make_rooms_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
 
         pltpu.prng_seed(seed_ref[0, 0, 0, 0] + i)
 
-        scal = scal_ref[0]          # [3, 8] this room's scalars
-        lis = lis_ref[0]            # [2, L] this room's listeners
+        scal = scal_ref[0]          # [3(+src rows), 8] this room's scalars
+        lis = lis_ref[0]            # [2(+mic rows), L] this room's listeners
         geo = geo_ref[0]            # [Wp, 8]
         attrs = attrs_ref[0]        # [rows, Wp]
 
@@ -689,9 +692,12 @@ def _make_rooms_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
         angle = ((ray_idx.astype(jnp.float32) + emit)
                  * (2.0 * PI / n_rays))
         ones = jnp.ones((1, tile), jnp.float32)
-        en0 = scal[1, 2] * jnp.ones((n_bands, tile), jnp.float32)
-        vals = (scal[1, 0] * ones, scal[1, 1] * ones,
-                jnp.cos(angle), jnp.sin(angle),
+        ca = jnp.cos(angle)
+        sa = jnp.sin(angle)
+        g0 = scal[1, 2] * ones if n_src == 0 else \
+            scal[1, 2] * _src_gain(scal, ca, sa, n_src)
+        en0 = g0 * jnp.ones((n_bands, tile), jnp.float32)
+        vals = (scal[1, 0] * ones, scal[1, 1] * ones, ca, sa,
                 en0, 0.0 * ones, 0.0 * ones, scal[0, 3] * ones,
                 0.0 * ones, ray_idx < n_rays)
 
@@ -702,7 +708,8 @@ def _make_rooms_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
             u = draw(8)
             vals, direct_hits, nee_hits = _bounce_step(
                 scal, vals, u[0:1, :], u[1:2, :], u[2:3, :],
-                geo, attrs, n_listeners, n_bands, lis_ref=lis)
+                geo, attrs, n_listeners, n_bands, lis_ref=lis,
+                mic_rows=mic_rows)
             for l in range(n_listeners):
                 _hist_listener(ir_ref, l, n_bands, hi_rows, hi_ids,
                                lo_ids, scal[0, 4], ir_length,
@@ -715,25 +722,34 @@ def _make_rooms_mega_kernel(hi_rows: int, ir_length: int, n_listeners: int,
 def _rooms_interpret_fallback(scenes, sources, listeners, key, *, n_rays,
                               max_bounces, sample_rate, ir_length,
                               n_frames, listener_radius, speed_of_sound,
-                              input_gain, bin_offset, seed_offset):
+                              input_gain, bin_offset, seed_offset,
+                              directivity=None, mic_directivity=None):
     """Off-TPU implementation of the rooms batch: lax.scan over batch
     entries, each entry a scan of host-uniform whole-frame kernel launches
     (interpret-mode Pallas). Matches the TPU mega kernel statistically
     (different, still key-deterministic streams) and exactly in shape/
-    normalization (frame-SUMMED ``[R, L, T, K]``)."""
+    normalization (frame-SUMMED ``[R, L, T, K]``). ``directivity``/
+    ``mic_directivity`` arrive pre-broadcast (``[R, C]`` / ``[R, L, C]``,
+    see :func:`trace_rooms_ir_mega`); absent patterns scan an explicit
+    omni row — multiplying by an exact 1.0, bit-identical to no pattern
+    (pinned in tests/test_directive_fused.py)."""
     n_rooms = sources.shape[0]
     n_l = listeners.shape[1]
     n_k = scenes.absorption.shape[-1]
     shared = scenes.a.shape[0] == 1 and n_rooms != 1
     gains = jnp.broadcast_to(jnp.asarray(input_gain, jnp.float32),
                              (n_rooms,))
+    if directivity is None:
+        directivity = jnp.ones((n_rooms, 1), jnp.float32)
+    if mic_directivity is None:
+        mic_directivity = jnp.ones((n_rooms, n_l, 1), jnp.float32)
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
         jnp.asarray(seed_offset, jnp.int32) +
         jnp.arange(n_rooms, dtype=jnp.int32))
 
-    def one_entry(scene_r, src, lis, gain, k):
+    def one_entry(scene_r, src, lis, gain, d, m, k):
         p = TraceParams.make(src, lis, listener_radius, speed_of_sound,
-                             gain)
+                             gain, directivity=d, mic_directivity=m)
 
         def frame(acc, f):
             ir = trace_frame_ir_whole(
@@ -751,17 +767,20 @@ def _rooms_interpret_fallback(scenes, sources, listeners, key, *, n_rays,
         scene0 = jax.tree_util.tree_map(lambda x: x[0], scenes)
 
         def body(carry, xs):
-            src, lis, gain, k = xs
-            return carry, one_entry(scene0, src, lis, gain, k)
+            src, lis, gain, d, m, k = xs
+            return carry, one_entry(scene0, src, lis, gain, d, m, k)
 
-        _, irs = jax.lax.scan(body, 0, (sources, listeners, gains, keys))
+        _, irs = jax.lax.scan(body, 0, (sources, listeners, gains,
+                                        directivity, mic_directivity,
+                                        keys))
     else:
         def body(carry, xs):
-            scene_r, src, lis, gain, k = xs
-            return carry, one_entry(scene_r, src, lis, gain, k)
+            scene_r, src, lis, gain, d, m, k = xs
+            return carry, one_entry(scene_r, src, lis, gain, d, m, k)
 
         _, irs = jax.lax.scan(
-            body, 0, (scenes, sources, listeners, gains, keys))
+            body, 0, (scenes, sources, listeners, gains, directivity,
+                      mic_directivity, keys))
     return irs                                     # [R, L, T, K]
 
 
@@ -775,7 +794,8 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
                         speed_of_sound: float = 343.0,
                         input_gain: float = 1.0,
                         tile_r: int = 0, bin_offset=0,
-                        seed_offset=0) -> jax.Array:
+                        seed_offset=0, directivity=None,
+                        mic_directivity=None) -> jax.Array:
     """Sweep a whole room batch in ONE kernel launch: returns frame-SUMMED
     IRs ``[n_rooms, L, ir_length, K]``. ``scenes`` is a stacked Scene
     (uniform padded wall count) with leading dim ``n_rooms`` — or **1**,
@@ -795,18 +815,38 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
     PRNG); off-TPU (interpret mode) it falls back to a scan of the
     whole-frame kernel with host-threefry uniforms — a different,
     still key-deterministic stream, which is what lets the fused rooms
-    path execute under ``shard_map`` on the virtual CPU mesh."""
+    path execute under ``shard_map`` on the virtual CPU mesh.
+
+    ``directivity`` (``[C]`` shared or ``[R, C]`` per entry — each
+    source of a mixdown can carry its own aim) and ``mic_directivity``
+    (``[C]``, ``[L, C]``, or ``[R, L, C]``) run in-kernel, as on the
+    single-scene paths (round 3)."""
     n_rooms = sources.shape[0]
     if listeners.ndim == 2:
         listeners = listeners[:, None, :]
     n_l = listeners.shape[1]
     n_k = scenes.absorption.shape[-1]
+    if directivity is not None:
+        directivity = jnp.asarray(directivity, jnp.float32)
+        directivity = jnp.broadcast_to(
+            jnp.atleast_2d(directivity),
+            (n_rooms, directivity.shape[-1]))          # [R, C]
+    if mic_directivity is not None:
+        mic_directivity = jnp.asarray(mic_directivity, jnp.float32)
+        if mic_directivity.ndim == 1:
+            mic_directivity = mic_directivity[None, None]
+        elif mic_directivity.ndim == 2:
+            mic_directivity = mic_directivity[None]
+        mic_directivity = jnp.broadcast_to(
+            mic_directivity,
+            (n_rooms, n_l, mic_directivity.shape[-1]))  # [R, L, C]
     blk = listener_block(n_k, ir_length)
     common = dict(n_rays=n_rays, max_bounces=max_bounces,
                   sample_rate=sample_rate, n_frames=n_frames,
                   listener_radius=listener_radius,
                   speed_of_sound=speed_of_sound, input_gain=input_gain,
-                  tile_r=tile_r, seed_offset=seed_offset)
+                  tile_r=tile_r, seed_offset=seed_offset,
+                  directivity=directivity)
     if blk < 1:
         # IR time-axis windows (bit-exact: same key -> identical rays,
         # every hit lands in exactly one window; one shared compile)
@@ -814,16 +854,20 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
         base = jnp.asarray(bin_offset, jnp.int32)
         parts = [trace_rooms_ir_mega(
             scenes, sources, listeners, key, ir_length=tw,
-            bin_offset=base + jnp.int32(w * tw), **common)
+            bin_offset=base + jnp.int32(w * tw),
+            mic_directivity=mic_directivity, **common)
             for w in range(nw)]
         out = parts[0] if nw == 1 else jnp.concatenate(parts, axis=2)
         return out[:, :, :ir_length]
     if n_l > blk:
         # same bit-exact listener decomposition as _blocked_listeners
-        # (ray paths are listener-independent), concatenated on axis 1
+        # (ray paths are listener-independent), concatenated on axis 1;
+        # each block carries ITS listeners' mic pattern rows
         parts = [trace_rooms_ir_mega(
             scenes, sources, listeners[:, s:s + blk], key,
-            ir_length=ir_length, bin_offset=bin_offset, **common)
+            ir_length=ir_length, bin_offset=bin_offset,
+            mic_directivity=None if mic_directivity is None
+            else mic_directivity[:, s:s + blk], **common)
             for s in range(0, n_l, blk)]
         return jnp.concatenate(parts, axis=1)
     if _interpret():
@@ -837,7 +881,8 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
             ir_length=ir_length, n_frames=n_frames,
             listener_radius=listener_radius,
             speed_of_sound=speed_of_sound, input_gain=input_gain,
-            bin_offset=bin_offset, seed_offset=seed_offset)
+            bin_offset=bin_offset, seed_offset=seed_offset,
+            directivity=directivity, mic_directivity=mic_directivity)
     n_walls = scenes.a.shape[1]
     tile_r = tile_r or auto_tile(n_walls)
     if n_k > 1:
@@ -854,10 +899,23 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
     gains = jnp.broadcast_to(
         jnp.asarray(input_gain, jnp.float32), (n_rooms,))
     off = jnp.asarray(bin_offset, jnp.float32)
-    scal = jax.vmap(
-        lambda s, lis, g: _pack_scal2(s, lis, listener_radius,
-                                      speed_of_sound, g, sample_rate, off)
-    )(sources.astype(jnp.float32), listeners.astype(jnp.float32), gains)
+    if directivity is None:
+        scal = jax.vmap(
+            lambda s, lis, g: _pack_scal2(s, lis, listener_radius,
+                                          speed_of_sound, g, sample_rate,
+                                          off)
+        )(sources.astype(jnp.float32), listeners.astype(jnp.float32),
+          gains)
+        n_src = 0
+    else:
+        scal = jax.vmap(
+            lambda s, lis, g, d: _pack_scal2(s, lis, listener_radius,
+                                             speed_of_sound, g,
+                                             sample_rate, off,
+                                             directivity=d)
+        )(sources.astype(jnp.float32), listeners.astype(jnp.float32),
+          gains, directivity)
+        n_src = directivity.shape[-1]
 
     base = jax.random.randint(
         key, (), minval=0,
@@ -871,17 +929,24 @@ def trace_rooms_ir_mega(scenes, sources: jax.Array, listeners: jax.Array,
     seeds = jnp.broadcast_to((base + rf * n_tiles)[..., None, None],
                              (n_rooms, n_frames, 1, 8))
 
-    lis3 = jax.vmap(pack_listeners)(
-        listeners.astype(jnp.float32))                # [R, 2, Lp]
+    if mic_directivity is None:
+        lis3 = jax.vmap(pack_listeners)(
+            listeners.astype(jnp.float32))            # [R, 2, Lp]
+    else:
+        lis3 = jax.vmap(pack_listeners)(
+            listeners.astype(jnp.float32),
+            mic_directivity)                          # [R, 2+C, Lp]
+    mic_rows = lis3.shape[1] - 2
     wp = geo.shape[1]
     hi_rows = _hist_rows(ir_length)
     block_rows = n_l * n_k * hi_rows
     kernel = pl.pallas_call(
         _make_rooms_mega_kernel(hi_rows, ir_length, n_l, max_bounces,
-                                n_rays, n_k, tile_r),
+                                n_rays, n_k, tile_r,
+                                mic_rows=mic_rows, n_src=n_src),
         grid=(n_rooms, n_frames, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 3, 8), lambda r, f, i: (r, 0, 0),
+            pl.BlockSpec((1,) + scal.shape[1:], lambda r, f, i: (r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + lis3.shape[1:], lambda r, f, i: (r, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1804,13 +1869,17 @@ def cluster_scene_jnp(scene, cluster_size: int = ACCEL_CLUSTER,
 def _make_accel_kernel(hi_rows: int, ir_length: int, n_listeners: int,
                        max_bounces: int, n_rays: int, in_kernel_rng: bool,
                        n_bands: int, n_clusters: int, cluster_size: int,
-                       tile: int, early_out: bool = True, group: int = 1):
+                       tile: int, early_out: bool = True, group: int = 1,
+                       mic_rows: int = 0, n_src: int = 0):
     """Accel kernel: emission + all bounces + binning with the
     (two-level, when ``group`` > 1) cluster-early-out wall sweeps.
     Grid = (frames, ray tiles); with ``in_kernel_rng`` ``u_ref`` is a
     per-frame seed row (+tile id on-core, all uniforms drawn in-kernel),
     else ``u_ref`` carries host-generated uniforms (the interpret-mode
-    parity path, single frame)."""
+    parity path, single frame). ``mic_rows``/``n_src``: directive
+    microphone / source coefficient rows, as in
+    :func:`_make_frame_hist_kernel` — the early-out sweeps are
+    unaffected (weighting touches only emission and capture)."""
 
     def kernel(scal_ref, lis_ref, u_ref, geo_ref, attrs_ref, aabb_ref,
                saabb_ref, ir_ref, cl_s, idx_s, acc_s, vis_s):
@@ -1843,9 +1912,12 @@ def _make_accel_kernel(hi_rows: int, ir_length: int, n_listeners: int,
         c = scal_ref[0, 3]
         sr = scal_ref[0, 4]
         ones = jnp.ones((1, tile), jnp.float32)
-        en0 = gain * jnp.ones((n_bands, tile), jnp.float32)
-        vals = (src_x * ones, src_y * ones,
-                jnp.cos(angle), jnp.sin(angle),
+        ca = jnp.cos(angle)
+        sa = jnp.sin(angle)
+        g0 = gain * ones if n_src == 0 else \
+            gain * _src_gain(scal_ref, ca, sa, n_src)
+        en0 = g0 * jnp.ones((n_bands, tile), jnp.float32)
+        vals = (src_x * ones, src_y * ones, ca, sa,
                 en0, 0.0 * ones, 0.0 * ones, c * ones,
                 0.0 * ones, ray_idx < n_rays)
 
@@ -1862,7 +1934,8 @@ def _make_accel_kernel(hi_rows: int, ir_length: int, n_listeners: int,
                 u2 = u_ref[b * 8 + 2:b * 8 + 3, :]
             vals, direct_hits, nee_hits = _bounce_step(
                 scal_ref, vals, u0, u1, u2, geo_ref, attrs_ref,
-                n_listeners, n_bands, passes=passes, lis_ref=lis_ref)
+                n_listeners, n_bands, passes=passes, lis_ref=lis_ref,
+                mic_rows=mic_rows)
             for l in range(n_listeners):
                 _hist_listener(ir_ref, l, n_bands, hi_rows, hi_ids,
                                lo_ids, sr, ir_length,
@@ -1940,10 +2013,11 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
 
     ``in_kernel_rng=False`` uses host-threefry uniforms (single frame) —
     the interpret-mode parity path, bit-comparable to
-    :func:`trace_frame_ir_whole` on the same pre-sorted scene."""
-    if params.directivity is not None or params.mic_directivity is not None:
-        raise ValueError("directive sources/mics run on the fused "
-                         "whole/mega kernels, not the accel path")
+    :func:`trace_frame_ir_whole` on the same pre-sorted scene.
+
+    Directive sources/mics (``params.directivity`` /
+    ``params.mic_directivity``) run in-kernel, as on the whole/mega
+    paths (round 3)."""
     n_l = params.listeners.shape[0]
     n_k = scene.n_bands
     if listener_block(n_k, ir_length) < 1:
@@ -1985,7 +2059,9 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
     attrs = pack_wall_attrs_t(scene_s)
     scal = _pack_scal2(params.source, params.listeners,
                        params.listener_radius, params.speed_of_sound,
-                       params.input_gain, sample_rate, bin_offset)
+                       params.input_gain, sample_rate, bin_offset,
+                       directivity=params.directivity)
+    n_src = 0 if params.directivity is None else params.directivity.shape[-1]
     wp = geo.shape[1]
     n_clusters = wp // cluster_size
     aabb8 = jnp.pad(aabb, [(0, 0), (0, 4)])           # [C, 8] scalar table
@@ -2012,15 +2088,17 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
                               lambda f, i: (0, i),
                               memory_space=pltpu.VMEM)
 
-    lis = pack_listeners(params.listeners)
+    lis = pack_listeners(params.listeners, params.mic_directivity)
+    mic_rows = lis.shape[0] - 2
     hi_rows = _hist_rows(ir_length)
     kernel = pl.pallas_call(
         _make_accel_kernel(hi_rows, ir_length, n_l, max_bounces, n_rays,
                            in_kernel_rng, n_k, n_clusters, cluster_size,
-                           tile_r, early_out, group),
+                           tile_r, early_out, group,
+                           mic_rows=mic_rows, n_src=n_src),
         grid=(n_frames, n_tiles),
         in_specs=[
-            pl.BlockSpec((3, 8), lambda f, i: (0, 0),
+            pl.BlockSpec(scal.shape, lambda f, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lis.shape, lambda f, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -2055,7 +2133,7 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
 def _make_accel_bounce_kernel(hi_rows: int, ir_length: int,
                               n_listeners: int, n_clusters: int,
                               cluster_size: int, early_out: bool = True,
-                              group: int = 1):
+                              group: int = 1, mic_rows: int = 0):
     """Per-bounce accel kernel (state in/out through HBM): one bounce of
     the (two-level) cluster-early-out sweep + in-kernel MXU histogram.
     Exists so the host loop can RE-SORT the ray state between bounces
@@ -2080,7 +2158,7 @@ def _make_accel_bounce_kernel(hi_rows: int, ir_length: int,
         _bounce_core(scal_ref, state_ref, u_ref[0:1, :], u_ref[1:2, :],
                      u_ref[2:3, :], geo_ref, attrs_ref, out_state_ref,
                      hits_scratch, n_listeners, passes=passes,
-                     lis_ref=lis_ref)
+                     lis_ref=lis_ref, mic_rows=mic_rows)
 
         sr = scal_ref[0, 4]
         tile = hits_scratch.shape[1]
@@ -2158,9 +2236,9 @@ def trace_frames_ir_accel_sorted(scene, params: TraceParams,
     n_l = params.listeners.shape[0]
     if scene.n_bands != 1:
         raise ValueError("accel-sorted path supports K=1")
-    if params.directivity is not None or params.mic_directivity is not None:
-        raise ValueError("directive sources/mics run on the fused "
-                         "whole/mega kernels, not the accel path")
+    # Directive sources ride the pre-weighted emission energy row built
+    # by _fused_setup (sorting permutes whole state columns, so the
+    # weight follows its ray); directive mics ride lis rows 2+ (round 3).
     if listener_block(1, ir_length) < 1:
         # very long IRs (> ~1.3M bins): IR time-axis windows, same
         # decomposition as the other kernel wrappers (ADVICE.md round 2:
@@ -2204,10 +2282,12 @@ def trace_frames_ir_accel_sorted(scene, params: TraceParams,
     hi_rows = _hist_rows(ir_length)
     rp = _round_up(max(n_rays, tile_r), tile_r)
     grid = (rp // tile_r,)
-    lis = pack_listeners(params.listeners)
+    lis = pack_listeners(params.listeners, params.mic_directivity)
+    mic_rows = lis.shape[0] - 2
     kernel = pl.pallas_call(
         _make_accel_bounce_kernel(hi_rows, ir_length, n_l, n_clusters,
-                                  cluster_size, early_out, group),
+                                  cluster_size, early_out, group,
+                                  mic_rows=mic_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, 8), lambda i: (0, 0),

@@ -34,7 +34,12 @@ def trace_sources_mixdown(scene: Scene, params: TraceParams,
 
     ``backend="auto"`` routes each source through the fused TPU kernel
     (scan over sources; source pose/gain are traced values, so one
-    compile); off-TPU it vmaps the jnp path."""
+    compile); off-TPU it vmaps the jnp path.
+
+    ``params.directivity`` may be ``[C]`` (every source shares the
+    pattern) or ``[S, C]`` — PER-SOURCE aims, e.g. a steered speaker
+    array; both run in-kernel on the fused path (round 3), and
+    ``params.mic_directivity`` rides along unchanged."""
     from ..engine import _rooms_fused_eligible
     from ..ops.pallas.bounce_kernel import trace_rooms_ir_mega
 
@@ -62,16 +67,23 @@ def trace_sources_mixdown(scene: Scene, params: TraceParams,
             sample_rate=sample_rate, ir_length=ir_length, n_frames=1,
             listener_radius=params.listener_radius,
             speed_of_sound=params.speed_of_sound,
-            input_gain=gains)                      # [S, L, T, K]
+            input_gain=gains, directivity=params.directivity,
+            mic_directivity=params.mic_directivity)   # [S, L, T, K]
         return jnp.sum(irs, axis=0)
 
-    def one(src, gain, k):
-        p = params._replace(source=src, input_gain=gain)
+    def one(src, gain, d, k):
+        p = params._replace(source=src, input_gain=gain, directivity=d)
         hits = trace_hits_only(scene, p, k, n_rays=n_rays,
                                max_bounces=max_bounces)
         return irm.scatter_hits(hits, sample_rate, ir_length)
 
-    irs = jax.vmap(one)(sources, gains, keys)      # [S, L, T, K]
+    d = params.directivity
+    if d is None:
+        # explicit omni row: multiplying emission by an exact 1.0 is
+        # bit-identical to no pattern (keeps `one` uniform under vmap)
+        d = jnp.ones((1,), jnp.float32)
+    dirs = jnp.broadcast_to(jnp.atleast_2d(d), (n_src, d.shape[-1]))
+    irs = jax.vmap(one)(sources, gains, dirs, keys)   # [S, L, T, K]
     return jnp.sum(irs, axis=0)
 
 
@@ -97,9 +109,13 @@ def trace_sources_mixdown_sharded(scene: Scene, params: TraceParams,
         raise ValueError(
             f"{n_src} sources not divisible by mesh axis "
             f"{axis}={n_axis}")
-    # per-source gains shard together with the sources
+    # per-source gains — and per-source aims, when directivity is
+    # [S, C] — shard together with the sources
     gains = jnp.broadcast_to(jnp.asarray(params.input_gain, jnp.float32),
                              (n_src,))
+    d = params.directivity
+    dirs = None if d is None else \
+        jnp.broadcast_to(jnp.atleast_2d(d), (n_src, d.shape[-1]))
     keys = jax.random.split(key, n_axis)
 
     spec_in = P(axis)
@@ -107,12 +123,15 @@ def trace_sources_mixdown_sharded(scene: Scene, params: TraceParams,
 
     # check_vma off: see rays.py — replication is established by the psum.
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(spec_in, spec_in, spec_in), out_specs=P(),
-             check_vma=False)
-    def shard_fn(src_shard, gain_shard, key_shard):
+             in_specs=(spec_in, spec_in, P() if dirs is None else spec_in,
+                       spec_in),
+             out_specs=P(), check_vma=False)
+    def shard_fn(src_shard, gain_shard, dir_shard, key_shard):
         local = trace_sources_mixdown(
             scene,
-            params._replace(source=src_shard, input_gain=gain_shard),
+            params._replace(source=src_shard, input_gain=gain_shard,
+                            directivity=None if dirs is None
+                            else dir_shard),
             key_shard[0],
             n_rays=n_rays, max_bounces=max_bounces,
             sample_rate=sample_rate, ir_length=ir_length,
@@ -122,4 +141,5 @@ def trace_sources_mixdown_sharded(scene: Scene, params: TraceParams,
             total = jax.lax.pmean(total, a)
         return total
 
-    return shard_fn(sources, gains, keys)
+    return shard_fn(sources, gains,
+                    jnp.zeros((n_src, 1)) if dirs is None else dirs, keys)

@@ -39,7 +39,8 @@ def sweep_rooms(scenes: Scene, sources: jax.Array, listeners: jax.Array,
                 sample_rate: int, ir_length: int, n_frames: int = 1,
                 listener_radius: float = 0.5, speed_of_sound: float = 343.0,
                 input_gain: float = 1.0, backend: str = "auto",
-                room_offset=0) -> jax.Array:
+                room_offset=0, directivity=None,
+                mic_directivity=None) -> jax.Array:
     """Sweep a whole room batch on one device: returns IRs
     ``[n_rooms, L, T, K]``. ``scenes`` is a stacked Scene (leading room
     axis), ``sources``/``listeners`` are ``[n_rooms, 2]`` (listeners may be
@@ -53,7 +54,12 @@ def sweep_rooms(scenes: Scene, sources: jax.Array, listeners: jax.Array,
     ``room_offset`` (traced) is the GLOBAL index of row 0 — mesh shards
     pass their shard offset so per-room RNG streams are indexed by global
     room id (jnp path: ``fold_in(key, offset + i)``; fused path: the
-    structurally-striped seed plan shifted by ``offset`` entries)."""
+    structurally-striped seed plan shifted by ``offset`` entries).
+
+    ``directivity`` (``[C]`` shared or ``[R, C]`` per room) and
+    ``mic_directivity`` (``[C]``, ``[L, C]``, ``[R, L, C]``) apply the
+    same in-kernel Fourier-gain weighting as the single-scene paths
+    (round 3) on both routes."""
     n_rooms = sources.shape[0]
     room_ids = (jnp.asarray(room_offset, jnp.int32)
                 + jnp.arange(n_rooms, dtype=jnp.int32))
@@ -77,12 +83,26 @@ def sweep_rooms(scenes: Scene, sources: jax.Array, listeners: jax.Array,
             ir_length=ir_length, n_frames=n_frames,
             listener_radius=listener_radius,
             speed_of_sound=speed_of_sound, input_gain=input_gain,
-            seed_offset=room_offset)
+            seed_offset=room_offset, directivity=directivity,
+            mic_directivity=mic_directivity)
         return irs / n_frames
 
-    def one_room(scene, src, lis, k):
+    n_l = listeners.shape[1] if listeners.ndim == 3 else 1
+    # explicit omni rows keep one_room uniform under vmap; multiplying
+    # by an exact 1.0 is bit-identical to no pattern
+    d = jnp.ones((1,), jnp.float32) if directivity is None \
+        else jnp.asarray(directivity, jnp.float32)
+    dirs = jnp.broadcast_to(jnp.atleast_2d(d), (n_rooms, d.shape[-1]))
+    m = jnp.ones((1, 1), jnp.float32) if mic_directivity is None \
+        else jnp.atleast_2d(jnp.asarray(mic_directivity, jnp.float32))
+    if m.ndim == 2:
+        m = m[None]
+    mics = jnp.broadcast_to(m, (n_rooms, n_l, m.shape[-1]))
+
+    def one_room(scene, src, lis, d_r, m_r, k):
         p = TraceParams.make(src, lis, listener_radius, speed_of_sound,
-                             input_gain)
+                             input_gain, directivity=d_r,
+                             mic_directivity=m_r)
         state = irm.IRState.zeros(ir_length, p.listeners.shape[0],
                                   scene.n_bands)
 
@@ -95,7 +115,7 @@ def sweep_rooms(scenes: Scene, sources: jax.Array, listeners: jax.Array,
                                 jnp.arange(n_frames, dtype=jnp.int32))
         return state.normalized()
 
-    return jax.vmap(one_room)(scenes, sources, listeners, keys)
+    return jax.vmap(one_room)(scenes, sources, listeners, dirs, mics, keys)
 
 
 def _index_scene(scenes: Scene, i: int) -> Scene:

@@ -172,17 +172,54 @@ def test_rows_kernels_reject_mic(setup):
                                 ir_length=4096)
 
 
-def test_accel_rejects_directive(setup):
+def test_accel_directive_matches_dense_bitwise(setup):
+    # the accel one-launch kernel with directive source + mics must be
+    # bit-identical to the dense whole-frame kernel on the same
+    # Morton-sorted scene (same host uniforms): emission/capture
+    # weighting is orthogonal to which wall chunks get computed
     room, p, key = setup
-    pm = p._replace(mic_directivity=jnp.asarray(dv.cardioid(0.0)))
-    with pytest.raises(ValueError, match="accel"):
-        bk.trace_frames_ir_accel(room.scene, pm, key, n_rays=256,
-                                 max_bounces=2, sample_rate=8000,
-                                 ir_length=4096, in_kernel_rng=False)
-    with pytest.raises(ValueError, match="accel"):
-        trace_accumulate(room.scene, pm, IRState.zeros(4096), key,
-                         n_rays=256, max_bounces=2, sample_rate=8000,
-                         backend="accel")
+    pm = p._replace(directivity=jnp.asarray(dv.cardioid(0.4)),
+                    mic_directivity=jnp.asarray(dv.cardioid(2.5)))
+    kw = dict(n_rays=512, max_bounces=4, sample_rate=8000, ir_length=8000)
+    acc = np.asarray(bk.trace_frames_ir_accel(
+        room.scene, pm, key, n_frames=1, cluster_size=128,
+        in_kernel_rng=False, **kw))
+    scene_s, _ = bk.cluster_scene_jnp(room.scene, 128)
+    dense = np.asarray(bk.trace_frame_ir_whole(scene_s, pm, key, **kw))
+    assert acc.sum() > 0
+    np.testing.assert_allclose(acc, dense, atol=1e-6)
+
+
+def test_accel_omni_coded_patterns_bit_exact(setup):
+    room, p, key = setup
+    kw = dict(n_rays=512, max_bounces=4, sample_rate=8000, ir_length=8000,
+              n_frames=1, cluster_size=128, in_kernel_rng=False)
+    p1 = p._replace(directivity=jnp.asarray([1.0], jnp.float32),
+                    mic_directivity=jnp.asarray([[1.0]], jnp.float32))
+    a = np.asarray(bk.trace_frames_ir_accel(room.scene, p, key, **kw))
+    b = np.asarray(bk.trace_frames_ir_accel(room.scene, p1, key, **kw))
+    assert a.sum() > 0
+    np.testing.assert_array_equal(a, b)
+
+
+def test_accel_sorted_directive_statistical_vs_oracle(setup):
+    # the sorted path re-pairs uniforms with rays after each re-sort, so
+    # parity with the oracle is statistical (total energy), as for omni
+    room, p, key = setup
+    pm = p._replace(directivity=jnp.asarray(dv.cardioid(1.2)),
+                    mic_directivity=jnp.asarray(dv.cardioid(0.3)))
+    acc = np.asarray(bk.trace_frames_ir_accel_sorted(
+        room.scene, pm, key, n_rays=4096, max_bounces=5,
+        sample_rate=8000, ir_length=8000, n_frames=2, cluster_size=128))
+    hits = trace_hits_only(room.scene, pm, jax.random.fold_in(key, 0),
+                           n_rays=4096, max_bounces=5)
+    o0 = np.asarray(scatter_hits(hits, 8000, 8000))
+    hits = trace_hits_only(room.scene, pm, jax.random.fold_in(key, 1),
+                           n_rays=4096, max_bounces=5)
+    eo = float(o0.sum() + np.asarray(scatter_hits(hits, 8000, 8000)).sum())
+    ea = float(acc.sum())
+    assert eo > 0
+    assert abs(ea - eo) / eo < 0.15
 
 
 def test_engine_fused_backend_accepts_directive(setup):
@@ -214,3 +251,83 @@ def test_fused_rows_source_directivity_weights_emission(setup):
     ir_o = np.asarray(scatter_hits(hits, 8000, 8000))
     assert ir_o.sum() > 0
     assert np.linalg.norm(ir_rows - ir_o) / np.linalg.norm(ir_o) < 0.2
+
+
+# ---- rooms-batched kernel: per-entry patterns (round 3) --------------------
+
+
+def test_rooms_mega_per_source_aims_match_singles(setup):
+    # the interpret fallback scans whole-frame launches with
+    # fold_in(key, i) / fold_in(k, f) keys: entry i with ITS aim must be
+    # bit-identical to a standalone whole-frame trace of that entry
+    room, p, key = setup
+    srcs = jnp.asarray([[0.0, -3.0], [1.0, -3.0]], jnp.float32)
+    aims = jnp.asarray([dv.cardioid(0.0), dv.cardioid(2.0)], jnp.float32)
+    mic = jnp.asarray(dv.cardioid(1.0), jnp.float32)
+    kw = dict(n_rays=512, max_bounces=4, sample_rate=8000, ir_length=8000)
+    shared = jax.tree_util.tree_map(lambda x: x[None], room.scene)
+    lis = jnp.broadcast_to(jnp.atleast_2d(room.listener)[None],
+                           (2, 1, 2)).astype(jnp.float32)
+    batch = np.asarray(bk.trace_rooms_ir_mega(
+        shared, srcs, lis, key, n_frames=1, directivity=aims,
+        mic_directivity=mic, **kw))
+    for i in range(2):
+        p_i = TraceParams.make(srcs[i], room.listener,
+                               directivity=aims[i], mic_directivity=mic)
+        single = np.asarray(bk.trace_frame_ir_whole(
+            room.scene, p_i,
+            jax.random.fold_in(jax.random.fold_in(key, i), 0), **kw))
+        assert single.sum() > 0
+        np.testing.assert_array_equal(batch[i], single)
+
+
+def test_mixdown_per_source_aims_matches_manual_sum(setup):
+    # jnp-path mixdown with [S, C] aims == the sum of per-source oracle
+    # scatters traced with the same split keys (exact construction)
+    from realisticaudioraytracing2d_tpu.parallel.multisource import (
+        trace_sources_mixdown)
+    room, p, key = setup
+    srcs = jnp.asarray([[0.0, -3.0], [1.0, -3.0]], jnp.float32)
+    # pad the 3-coeff cardioid with zero 2nd-harmonic rows to stack it
+    # with the 5-coeff figure-eight (zero coefficients are exact)
+    aims = jnp.stack([jnp.pad(jnp.asarray(dv.cardioid(0.0)), (0, 2)),
+                      jnp.asarray(dv.figure_eight(1.0))]).astype(
+                          jnp.float32)
+    pm = p._replace(source=srcs, directivity=aims)
+    kw = dict(n_rays=512, max_bounces=4, sample_rate=8000, ir_length=8000)
+    mix = np.asarray(trace_sources_mixdown(room.scene, pm, key,
+                                           backend="jnp", **kw))
+    keys = jax.random.split(key, 2)
+    want = 0
+    for i in range(2):
+        p_i = p._replace(source=srcs[i], directivity=aims[i])
+        hits = trace_hits_only(room.scene, p_i, keys[i], n_rays=512,
+                               max_bounces=4)
+        want = want + np.asarray(scatter_hits(hits, 8000, 8000))
+    assert want.sum() > 0
+    np.testing.assert_allclose(mix, want, atol=1e-6)
+
+
+def test_sweep_directive_sharded_matches_unsharded(setup):
+    # directive patterns ride the sharded sweep untouched (jnp path is
+    # bit-deterministic by global room id)
+    from realisticaudioraytracing2d_tpu.parallel.sweep import (
+        sweep_rooms, sweep_rooms_sharded)
+    from jax.sharding import Mesh
+    room, p, key = setup
+    n_rooms = 4
+    scenes = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_rooms,) + x.shape),
+        room.scene)
+    srcs = jnp.broadcast_to(jnp.asarray(room.source)[None], (n_rooms, 2))
+    lis = jnp.broadcast_to(jnp.asarray(room.listener)[None], (n_rooms, 2))
+    kw = dict(n_rays=256, max_bounces=4, sample_rate=8000, ir_length=8000,
+              directivity=jnp.asarray(dv.cardioid(0.5)),
+              mic_directivity=jnp.asarray(dv.cardioid(2.0)))
+    a = np.asarray(sweep_rooms(scenes, srcs, lis, key, backend="jnp",
+                               **kw))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("rooms",))
+    b = np.asarray(sweep_rooms_sharded(scenes, srcs, lis, key, mesh,
+                                       backend="jnp", **kw))
+    assert a.sum() > 0
+    np.testing.assert_array_equal(a, b)

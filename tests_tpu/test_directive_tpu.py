@@ -82,6 +82,28 @@ def test_mega_source_directivity_parity():
     _envelope_close(fused, oracle)
 
 
+def test_accel_directive_parity_on_chip():
+    # the accel (cluster-early-out) kernel with directive source + mic:
+    # statistical parity vs the oracle, as for the mega path — weighting
+    # must not disturb the early-out sweeps
+    room = art.rooms.smoll_room()
+    p = art.TraceParams.make(room.source, room.listener,
+                             room.listener_radius, 343.0, 1.0,
+                             directivity=dv.cardioid(1.0),
+                             mic_directivity=dv.cardioid(0.7))
+    key = jax.random.PRNGKey(11)
+    acc = trace_accumulate(room.scene, p, irm.IRState.zeros(IR_LEN, 1, 1),
+                           key, backend="accel", **KW)
+    oracle = trace_accumulate(room.scene, p,
+                              irm.IRState.zeros(IR_LEN, 1, 1), key,
+                              backend="jnp", **KW)
+    a = np.asarray(acc.normalized())[0, :, 0]
+    o = np.asarray(oracle.normalized())[0, :, 0]
+    assert o.sum() > 0
+    assert abs(a.sum() - o.sum()) / o.sum() < 0.03
+    _envelope_close(a, o)
+
+
 def test_spatial_capture_on_chip():
     # 3-virtual-mic capture through the mega kernel localizes the
     # direct sound and the wall echo (sign conventions survive the
@@ -110,3 +132,41 @@ def test_spatial_capture_on_chip():
     # W = ordinary omni IR, energy conservation of the split
     r = np.sqrt(np.asarray(ir.x) ** 2 + np.asarray(ir.y) ** 2)
     assert np.all(r <= np.asarray(ir.w) * (1 + 1e-3) + 1e-10)
+
+
+def test_multisource_per_source_aims_fused_parity():
+    # one-launch rooms-mega mixdown with PER-SOURCE aims (a steered
+    # pair) vs the vmapped jnp oracle: statistical parity on chip
+    from realisticaudioraytracing2d_tpu.parallel.multisource import (
+        trace_sources_mixdown)
+    room = art.rooms.smoll_room()
+    srcs = jnp.asarray([[0.0, -3.0], [1.0, -3.0]], jnp.float32)
+    aims = jnp.asarray([dv.cardioid(0.0), dv.cardioid(2.0)], jnp.float32)
+    p = art.TraceParams.make(srcs, room.listener, room.listener_radius,
+                             343.0, 1.0)
+    p = p._replace(directivity=aims,
+                   mic_directivity=jnp.asarray(dv.cardioid(1.0)))
+    key = jax.random.PRNGKey(5)
+    kw = dict(n_rays=15000, max_bounces=5, sample_rate=SR,
+              ir_length=IR_LEN)
+    from realisticaudioraytracing2d_tpu.engine import _rooms_fused_eligible
+    assert _rooms_fused_eligible(room.scene, p, IR_LEN)
+    fused = np.asarray(trace_sources_mixdown(room.scene, p, key,
+                                             backend="fused", **kw))
+    oracle = np.asarray(trace_sources_mixdown(room.scene, p, key,
+                                              backend="jnp", **kw))
+    assert oracle.sum() > 0
+    assert abs(fused.sum() - oracle.sum()) / oracle.sum() < 0.03
+    # single-frame mixdown IR is sparse (SmollRoom: no hits before
+    # bounce 2, and the reverb fits one 50 ms window): check the first
+    # arrival and coarse 50 ms window energies instead of the 5 ms
+    # envelope used for the 16-frame accumulations above
+    a, o = fused[0, :, 0], oracle[0, :, 0]
+    fa = int(np.argmax(a > a.max() * 1e-4))
+    fo = int(np.argmax(o > o.max() * 1e-4))
+    assert abs(fa - fo) <= 3, (fa, fo)
+    ea = a.reshape(4, -1).sum(-1)
+    eo = o.reshape(4, -1).sum(-1)
+    m = eo > eo.max() * 1e-3
+    assert m.sum() >= 1
+    assert np.abs(ea[m] - eo[m]).max() / eo.max() < 0.1

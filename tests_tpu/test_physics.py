@@ -87,13 +87,15 @@ def test_directivity_on_chip():
     assert mic_away < 0.02 * omni
 
 
-def test_forced_accel_with_directivity_raises_on_chip():
-    # Round 3: directivity runs in-kernel on the fused whole/mega paths
-    # (tests_tpu/test_directive_tpu.py); only the accel kernels stay omni.
+def test_forced_accel_with_directivity_runs_on_chip():
+    # Round 3: directivity runs in-kernel on every kernel family —
+    # the accel paths included (parity in tests_tpu/test_directive_tpu.py;
+    # this pins the engine routing on the real backend).
     scene = barrier_scene()
-    p = TraceParams.make(np.float32([-3.0, 0.0]), np.float32([3.0, 0.0]),
+    # listener on the SOURCE side of the barrier (direct + echo visible)
+    p = TraceParams.make(np.float32([-3.0, 0.0]), np.float32([-3.0, 1.5]),
                          directivity=dv.cardioid(0.0))
-    with pytest.raises(ValueError, match="omnidirectional"):
-        trace_accumulate(scene, p, IRState.zeros(1024),
-                         jax.random.PRNGKey(0), n_rays=64, max_bounces=2,
-                         sample_rate=SR, backend="accel")
+    st = trace_accumulate(scene, p, IRState.zeros(2048),
+                          jax.random.PRNGKey(0), n_rays=4096,
+                          max_bounces=3, sample_rate=SR, backend="accel")
+    assert float(np.asarray(st.sum).sum()) > 0
