@@ -418,6 +418,52 @@ def cmd_bake(args):
     x, rate = read_audio(args.infile or builtin_clip_path())
     dry = np.asarray(load_samples(jnp.asarray(x), rate,
                                   cfg.audio.sample_rate))
+    if getattr(args, "binaural", None) is not None:
+        if args.legacy:
+            raise SystemExit("--binaural is not available with --legacy")
+        if getattr(args, "stereo", None) is not None \
+                or p.mic_directivity is not None:
+            raise SystemExit("--binaural replaces --stereo and "
+                             "--mic-directivity (it assigns the ear "
+                             "patterns itself)")
+        if n_l != 1:
+            raise SystemExit("--binaural needs exactly one listener "
+                             "(one head)")
+        from . import spatial as spm
+        from .engine import trace_accumulate
+        from .ops import ir as irm
+        from .ops.convolve import apply_ir, peak_normalize
+        spp = spm.spatial_params(p)
+        state = irm.IRState.zeros(cfg.audio.ir_length,
+                                  spp.listeners.shape[0],
+                                  room.scene.n_bands)
+        state = trace_accumulate(room.scene, spp, state,
+                                 jax.random.PRNGKey(args.seed),
+                                 n_rays=cfg.sim.ray_count,
+                                 max_bounces=cfg.sim.max_bounces,
+                                 sample_rate=cfg.audio.sample_rate,
+                                 n_frames=args.frames)
+        state = _apply_diffraction(state, room.scene, spp,
+                                   cfg.audio.sample_rate, args)
+        state = _apply_air(state, cfg.audio.sample_rate,
+                           cfg.sim.speed_of_sound, args)
+        sp_ir = spm.spatial_from_ir(state.normalized())
+        lft, rgt = sp_ir.binaural(cfg.audio.sample_rate,
+                                  facing=float(np.radians(args.binaural)),
+                                  head_radius=args.head_radius)
+        ears = jnp.concatenate([lft, rgt], axis=0)       # [2, T, K]
+        t0 = time.perf_counter()
+        wet = apply_ir(jnp.asarray(dry), ears)
+        if not args.no_normalize:
+            wet = peak_normalize(wet)
+        wet = np.asarray(wet)
+        dt = time.perf_counter() - t0
+        write_audio(args.out, wet.T, cfg.audio.sample_rate)
+        xrt = (len(dry) / cfg.audio.sample_rate) / dt
+        print(f"binaural bake (facing {args.binaural:.0f} deg, head "
+              f"{args.head_radius * 100:.1f} cm): {len(dry)} samples in "
+              f"{dt:.3f}s ({xrt:.1f}x realtime) -> {args.out}")
+        return
     if args.legacy:
         # legacy frequency-binned pipeline (RayTraceManagerComplex +
         # RaytraceOcclusion2D parity): muffled time x freq IR rendered
@@ -905,6 +951,14 @@ def main(argv=None):
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--legacy", action="store_true",
                    help="use the legacy frequency-binned (muffle) pipeline")
+    p.add_argument("--binaural", type=float, default=None,
+                   metavar="FACING_DEG",
+                   help="stereo bake through a two-ear head model facing "
+                        "FACING_DEG: spatial (W/X/Y) trace, then a "
+                        "DirAC-style ITD+ILD decode (replaces --stereo/"
+                        "--mic-directivity)")
+    p.add_argument("--head-radius", type=float, default=0.0875,
+                   metavar="M", help="binaural head radius (meters)")
     _air_args(p)  # applied on the modern path (ignored with --legacy)
     p.set_defaults(fn=cmd_bake)
 

@@ -43,7 +43,12 @@ What it buys:
 * **diffuseness** (:meth:`SpatialIR.diffuseness`):
   ``1 - |(X, Y)| / W`` per bin — 0 for a single coherent arrival
   direction, -> 1 for isotropic late reverberation (the energy-vector
-  form used by DirAC-style spatial-IR analysis).
+  form used by DirAC-style spatial-IR analysis);
+* **binaural rendering** (:meth:`SpatialIR.binaural`): a DirAC-style
+  two-ear decode — per-bin coherent energy gets the free-field
+  interaural time difference (fractional two-bin splat) and a
+  first-order head-shadow level difference, diffuse energy reaches both
+  ears unlateralized. CLI: ``bake --binaural FACING_DEG``.
 
 On TPU the capture runs in the fused mega kernel (round 3:
 ``bounce_kernel._fourier_gain`` weights capture in-kernel, so
@@ -102,6 +107,68 @@ class SpatialIR(NamedTuple):
         the post-hoc equivalent of the CLI's ``--stereo-aim`` XY pair."""
         half = spread / 2.0
         return self.steer(aim + half), self.steer(aim - half)
+
+    def binaural(self, sample_rate: int, facing: float = 0.0,
+                 head_radius: float = 0.0875, shadow: float = 0.6,
+                 speed_of_sound: float = 343.0
+                 ) -> Tuple[jax.Array, jax.Array]:
+        """(left, right) ear IRs with interaural time AND level
+        differences — a DirAC-style decode of the intensity IR.
+
+        Each bin's energy splits into a coherent part ``|(X, Y)|``
+        arriving from ``atan2(Y, X)`` and a diffuse remainder
+        ``W - |(X, Y)|``:
+
+        * the coherent part reaches the ear at ``facing +- pi/2`` (left
+          ear ``+``) with the free-field plane-wave delay
+          ``-+ (r / c) sin(phi)`` (``phi`` = bearing relative to
+          ``facing``; a source on the left reaches the left ear
+          ``2 r / c`` before the right) as a fractional two-bin splat,
+          and with the first-order head-shadow gain
+          ``1 +- shadow * sin(phi)``;
+        * the diffuse part has no direction: each ear receives it at
+          unit gain (an omni microphone in a diffuse field captures the
+          full ``W``; the angle-average of ``1 +- shadow sin`` is 1), no
+          delay.
+
+        Conservation: ``left + right`` re-splats exactly ``2 W`` worth
+        of energy — ``2 coh`` (per-bin ear gains sum to 2) plus
+        ``2 (W - coh)`` diffuse. The decode is post-hoc — no
+        retrace — and jit-safe (pure gather/scatter). Returns two
+        ``[L, T, K]`` energy IRs ready for the standard convolve/bake
+        pipeline. ``shadow`` in [0, 1] sets the ILD strength (0 = ITD
+        only); the delay model omits head diffraction (Woodworth's wrap
+        term) — at ``r`` = 8.75 cm the error is < 0.13 ms."""
+        if not 0.0 <= shadow <= 1.0:
+            raise ValueError(f"shadow must be in [0, 1], got {shadow}")
+        r = jnp.sqrt(self.x * self.x + self.y * self.y)   # coherent
+        coh = jnp.minimum(r, self.w)
+        diffuse = self.w - coh                            # per ear, full
+        phi = jnp.arctan2(self.y, self.x) - facing
+        s = jnp.sin(phi)
+        n_t = self.w.shape[1]
+        bins = jnp.arange(n_t, dtype=jnp.float32)[None, :, None]
+        max_shift = head_radius / speed_of_sound * sample_rate
+
+        def ear(sign):
+            # sign = +1 left ear, -1 right ear
+            gain = 1.0 + sign * shadow * s
+            t = bins - sign * max_shift * s   # left: earlier for phi>0
+            lo = jnp.clip(jnp.floor(t), 0, n_t - 1)
+            frac = t - lo
+            lo = lo.astype(jnp.int32)
+            hi = jnp.minimum(lo + 1, n_t - 1)
+            e = coh * gain
+            out = jnp.zeros_like(self.w)
+            out = out.at[jnp.arange(self.w.shape[0])[:, None, None],
+                         lo, jnp.arange(self.w.shape[2])[None, None, :]
+                         ].add(e * (1.0 - frac))
+            out = out.at[jnp.arange(self.w.shape[0])[:, None, None],
+                         hi, jnp.arange(self.w.shape[2])[None, None, :]
+                         ].add(e * frac)
+            return out + diffuse
+
+        return ear(1.0), ear(-1.0)
 
     def arrival_angle(self) -> jax.Array:
         """Dominant arrival bearing per bin, ``atan2(Y, X)`` in

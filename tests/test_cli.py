@@ -404,3 +404,27 @@ def test_cli_trace_spatial_out(tmp_path, capsys):
     assert int(z["sample_rate"]) == 8000
     cap = capsys.readouterr().out
     assert "arrival 0:" in cap and "deg" in cap
+
+
+def test_cli_binaural_bake(tmp_path):
+    dry = str(tmp_path / "dry.wav")
+    write_wav(dry, noise_burst(0.12, 8000, seed=3), 8000)
+    wet = str(tmp_path / "bin.wav")
+    main(["bake", "--room", "smoll", *TINY, "--in", dry, "--out", wet,
+          "--binaural", "90", "--no-normalize"])
+    y, rate = read_wav(wet)
+    assert rate == 8000
+    assert y.ndim == 2 and y.shape[1] == 2
+    left, right = np.abs(y[:, 0]).sum(), np.abs(y[:, 1]).sum()
+    # the decode lateralizes: the ears must differ, and both hear
+    assert left > 0 and right > 0 and not np.isclose(left, right)
+    # binaural owns the ear patterns: combinations raise
+    with pytest.raises(SystemExit):
+        main(["bake", "--room", "smoll", *TINY, "--in", dry, "--out", wet,
+              "--binaural", "0", "--stereo", "0.2"])
+    with pytest.raises(SystemExit):
+        main(["bake", "--room", "smoll", *TINY, "--in", dry, "--out", wet,
+              "--binaural", "0", "--mic-directivity", "cardioid:0"])
+    with pytest.raises(SystemExit):
+        main(["bake", "--room", "smoll", *TINY, "--in", dry, "--out", wet,
+              "--binaural", "0", "--legacy"])

@@ -196,3 +196,105 @@ def test_accumulation_across_calls():
                                ir_length=2048, state=st)
     assert int(st.frames) == 2
     assert float(np.asarray(ir2.w).sum()) > 0
+
+
+# ---- binaural (ITD/ILD) decode ---------------------------------------------
+
+
+def synth_spatial(t0, bearing, energy=1.0, n_t=256, coherent=1.0):
+    # one bin of energy at t0 arriving from `bearing`; `coherent` < 1
+    # leaves the rest as diffuse energy in the same bin
+    w = jnp.zeros((1, n_t, 1)).at[0, t0, 0].set(energy)
+    x = w * coherent * np.cos(bearing)
+    y = w * coherent * np.sin(bearing)
+    return sp.SpatialIR(w=w, x=x, y=y)
+
+
+def test_binaural_pure_side_itd_and_ild():
+    # arrival from the LEFT (facing 0, bearing +pi/2): left ear leads by
+    # r/c and gets the 1+shadow gain, right lags by r/c with 1-shadow
+    sr, r, c = 8000, 0.0875, 343.0
+    shift = r / c * sr                       # 2.04 bins
+    s = synth_spatial(100, np.pi / 2)
+    left, right = s.binaural(sr, facing=0.0, head_radius=r, shadow=0.6,
+                             speed_of_sound=c)
+    left, right = np.asarray(left)[0, :, 0], np.asarray(right)[0, :, 0]
+    tl = (left * np.arange(left.size)).sum() / left.sum()
+    tr = (right * np.arange(right.size)).sum() / right.sum()
+    np.testing.assert_allclose(tl, 100 - shift, atol=1e-3)
+    np.testing.assert_allclose(tr, 100 + shift, atol=1e-3)
+    np.testing.assert_allclose(left.sum(), 1.6, rtol=1e-6)
+    np.testing.assert_allclose(right.sum(), 0.4, rtol=1e-6)
+
+
+def test_binaural_frontal_is_symmetric():
+    s = synth_spatial(50, 0.7)              # arrival dead ahead of facing
+    left, right = s.binaural(8000, facing=0.7)
+    np.testing.assert_allclose(np.asarray(left), np.asarray(right),
+                               atol=1e-7)
+    # no ITD: all energy stays in the source bin
+    assert float(np.asarray(left)[0, 50, 0]) == pytest.approx(1.0)
+
+
+def test_binaural_conserves_energy():
+    # random field with |(X,Y)| <= W: left + right == 2 W in total
+    rng = np.random.default_rng(0)
+    n_t = 300
+    w = jnp.asarray(rng.random((2, n_t, 3)), jnp.float32)
+    ang = rng.random((2, n_t, 3)) * 2 * np.pi
+    frac = rng.random((2, n_t, 3))
+    x = w * frac * np.cos(ang)
+    y = w * frac * np.sin(ang)
+    s = sp.SpatialIR(w=w, x=jnp.asarray(x, jnp.float32),
+                     y=jnp.asarray(y, jnp.float32))
+    left, right = s.binaural(8000, shadow=0.3)
+    total = float(np.asarray(left).sum() + np.asarray(right).sum())
+    np.testing.assert_allclose(total, 2 * float(np.asarray(w).sum()),
+                               rtol=1e-5)
+
+
+def test_binaural_diffuse_part_not_lateralized():
+    # half the bin's energy is diffuse: it must split equally and stay
+    # at t0 while the coherent half lateralizes
+    sr, r, c = 8000, 0.0875, 343.0
+    s = synth_spatial(100, np.pi / 2, coherent=0.5)
+    left, right = s.binaural(sr, head_radius=r, shadow=1.0,
+                             speed_of_sound=c)
+    right = np.asarray(right)[0, :, 0]
+    # right ear: coherent part fully shadowed (gain 0) -> only the
+    # diffuse share remains (full, each ear is a whole microphone),
+    # undelayed
+    np.testing.assert_allclose(right.sum(), 0.5, rtol=1e-6)
+    assert right[100] == pytest.approx(0.5)
+
+
+def test_binaural_traced_echo_lateralizes():
+    # face +y: the direct sound (from -x = the listener's LEFT) must
+    # lead in the left ear; the wall echo (from +x = RIGHT) must lead in
+    # the right ear
+    sr = 8000
+    s = run_spatial(echo_scene(), (5.0, 0.0), rays=16384, sample_rate=sr)
+    left, right = s.binaural(sr, facing=np.pi / 2, head_radius=0.2,
+                             shadow=0.6)
+    left = np.asarray(left)[0, :, 0]
+    right = np.asarray(right)[0, :, 0]
+    shift = 0.2 / 343.0 * sr                 # 4.7 bins each way
+    direct = int(np.floor(5.0 / 343.0 * sr))
+    echo = int(np.floor(15.0 / 343.0 * sr))
+    win = 24
+
+    def centroid(ir, b):
+        seg = ir[b - win:b + win]
+        return (seg * np.arange(seg.size)).sum() / seg.sum()
+
+    # left leads (earlier centroid) on the direct arrival...
+    assert centroid(right, direct) - centroid(left, direct) > shift
+    # ...and lags on the echo
+    assert centroid(left, echo) - centroid(right, echo) > shift
+    # head shadow: more direct energy in the left ear, echo in the
+    # right (windows cover the capture-disc smear, r/c ~ 12 bins early,
+    # plus the +-shift bins)
+    assert left[direct - win:direct + win].sum() > \
+        right[direct - win:direct + win].sum()
+    assert right[echo - win:echo + win].sum() > \
+        left[echo - win:echo + win].sum()
