@@ -539,12 +539,29 @@ def cmd_stream(args):
                           directivity=_directivity_arr(args, room),
                    mic_directivity=_mic_directivity_arr(args, room))
 
+    binaural = getattr(args, "binaural", None)
+    if binaural is not None:
+        if getattr(args, "stereo", None) is not None \
+                or _mic_directivity_arr(args, room) is not None:
+            raise SystemExit("--binaural replaces --stereo and "
+                             "--mic-directivity")
+        if n_l != 1:
+            raise SystemExit("--binaural needs exactly one listener")
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
                         diffraction=(args.diffraction
                                      and args.diffraction_order),
-                        air_alpha=_air_alpha_arr(args, room.scene.n_bands))
+                        air_alpha=_air_alpha_arr(args, room.scene.n_bands),
+                        binaural=binaural is not None,
+                        head_radius=getattr(args, "head_radius", 0.0875))
+    facing_fn = None
+    if binaural is not None:
+        base = float(np.radians(binaural))
+        turn = float(np.radians(args.head_turn)) * chunk_dt
+
+        def facing_fn(i):
+            return base + turn * i
     on_chunk = None
     if args.viz_every:
         viz_cb = _viz_callback(args.out, args.viz_every)
@@ -556,15 +573,18 @@ def cmd_stream(args):
         total_chunks = max(1, int(round(args.duration / chunk_dt)))
         wet = np.asarray(streamer.stream_clip(dry, poses,
                                               total_chunks=total_chunks,
-                                              on_chunk=on_chunk))
+                                              on_chunk=on_chunk,
+                                              facing_fn=facing_fn))
     else:
         # play the clip once and flush the reverb tail
         wet = np.asarray(streamer.stream_clip(dry, poses, loop=False,
-                                              on_chunk=on_chunk))
+                                              on_chunk=on_chunk,
+                                              facing_fn=facing_fn))
     dt = time.perf_counter() - t0
     if args.viz_every:
         viz_cb.flush()
-    write_audio(args.out, wet.T if n_l > 1 else wet[0],
+    n_out = streamer.n_listeners
+    write_audio(args.out, wet.T if n_out > 1 else wet[0],
               cfg.audio.sample_rate)
     xrt = (wet.shape[-1] / cfg.audio.sample_rate) / dt
     print(f"streamed {wet.shape[-1]} samples in {dt:.2f}s "
@@ -983,6 +1003,16 @@ def main(argv=None):
     p.add_argument("--viz-every", type=int, default=0, metavar="N",
                    help="write the live IR waveform PNG every N chunks "
                         "(<out stem>_ir_NNNN.png)")
+    p.add_argument("--binaural", type=float, default=None,
+                   metavar="FACING_DEG",
+                   help="binaural stereo stream: per-chunk spatial trace "
+                        "+ ITD/ILD ear decode, head facing FACING_DEG "
+                        "(replaces --stereo/--mic-directivity)")
+    p.add_argument("--head-turn", type=float, default=0.0, metavar="DEG_S",
+                   help="with --binaural: rotate the head DEG_S deg/s "
+                        "(the facing is traced — no recompiles)")
+    p.add_argument("--head-radius", type=float, default=0.0875,
+                   metavar="M")
     _air_args(p)
     p.set_defaults(fn=cmd_stream)
 

@@ -131,16 +131,26 @@ def _augment_ir(cur_ir: jax.Array, scene: Scene, params: TraceParams,
 
 
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
-                                   "frames_per_chunk", "diffraction"),
+                                   "frames_per_chunk", "diffraction",
+                                   "head_radius", "shadow"),
          donate_argnames=("state",))
 def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
                  dry_chunk: jax.Array, key: jax.Array, *,
                  n_rays: int, max_bounces: int, sample_rate: int,
                  frames_per_chunk: int = 1, diffraction: bool = False,
-                 air_alpha=None) -> Tuple[jax.Array, StreamState]:
+                 air_alpha=None, binaural_facing=None,
+                 head_radius: float = 0.0875,
+                 shadow: float = 0.6) -> Tuple[jax.Array, StreamState]:
     """One streaming step: retrace -> crossfaded convolution -> overlap-add
     -> drain. Returns ``(out_chunk[L, N], new_state)``. Fully on-device;
-    ``state`` buffers are donated so the 60 Hz loop allocates nothing."""
+    ``state`` buffers are donated so the 60 Hz loop allocates nothing.
+
+    ``binaural_facing`` (a TRACED radians scalar — per-chunk head
+    rotation recompiles nothing) switches the step to binaural: ``params``
+    must carry ONE listener (the head) and ``state`` TWO channels (the
+    ears); the chunk traces the 3-virtual-mic spatial capture and decodes
+    it per chunk (:meth:`..spatial.SpatialIR.binaural`) before the
+    crossfaded convolution — a moving/rotating head pans smoothly."""
     n = dry_chunk.shape[-1]
     l, t, k = state.prev_ir.shape
 
@@ -148,13 +158,29 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
     #    RayTraceManager.cs:82-85); routed through the fused TPU kernel
     #    when the config allows (engine.trace_accumulate "auto").
     from .engine import trace_accumulate
+    if binaural_facing is not None:
+        from . import spatial as spm
+        if params.listeners.shape[0] != 1 or l != 2:
+            raise ValueError("binaural streaming: params carry the one "
+                             "head listener and the stream state two "
+                             "ear channels (init_stream(n_listeners=2))")
+        tp = spm.spatial_params(params)
+    else:
+        tp = params
+    t_l = tp.listeners.shape[0]
     chunk_key = _rng.frame_key(key, state.chunk_index)
     ir_state = trace_accumulate(
-        scene, params, irm.IRState.zeros(t, l, k), chunk_key,
+        scene, tp, irm.IRState.zeros(t, t_l, k), chunk_key,
         n_rays=n_rays, max_bounces=max_bounces, sample_rate=sample_rate,
         n_frames=frames_per_chunk)
-    cur_ir = _augment_ir(ir_state.normalized(), scene, params,
+    cur_ir = _augment_ir(ir_state.normalized(), scene, tp,
                          sample_rate, diffraction, air_alpha)  # [L, T, K]
+    if binaural_facing is not None:
+        sp_ir = spm.spatial_from_ir(cur_ir)
+        lft, rgt = sp_ir.binaural(sample_rate, binaural_facing,
+                                  head_radius, shadow,
+                                  params.speed_of_sound)
+        cur_ir = jnp.concatenate([lft, rgt], axis=0)       # [2, T, K]
 
     # First chunk has no predecessor: fade in from the current IR itself.
     is_first = state.chunk_index == 0
@@ -181,25 +207,35 @@ class Streamer:
 
     def __init__(self, scene: Scene, config: EngineConfig, key: jax.Array,
                  n_listeners: int = 1, frames_per_chunk: int = 1,
-                 diffraction: bool = False, air_alpha=None):
+                 diffraction: bool = False, air_alpha=None,
+                 binaural: bool = False, head_radius: float = 0.0875,
+                 shadow: float = 0.6):
+        if binaural and n_listeners != 1:
+            raise ValueError("binaural streaming takes one head listener")
         self.scene = scene
         self.config = config
         self.key = key
         self.frames_per_chunk = frames_per_chunk
-        self.n_listeners = n_listeners
+        self.n_listeners = 2 if binaural else n_listeners
         self.diffraction = diffraction
         self.air_alpha = air_alpha
+        self.binaural = binaural
+        self.head_radius = head_radius
+        self.shadow = shadow
         self.state = init_stream(config.audio.ir_length,
                                  config.audio.chunk_samples,
-                                 n_listeners, scene.n_bands)
+                                 self.n_listeners, scene.n_bands)
 
     def process(self, dry_chunk: jax.Array, params: TraceParams,
-                scene: Optional[Scene] = None) -> jax.Array:
+                scene: Optional[Scene] = None,
+                facing: float = 0.0) -> jax.Array:
         """One chunk. ``scene`` overrides the bound scene for this chunk —
         the dynamic-obstacles mode (the reference re-flattens colliders
         every FixedUpdate when ``dynamicObstacles`` is set,
         RayTraceManager.cs:67); as long as the padded wall count is
-        unchanged there is no recompile."""
+        unchanged there is no recompile. ``facing`` (radians; traced, so
+        rotating the head per chunk recompiles nothing) steers the
+        binaural decode when the streamer is binaural."""
         out, self.state = stream_chunk(
             scene if scene is not None else self.scene, params, self.state,
             dry_chunk, self.key,
@@ -207,13 +243,16 @@ class Streamer:
             max_bounces=self.config.sim.max_bounces,
             sample_rate=self.config.audio.sample_rate,
             frames_per_chunk=self.frames_per_chunk,
-            diffraction=self.diffraction, air_alpha=self.air_alpha)
+            diffraction=self.diffraction, air_alpha=self.air_alpha,
+            binaural_facing=(jnp.asarray(facing, jnp.float32)
+                             if self.binaural else None),
+            head_radius=self.head_radius, shadow=self.shadow)
         return out
 
     def stream_clip(self, dry: jax.Array, params_fn, scene_fn=None,
                     pad_tail: bool = True, loop: Optional[bool] = None,
                     total_chunks: Optional[int] = None,
-                    on_chunk=None):
+                    on_chunk=None, facing_fn=None):
         """Stream a whole clip; ``params_fn(chunk_index) -> TraceParams``
         supplies (possibly moving) poses and optional
         ``scene_fn(chunk_index) -> Scene`` supplies per-chunk geometry
@@ -252,7 +291,9 @@ class Streamer:
         for i in range(n_steps):
             piece = dry_chunk(dry, i, n, loop)
             scene_i = scene_fn(i) if scene_fn is not None else None
-            chunks.append(self.process(piece, params_fn(i), scene_i))
+            facing = facing_fn(i) if facing_fn is not None else 0.0
+            chunks.append(self.process(piece, params_fn(i), scene_i,
+                                       facing=facing))
             if on_chunk is not None:
                 on_chunk(i, self.state)
         return jnp.concatenate(chunks, axis=-1)

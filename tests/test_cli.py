@@ -428,3 +428,18 @@ def test_cli_binaural_bake(tmp_path):
     with pytest.raises(SystemExit):
         main(["bake", "--room", "smoll", *TINY, "--in", dry, "--out", wet,
               "--binaural", "0", "--legacy"])
+
+
+def test_cli_binaural_stream(tmp_path):
+    dry = str(tmp_path / "dry.wav")
+    write_wav(dry, noise_burst(0.12, 8000, seed=3), 8000)
+    wet = str(tmp_path / "binstream.wav")
+    main(["stream", "--room", "smoll", *TINY, "--in", dry, "--out", wet,
+          "--binaural", "0", "--head-turn", "90"])
+    y, rate = read_wav(wet)
+    assert rate == 8000
+    assert y.ndim == 2 and y.shape[1] == 2
+    assert np.abs(y).max() > 0
+    with pytest.raises(SystemExit):
+        main(["stream", "--room", "smoll", *TINY, "--in", dry,
+              "--out", wet, "--binaural", "0", "--stereo", "0.2"])

@@ -294,3 +294,76 @@ def test_stream_clip_loop_requires_total_chunks():
     params = TraceParams.make(room.source, room.listener, 0.5, 343.0, 1.0)
     with pytest.raises(ValueError, match="total_chunks"):
         s.stream_clip(jnp.zeros(100), lambda i: params, loop=True)
+
+
+# ---- binaural streaming ----------------------------------------------------
+
+
+def test_binaural_stream_degenerate_head_equals_mono(setup):
+    # head_radius=0 + shadow=0: no ITD, unit ear gains -> each ear IR
+    # collapses to W (== the plain mono IR; the 3-mic trace shares the
+    # mono trace's ray physics), so the binaural stream must equal the
+    # mono stream on both channels
+    room, cfg = setup
+    sr = cfg.audio.sample_rate
+    dry = jnp.asarray(noise_burst(0.15, sr, seed=2))
+    eng = Engine(room.scene, cfg)
+    p = eng.params(room.source, room.listener)
+
+    mono = np.asarray(Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+                      .stream_clip(dry, lambda i: p))[0]
+    both = np.asarray(Streamer(room.scene, cfg, jax.random.PRNGKey(0),
+                               binaural=True, head_radius=0.0, shadow=0.0)
+                      .stream_clip(dry, lambda i: p))
+    assert both.shape[0] == 2
+    scale = np.abs(mono).max()
+    np.testing.assert_allclose(both[0], mono, atol=2e-6 * scale)
+    np.testing.assert_allclose(both[1], mono, atol=2e-6 * scale)
+
+
+def test_binaural_stream_head_turn_pans(setup):
+    # source straight ahead at facing=0 -> symmetric ears; head turned
+    # +90 deg (source now on the RIGHT) -> right ear louder. The facing
+    # is traced: both chunks reuse one compile.
+    room, cfg = setup
+    sr = cfg.audio.sample_rate
+    dry = jnp.asarray(noise_burst(0.3, sr, seed=4))
+    eng = Engine(room.scene, cfg)
+    p = eng.params(room.source, room.listener)
+
+    def run(facing):
+        s = Streamer(room.scene, cfg, jax.random.PRNGKey(1), binaural=True,
+                     shadow=0.9)
+        return np.asarray(s.stream_clip(dry, lambda i: p,
+                                        facing_fn=lambda i: facing))
+
+    # SmollRoom: source is at bearing ~atan2 of (source-listener) from
+    # the listener; compute it so the test is geometry-robust
+    src = np.asarray(room.source, np.float32)
+    lis = np.asarray(room.listener, np.float32).reshape(-1)[:2]
+    bearing = float(np.arctan2(src[1] - lis[1], src[0] - lis[0]))
+
+    toward = run(bearing)            # facing the source: near-symmetric
+    left_of = run(bearing - np.pi / 2)   # source on the LEFT ear side
+    e = lambda x: float((x ** 2).sum())  # noqa: E731
+    # room reverb is not symmetric about the source axis, so "toward" is
+    # only approximately balanced — but turning the head 90 deg must
+    # produce a much stronger, correctly-signed imbalance
+    ratio_toward = e(toward[0]) / e(toward[1])
+    ratio_left = e(left_of[0]) / e(left_of[1])
+    assert ratio_left > 1.5, ratio_left
+    assert ratio_left > 1.5 * ratio_toward, (ratio_left, ratio_toward)
+
+
+def test_binaural_stream_chunk_validates_shapes(setup):
+    room, cfg = setup
+    sr = cfg.audio.sample_rate
+    p = TraceParams.make(room.source, room.listener)
+    state = init_stream(cfg.audio.ir_length, cfg.audio.chunk_samples,
+                        n_listeners=1)   # needs 2 ear channels
+    with pytest.raises(ValueError, match="binaural"):
+        stream_chunk(room.scene, p, state,
+                     jnp.zeros(cfg.audio.chunk_samples),
+                     jax.random.PRNGKey(0), n_rays=64, max_bounces=3,
+                     sample_rate=sr,
+                     binaural_facing=jnp.asarray(0.0))
