@@ -648,13 +648,30 @@ def cmd_live(args):
                                    cfg.audio.sample_rate))
     total_chunks = max(1, int(round(args.duration
                                     / cfg.audio.chunk_duration)))
+    binaural = getattr(args, "binaural", None)
+    if binaural is not None:
+        if getattr(args, "stereo", None) is not None \
+                or _mic_directivity_arr(args, room) is not None:
+            raise SystemExit("--binaural replaces --stereo and "
+                             "--mic-directivity")
+        if n_l != 1:
+            raise SystemExit("--binaural needs exactly one listener")
     player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
                         dsp_buffer=args.dsp_buffer,
                         diffraction=(args.diffraction
                                      and args.diffraction_order),
-                        air_alpha=_air_alpha_arr(args, room.scene.n_bands))
+                        air_alpha=_air_alpha_arr(args, room.scene.n_bands),
+                        binaural=binaural is not None,
+                        head_radius=getattr(args, "head_radius", 0.0875))
+    facing_fn = None
+    if binaural is not None:
+        base = float(np.radians(binaural))
+        turn = float(np.radians(args.head_turn)) * cfg.audio.chunk_duration
+
+        def facing_fn(i):
+            return base + turn * i
     on_chunk = _viz_callback(args.out or "live.wav", args.viz_every) \
         if args.viz_every else None
     rep = player.run(dry, total_chunks=total_chunks,
@@ -662,11 +679,12 @@ def cmd_live(args):
                      params=eng.params(room.source, listeners,
                    directivity=_directivity_arr(args, room),
                    mic_directivity=_mic_directivity_arr(args, room)),
-                     on_chunk=on_chunk)
+                     on_chunk=on_chunk, facing_fn=facing_fn)
     if on_chunk is not None:
         on_chunk.flush()
     if args.out:
-        write_audio(args.out, rep.audio.T if n_l > 1 else rep.audio[0],
+        n_out = player.n_listeners
+        write_audio(args.out, rep.audio.T if n_out > 1 else rep.audio[0],
                   cfg.audio.sample_rate)
     print(f"live: {rep.summary()}" + (f" -> {args.out}" if args.out else ""))
 
@@ -1034,6 +1052,14 @@ def main(argv=None):
     p.add_argument("--viz-every", type=int, default=0, metavar="N",
                    help="write the live IR waveform PNG every N chunks "
                         "(<out stem>_ir_NNNN.png)")
+    p.add_argument("--binaural", type=float, default=None,
+                   metavar="FACING_DEG",
+                   help="binaural live: per-chunk spatial trace + ITD/ILD "
+                        "ear decode, head facing FACING_DEG")
+    p.add_argument("--head-turn", type=float, default=0.0, metavar="DEG_S",
+                   help="with --binaural: rotate the head DEG_S deg/s")
+    p.add_argument("--head-radius", type=float, default=0.0875,
+                   metavar="M")
     _air_args(p)
     p.set_defaults(fn=cmd_live)
 

@@ -43,27 +43,50 @@ from .ops.trace import TraceParams
 
 
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
-                                   "frames_per_chunk", "diffraction"))
+                                   "frames_per_chunk", "diffraction",
+                                   "head_radius", "shadow"))
 def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
               dry: jax.Array, key: jax.Array, chunk_index: jax.Array, *,
               n_rays: int, max_bounces: int, sample_rate: int,
               frames_per_chunk: int = 1, diffraction: bool = False,
-              air_alpha=None):
+              air_alpha=None, binaural_facing=None,
+              head_radius: float = 0.0875, shadow: float = 0.6):
     """One live step fully on-device: retrace a fresh IR for this chunk and
     return ``(wet[L, N+T], cur_ir)`` — the crossfaded convolution output
     *including* its reverb tail, ready for host overlap-add (the
-    ``ProcessChunk`` dispatch, RayTraceManager.cs:100-122)."""
+    ``ProcessChunk`` dispatch, RayTraceManager.cs:100-122).
+
+    ``binaural_facing`` (traced radians; per-chunk head rotation
+    recompiles nothing) switches to binaural: ``params`` carry the ONE
+    head listener and ``prev_ir`` two ear channels — the chunk traces
+    the 3-virtual-mic spatial capture and decodes it
+    (see :func:`..streaming.stream_chunk`)."""
     from .engine import trace_accumulate
     from .streaming import _augment_ir
 
     l, t, k = prev_ir.shape
+    if binaural_facing is not None:
+        from . import spatial as spm
+        if params.listeners.shape[0] != 1 or l != 2:
+            raise ValueError("binaural live: one head listener, two ear "
+                             "channels in prev_ir")
+        tp = spm.spatial_params(params)
+    else:
+        tp = params
+    t_l = tp.listeners.shape[0]
     ir_state = trace_accumulate(
-        scene, params, irm.IRState.zeros(t, l, k),
+        scene, tp, irm.IRState.zeros(t, t_l, k),
         _rng.frame_key(key, chunk_index), n_rays=n_rays,
         max_bounces=max_bounces, sample_rate=sample_rate,
         n_frames=frames_per_chunk)
-    cur_ir = _augment_ir(ir_state.normalized(), scene, params,
+    cur_ir = _augment_ir(ir_state.normalized(), scene, tp,
                          sample_rate, diffraction, air_alpha)
+    if binaural_facing is not None:
+        sp_ir = spm.spatial_from_ir(cur_ir)
+        lft, rgt = sp_ir.binaural(sample_rate, binaural_facing,
+                                  head_radius, shadow,
+                                  params.speed_of_sound)
+        cur_ir = jnp.concatenate([lft, rgt], axis=0)
     prev = jnp.where(chunk_index == 0, cur_ir, prev_ir)
     return _crossfaded_wet(dry, prev, cur_ir), cur_ir
 
@@ -104,15 +127,22 @@ class LivePlayer:
     def __init__(self, scene: Scene, config: EngineConfig, key: jax.Array,
                  n_listeners: int = 1, frames_per_chunk: int = 1,
                  dsp_buffer: int = 1024, ring_size: Optional[int] = None,
-                 diffraction: bool = False, air_alpha=None):
+                 diffraction: bool = False, air_alpha=None,
+                 binaural: bool = False, head_radius: float = 0.0875,
+                 shadow: float = 0.6):
+        if binaural and n_listeners != 1:
+            raise ValueError("binaural live takes one head listener")
         self.scene = scene
         self.config = config
         self.key = key
-        self.n_listeners = n_listeners
+        self.n_listeners = 2 if binaural else n_listeners
         self.frames_per_chunk = frames_per_chunk
         self.dsp_buffer = dsp_buffer
         self.diffraction = diffraction
         self.air_alpha = air_alpha
+        self.binaural = binaural
+        self.head_radius = head_radius
+        self.shadow = shadow
         n = config.audio.chunk_samples
         t = config.audio.ir_length
         if ring_size is None:
@@ -126,14 +156,16 @@ class LivePlayer:
         if ring_size < min_size:
             raise ValueError(f"ring_size {ring_size} < chunk+tail+dsp "
                              f"minimum {min_size}")
-        self.ring = NativeRingBuffer(ring_size, n_listeners)
+        self.ring = NativeRingBuffer(ring_size, self.n_listeners)
 
     def run(self, dry: jax.Array, total_chunks: int,
             loop: Optional[bool] = None, realtime: bool = False,
             params_fn: Optional[Callable[[int], TraceParams]] = None,
             params: Optional[TraceParams] = None,
             on_chunk: Optional[Callable[[int, jax.Array], None]] = None,
-            prime: int = 1) -> LiveReport:
+            prime: int = 1,
+            facing_fn: Optional[Callable[[int], float]] = None
+            ) -> LiveReport:
         """``on_chunk(i, cur_ir)`` (optional) runs on the producer thread
         after chunk ``i`` is pushed, with that chunk's normalized IR
         ``[L, T, K]`` — the live-feedback hook (the reference blits the
@@ -174,6 +206,11 @@ class LivePlayer:
                 for i in range(total_chunks):
                     piece = dry_chunk(dry, i, n, loop)
                     # mono dry is broadcast per listener inside wet_chunk
+                    facing = None
+                    if self.binaural:
+                        facing = jnp.asarray(
+                            facing_fn(i) if facing_fn is not None
+                            else 0.0, jnp.float32)
                     wet, prev_ir = wet_chunk(
                         self.scene, params_fn(i), prev_ir, piece,
                         self.key, jnp.asarray(i, jnp.int32),
@@ -182,7 +219,10 @@ class LivePlayer:
                         sample_rate=sr,
                         frames_per_chunk=self.frames_per_chunk,
                         diffraction=self.diffraction,
-                        air_alpha=self.air_alpha)
+                        air_alpha=self.air_alpha,
+                        binaural_facing=facing,
+                        head_radius=self.head_radius,
+                        shadow=self.shadow)
                     wet_np = np.asarray(wet)  # device->host readback
                     if wet_np.ndim == 1:
                         wet_np = wet_np[None, :]

@@ -127,3 +127,31 @@ def test_live_realtime_mode_counts_underruns_not_crashes(live_cfg):
     assert rep.underruns > 0          # producer demonstrably outrun
     assert rep.audio.shape[-1] == 4 * n
     assert "underruns" in rep.summary()
+
+
+def test_live_binaural_matches_binaural_stream(live_cfg):
+    # binaural live (threaded, integrity mode) == the binaural Streamer
+    # output: the ear decode rides the same chunk step on both paths
+    room, cfg, params = live_cfg
+    n = cfg.audio.chunk_samples
+    total = 5
+    dry = jnp.asarray(np.random.default_rng(2).normal(
+        size=3 * n).astype(np.float32) * 0.3)
+    facing = lambda i: 0.3 * i  # noqa: E731
+
+    player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(1),
+                        binaural=True)
+    rep = player.run(dry, total_chunks=total, loop=False,
+                     params=params, facing_fn=facing)
+    assert rep.audio.shape[0] == 2
+
+    streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(1),
+                        binaural=True)
+    want = np.asarray(streamer.stream_clip(
+        dry, lambda i: params, total_chunks=total, loop=False,
+        facing_fn=facing))
+    m = rep.audio.shape[-1]
+    assert m > 0
+    np.testing.assert_allclose(rep.audio, want[:, :m], atol=1e-6)
+    # the rotating head lateralizes: ears differ
+    assert not np.allclose(rep.audio[0], rep.audio[1])
