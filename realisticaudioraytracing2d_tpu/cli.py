@@ -574,12 +574,14 @@ def cmd_stream(args):
         wet = np.asarray(streamer.stream_clip(dry, poses,
                                               total_chunks=total_chunks,
                                               on_chunk=on_chunk,
-                                              facing_fn=facing_fn))
+                                              facing_fn=facing_fn,
+                                              doppler=args.doppler))
     else:
         # play the clip once and flush the reverb tail
         wet = np.asarray(streamer.stream_clip(dry, poses, loop=False,
                                               on_chunk=on_chunk,
-                                              facing_fn=facing_fn))
+                                              facing_fn=facing_fn,
+                                              doppler=args.doppler))
     dt = time.perf_counter() - t0
     if args.viz_every:
         viz_cb.flush()
@@ -1010,9 +1012,11 @@ def main(argv=None):
     p.add_argument("--move-source", default=None,
                    help="source velocity 'vx,vy' (m/s) — the IR retraces "
                         "each chunk, so a moving source reverberates "
-                        "correctly (no Doppler: IR convolution is "
-                        "time-invariant within a chunk, like the "
-                        "reference)")
+                        "correctly; add --doppler for the physical "
+                        "pitch shift (the reference has neither)")
+    p.add_argument("--doppler", action="store_true",
+                   help="fractional-rate dry feed: pitch shifts by "
+                        "1 - v/c from the poses' radial velocity")
     p.add_argument("--frames-per-chunk", type=int, default=1)
     p.add_argument("--duration", type=float, default=None,
                    help="stream for this many seconds; the clip loops at "

@@ -26,6 +26,8 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -252,7 +254,7 @@ class Streamer:
     def stream_clip(self, dry: jax.Array, params_fn, scene_fn=None,
                     pad_tail: bool = True, loop: Optional[bool] = None,
                     total_chunks: Optional[int] = None,
-                    on_chunk=None, facing_fn=None):
+                    on_chunk=None, facing_fn=None, doppler: bool = False):
         """Stream a whole clip; ``params_fn(chunk_index) -> TraceParams``
         supplies (possibly moving) poses and optional
         ``scene_fn(chunk_index) -> Scene`` supplies per-chunk geometry
@@ -263,6 +265,17 @@ class Streamer:
         the CLI's ``--viz-every`` live IR rasters, mirroring the
         reference's per-frame ``DrawIR`` blit while audio streams
         (RayTraceManager.cs:252-258).
+
+        ``doppler=True`` adds the physical pitch shift of a moving pose:
+        the dry feed becomes a fractional-rate resampler
+        (:func:`warp_chunk`) advancing ``1 - v/c`` dry samples per output
+        sample, where ``v`` is the radial velocity of the (first)
+        source toward the (first) listener derived from consecutive
+        ``params_fn`` poses. The traced IR keeps handling level/reverb;
+        the reference (and a plain stream) is Doppler-free because chunk
+        convolution is time-invariant within a chunk. All paths share
+        the direct-path rate (the standard real-time approximation —
+        per-reflection Doppler would need per-path warps).
 
         ``loop`` selects the end-of-clip behavior of the reference
         (``RayTraceManager.cs:74-77``): when set, the dry feed restarts at
@@ -287,9 +300,28 @@ class Streamer:
                 else 0
             n_steps = (n_chunks + tail) if total_chunks is None \
                 else total_chunks
+        def pose_distance(i):
+            p = params_fn(i)
+            src = np.asarray(p.source, np.float32).reshape(-1, 2)[0]
+            lis = np.asarray(p.listeners, np.float32).reshape(-1, 2)[0]
+            return float(np.hypot(*(src - lis)))
+
+        pos = jnp.asarray(0.0, jnp.float32)
+        d_prev = pose_distance(0) if doppler else 0.0
         chunks = []
         for i in range(n_steps):
-            piece = dry_chunk(dry, i, n, loop)
+            if doppler:
+                d_next = pose_distance(i + 1)
+                p0 = params_fn(i)
+                c = float(np.asarray(p0.speed_of_sound))
+                sr = self.config.audio.sample_rate
+                rate = 1.0 - (d_next - d_prev) * sr / (n * c)
+                d_prev = d_next
+                piece, pos = warp_chunk(dry, pos,
+                                        jnp.asarray(rate, jnp.float32),
+                                        n, loop=loop)
+            else:
+                piece = dry_chunk(dry, i, n, loop)
             scene_i = scene_fn(i) if scene_fn is not None else None
             facing = facing_fn(i) if facing_fn is not None else 0.0
             chunks.append(self.process(piece, params_fn(i), scene_i,
@@ -297,6 +329,36 @@ class Streamer:
             if on_chunk is not None:
                 on_chunk(i, self.state)
         return jnp.concatenate(chunks, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n", "loop"))
+def warp_chunk(dry: jax.Array, pos: jax.Array, rate: jax.Array, n: int,
+               loop: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Read ``n`` output samples from the dry clip starting at the
+    FRACTIONAL position ``pos``, advancing ``rate`` dry samples per
+    output sample (linear interpolation) — the Doppler dry feed.
+
+    A pose moving at radial velocity ``v`` (positive = receding)
+    time-warps the received signal ``y(t) = x(t (1 - v/c) - d0/c)``:
+    the constant delay ``d0/c`` lives in the traced IR's direct-path
+    bin, the rate ``1 - v/c`` lives here. Returns ``(chunk[n],
+    next_pos)``. ``loop`` wraps the read modulo the clip; otherwise
+    reads past the end produce silence (tail flush)."""
+    total = dry.shape[-1]
+    idx = pos + rate * jnp.arange(n, dtype=jnp.float32)
+    lo = jnp.floor(idx)
+    frac = idx - lo
+    lo_i = lo.astype(jnp.int32)
+    if loop:
+        a = dry[..., lo_i % total]
+        b = dry[..., (lo_i + 1) % total]
+    else:
+        valid = (lo_i >= 0) & (lo_i < total)
+        valid_b = (lo_i + 1 >= 0) & (lo_i + 1 < total)
+        a = jnp.where(valid, dry[..., jnp.clip(lo_i, 0, total - 1)], 0.0)
+        b = jnp.where(valid_b, dry[..., jnp.clip(lo_i + 1, 0, total - 1)],
+                      0.0)
+    return a * (1.0 - frac) + b * frac, pos + rate * n
 
 
 def dry_chunk(dry: jax.Array, i: int, n: int, loop: bool) -> jax.Array:

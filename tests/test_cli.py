@@ -443,3 +443,19 @@ def test_cli_binaural_stream(tmp_path):
     with pytest.raises(SystemExit):
         main(["stream", "--room", "smoll", *TINY, "--in", dry,
               "--out", wet, "--binaural", "0", "--stereo", "0.2"])
+
+
+def test_cli_doppler_stream(tmp_path):
+    dry = str(tmp_path / "dry.wav")
+    write_wav(dry, noise_burst(0.12, 8000, seed=3), 8000)
+    a = str(tmp_path / "plain.wav")
+    b = str(tmp_path / "dopp.wav")
+    common = ["stream", "--room", "smoll", *TINY, "--in", dry,
+              "--move-source", "10,0"]
+    main([*common, "--out", a])
+    main([*common, "--out", b, "--doppler"])
+    ya, _ = read_wav(a)
+    yb, _ = read_wav(b)
+    assert np.abs(yb).max() > 0
+    # the warped dry feed must change the output
+    assert not np.allclose(ya, yb)

@@ -367,3 +367,88 @@ def test_binaural_stream_chunk_validates_shapes(setup):
                      jax.random.PRNGKey(0), n_rays=64, max_bounces=3,
                      sample_rate=sr,
                      binaural_facing=jnp.asarray(0.0))
+
+
+# ---- Doppler dry feed ------------------------------------------------------
+
+
+def test_warp_chunk_rate_one_is_identity():
+    from realisticaudioraytracing2d_tpu.streaming import warp_chunk
+    dry = jnp.asarray(np.random.default_rng(0).normal(size=256)
+                      .astype(np.float32))
+    a, pos = warp_chunk(dry, jnp.asarray(0.0), jnp.asarray(1.0), 128)
+    b, pos = warp_chunk(dry, pos, jnp.asarray(1.0), 128)
+    np.testing.assert_array_equal(np.concatenate([a, b]), np.asarray(dry))
+    assert float(pos) == 256.0
+    # past the clip end: silence (tail flush)
+    c, _ = warp_chunk(dry, pos, jnp.asarray(1.0), 64)
+    np.testing.assert_array_equal(np.asarray(c), np.zeros(64))
+
+
+def test_warp_chunk_chunking_is_continuous():
+    from realisticaudioraytracing2d_tpu.streaming import warp_chunk
+    dry = jnp.asarray(np.sin(np.arange(512) * 0.13).astype(np.float32))
+    one, _ = warp_chunk(dry, jnp.asarray(3.2), jnp.asarray(0.87), 256)
+    a, pos = warp_chunk(dry, jnp.asarray(3.2), jnp.asarray(0.87), 128)
+    b, _ = warp_chunk(dry, pos, jnp.asarray(0.87), 128)
+    # f32: the second chunk's base (pos + rate*n) rounds differently
+    # than the one-shot pos + rate*(n+j) indexing
+    np.testing.assert_allclose(np.concatenate([a, b]), np.asarray(one),
+                               atol=5e-6)
+
+
+def test_warp_chunk_shifts_pitch():
+    from realisticaudioraytracing2d_tpu.streaming import warp_chunk
+    sr, f0, rate = 8000, 400.0, 0.9
+    t = np.arange(4 * sr) / sr
+    dry = jnp.asarray(np.sin(2 * np.pi * f0 * t).astype(np.float32))
+    out, _ = warp_chunk(dry, jnp.asarray(0.0), jnp.asarray(rate), 2 * sr)
+    spec = np.abs(np.fft.rfft(np.asarray(out)))
+    peak_hz = np.argmax(spec) / 2.0            # 2 s window: 0.5 Hz bins
+    assert abs(peak_hz - f0 * rate) < 1.0, peak_hz
+
+
+def test_doppler_stream_static_poses_matches_plain(setup):
+    # zero radial velocity -> rate exactly 1 -> the Doppler feed reads
+    # the same samples; streams must agree bit-for-bit
+    room, cfg = setup
+    sr = cfg.audio.sample_rate
+    dry = jnp.asarray(noise_burst(0.15, sr, seed=5))
+    eng = Engine(room.scene, cfg)
+    p = eng.params(room.source, room.listener)
+    plain = np.asarray(Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+                       .stream_clip(dry, lambda i: p))
+    dopp = np.asarray(Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+                      .stream_clip(dry, lambda i: p, doppler=True))
+    np.testing.assert_array_equal(plain, dopp)
+
+
+def test_doppler_stream_receding_source_lowers_pitch(setup):
+    # a source receding at 0.1c must shift a 400 Hz tone to ~360 Hz in
+    # the streamed output; the plain stream keeps it at ~400 Hz
+    room, cfg = setup
+    sr = cfg.audio.sample_rate
+    f0, v = 400.0, 34.3
+    t = np.arange(int(0.6 * sr)) / sr
+    dry = jnp.asarray(np.sin(2 * np.pi * f0 * t).astype(np.float32) * 0.5)
+    eng = Engine(room.scene, cfg)
+    chunk_dt = cfg.audio.chunk_duration
+
+    def poses(i):
+        # source receding straight down the source->listener axis
+        src = np.asarray(room.source, np.float32)
+        lis = np.asarray(room.listener, np.float32).reshape(-1)[:2]
+        u = (src - lis) / np.linalg.norm(src - lis)
+        return eng.params(src + u * (v * chunk_dt * i), lis)
+
+    def peak_hz(wet):
+        seg = wet[0, int(0.1 * sr):int(0.5 * sr)]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(seg.size)))
+        return np.argmax(spec) * sr / seg.size
+
+    dopp = np.asarray(Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+                      .stream_clip(dry, poses, doppler=True))
+    plain = np.asarray(Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+                       .stream_clip(dry, poses))
+    assert abs(peak_hz(plain) - f0) < 12.0, peak_hz(plain)
+    assert abs(peak_hz(dopp) - f0 * (1 - v / 343.0)) < 12.0, peak_hz(dopp)
