@@ -450,7 +450,8 @@ def cmd_bake(args):
         sp_ir = spm.spatial_from_ir(state.normalized())
         lft, rgt = sp_ir.binaural(cfg.audio.sample_rate,
                                   facing=float(np.radians(args.binaural)),
-                                  head_radius=args.head_radius)
+                                  head_radius=args.head_radius,
+                                  speed_of_sound=cfg.sim.speed_of_sound)
         ears = jnp.concatenate([lft, rgt], axis=0)       # [2, T, K]
         t0 = time.perf_counter()
         wet = apply_ir(jnp.asarray(dry), ears)
@@ -539,29 +540,15 @@ def cmd_stream(args):
                           directivity=_directivity_arr(args, room),
                    mic_directivity=_mic_directivity_arr(args, room))
 
-    binaural = getattr(args, "binaural", None)
-    if binaural is not None:
-        if getattr(args, "stereo", None) is not None \
-                or _mic_directivity_arr(args, room) is not None:
-            raise SystemExit("--binaural replaces --stereo and "
-                             "--mic-directivity")
-        if n_l != 1:
-            raise SystemExit("--binaural needs exactly one listener")
+    binaural, facing_fn = _binaural_setup(args, room, n_l, chunk_dt)
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
                         diffraction=(args.diffraction
                                      and args.diffraction_order),
                         air_alpha=_air_alpha_arr(args, room.scene.n_bands),
-                        binaural=binaural is not None,
+                        binaural=binaural,
                         head_radius=getattr(args, "head_radius", 0.0875))
-    facing_fn = None
-    if binaural is not None:
-        base = float(np.radians(binaural))
-        turn = float(np.radians(args.head_turn)) * chunk_dt
-
-        def facing_fn(i):
-            return base + turn * i
     on_chunk = None
     if args.viz_every:
         viz_cb = _viz_callback(args.out, args.viz_every)
@@ -591,6 +578,27 @@ def cmd_stream(args):
     xrt = (wet.shape[-1] / cfg.audio.sample_rate) / dt
     print(f"streamed {wet.shape[-1]} samples in {dt:.2f}s "
           f"({xrt:.2f}x realtime) -> {args.out}")
+
+
+def _binaural_setup(args, room, n_l: int, chunk_dt: float):
+    """Shared ``--binaural`` validation + per-chunk head-facing builder
+    for the stream/live commands. Returns ``(enabled, facing_fn)``;
+    ``facing_fn(i)`` is radians at chunk ``i`` (``--head-turn`` deg/s
+    rotation, traced so it recompiles nothing)."""
+    binaural = getattr(args, "binaural", None)
+    if binaural is None:
+        return False, None
+    if getattr(args, "stereo", None) is not None \
+            or _mic_directivity_arr(args, room) is not None:
+        raise SystemExit("--binaural replaces --stereo and "
+                         "--mic-directivity (it assigns the ear "
+                         "patterns itself)")
+    if n_l != 1:
+        raise SystemExit("--binaural needs exactly one listener "
+                         "(one head)")
+    base = float(np.radians(binaural))
+    turn = float(np.radians(getattr(args, "head_turn", 0.0))) * chunk_dt
+    return True, (lambda i: base + turn * i)
 
 
 def _viz_callback(out_path, every: int):
@@ -650,14 +658,8 @@ def cmd_live(args):
                                    cfg.audio.sample_rate))
     total_chunks = max(1, int(round(args.duration
                                     / cfg.audio.chunk_duration)))
-    binaural = getattr(args, "binaural", None)
-    if binaural is not None:
-        if getattr(args, "stereo", None) is not None \
-                or _mic_directivity_arr(args, room) is not None:
-            raise SystemExit("--binaural replaces --stereo and "
-                             "--mic-directivity")
-        if n_l != 1:
-            raise SystemExit("--binaural needs exactly one listener")
+    binaural, facing_fn = _binaural_setup(args, room, n_l,
+                                          cfg.audio.chunk_duration)
     player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
@@ -665,15 +667,8 @@ def cmd_live(args):
                         diffraction=(args.diffraction
                                      and args.diffraction_order),
                         air_alpha=_air_alpha_arr(args, room.scene.n_bands),
-                        binaural=binaural is not None,
+                        binaural=binaural,
                         head_radius=getattr(args, "head_radius", 0.0875))
-    facing_fn = None
-    if binaural is not None:
-        base = float(np.radians(binaural))
-        turn = float(np.radians(args.head_turn)) * cfg.audio.chunk_duration
-
-        def facing_fn(i):
-            return base + turn * i
     on_chunk = _viz_callback(args.out or "live.wav", args.viz_every) \
         if args.viz_every else None
     rep = player.run(dry, total_chunks=total_chunks,

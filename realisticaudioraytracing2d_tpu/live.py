@@ -61,18 +61,13 @@ def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
     head listener and ``prev_ir`` two ear channels — the chunk traces
     the 3-virtual-mic spatial capture and decodes it
     (see :func:`..streaming.stream_chunk`)."""
+    from . import spatial as spm
     from .engine import trace_accumulate
     from .streaming import _augment_ir
 
     l, t, k = prev_ir.shape
-    if binaural_facing is not None:
-        from . import spatial as spm
-        if params.listeners.shape[0] != 1 or l != 2:
-            raise ValueError("binaural live: one head listener, two ear "
-                             "channels in prev_ir")
-        tp = spm.spatial_params(params)
-    else:
-        tp = params
+    tp = (spm.binaural_trace_params(params, l)
+          if binaural_facing is not None else params)
     t_l = tp.listeners.shape[0]
     ir_state = trace_accumulate(
         scene, tp, irm.IRState.zeros(t, t_l, k),
@@ -82,11 +77,9 @@ def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
     cur_ir = _augment_ir(ir_state.normalized(), scene, tp,
                          sample_rate, diffraction, air_alpha)
     if binaural_facing is not None:
-        sp_ir = spm.spatial_from_ir(cur_ir)
-        lft, rgt = sp_ir.binaural(sample_rate, binaural_facing,
-                                  head_radius, shadow,
-                                  params.speed_of_sound)
-        cur_ir = jnp.concatenate([lft, rgt], axis=0)
+        cur_ir = spm.binaural_decode_ir(
+            cur_ir, sample_rate, binaural_facing, head_radius, shadow,
+            params.speed_of_sound)
     prev = jnp.where(chunk_index == 0, cur_ir, prev_ir)
     return _crossfaded_wet(dry, prev, cur_ir), cur_ir
 

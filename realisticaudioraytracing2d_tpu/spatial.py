@@ -153,8 +153,13 @@ class SpatialIR(NamedTuple):
         def ear(sign):
             # sign = +1 left ear, -1 right ear
             gain = 1.0 + sign * shadow * s
-            t = bins - sign * max_shift * s   # left: earlier for phi>0
-            lo = jnp.clip(jnp.floor(t), 0, n_t - 1)
+            # left: earlier for phi>0. Clamp BEFORE computing frac: an
+            # unclamped t < 0 (arrival within max_shift bins of bin 0)
+            # would make (1-frac) > 1 and frac < 0 — amplified and
+            # negative-energy deposits.
+            t = jnp.clip(bins - sign * max_shift * s, 0.0,
+                         float(n_t - 1))
+            lo = jnp.floor(t)
             frac = t - lo
             lo = lo.astype(jnp.int32)
             hi = jnp.minimum(lo + 1, n_t - 1)
@@ -209,6 +214,32 @@ def spatial_params(params: TraceParams) -> TraceParams:
         mic_directivity=table)
 
 
+def binaural_trace_params(params: TraceParams,
+                          n_channels: int) -> TraceParams:
+    """Validate-and-expand for the binaural chunk steps (shared by
+    :func:`..streaming.stream_chunk` and :func:`..live.wet_chunk`):
+    ``params`` must carry ONE listener (the head) and the stream state
+    ``n_channels == 2`` ear channels; returns the 3-virtual-mic
+    :func:`spatial_params` expansion."""
+    if params.listeners.shape[0] != 1 or n_channels != 2:
+        raise ValueError("binaural chunk step: params carry the one "
+                         "head listener and the stream state two ear "
+                         "channels (n_listeners=2)")
+    return spatial_params(params)
+
+
+def binaural_decode_ir(cur_ir: jax.Array, sample_rate: int, facing,
+                       head_radius: float, shadow: float,
+                       speed_of_sound) -> jax.Array:
+    """Split a freshly traced ``[3, T, K]`` spatial IR and decode it to
+    the two-ear ``[2, T, K]`` IR — the per-chunk binaural step shared by
+    the streaming and live pipelines."""
+    sp_ir = spatial_from_ir(cur_ir)
+    lft, rgt = sp_ir.binaural(sample_rate, facing, head_radius, shadow,
+                              speed_of_sound)
+    return jnp.concatenate([lft, rgt], axis=0)
+
+
 def spatial_from_ir(ir: jax.Array) -> SpatialIR:
     """Split an IR traced under :func:`spatial_params` — shape
     ``[3L, T, K]`` (normalized or raw sum alike; the split is linear) —
@@ -239,8 +270,8 @@ def dominant_arrivals(sp_ir: SpatialIR, sample_rate: int, *,
     import numpy as np
 
     w = np.asarray(sp_ir.w)[listener, :, band].copy()
-    x = np.asarray(sp_ir.x)[listener, :, band]
-    y = np.asarray(sp_ir.y)[listener, :, band]
+    x = np.asarray(sp_ir.x)[listener, :, band].copy()
+    y = np.asarray(sp_ir.y)[listener, :, band].copy()
     out = []
     floor = float(w.max()) * min_fraction
     for _ in range(n):
@@ -248,6 +279,9 @@ def dominant_arrivals(sp_ir: SpatialIR, sample_rate: int, *,
         if w[peak] <= max(floor, 0.0):
             break
         lo, hi = max(0, peak - window_bins), peak + window_bins + 1
+        # x/y are zeroed alongside w below, so an overlapping later
+        # window cannot aggregate a suppressed arrival's intensity
+        # vector into its bearing.
         ew, ex, ey = w[lo:hi].sum(), x[lo:hi].sum(), y[lo:hi].sum()
         out.append({
             "time_s": peak / sample_rate,
@@ -257,6 +291,8 @@ def dominant_arrivals(sp_ir: SpatialIR, sample_rate: int, *,
             "energy": float(ew),
         })
         w[lo:hi] = 0.0
+        x[lo:hi] = 0.0
+        y[lo:hi] = 0.0
     return out
 
 

@@ -159,16 +159,10 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
     # 1. retrace: fresh IR for this chunk (accumulate-then-reset cycle,
     #    RayTraceManager.cs:82-85); routed through the fused TPU kernel
     #    when the config allows (engine.trace_accumulate "auto").
+    from . import spatial as spm
     from .engine import trace_accumulate
-    if binaural_facing is not None:
-        from . import spatial as spm
-        if params.listeners.shape[0] != 1 or l != 2:
-            raise ValueError("binaural streaming: params carry the one "
-                             "head listener and the stream state two "
-                             "ear channels (init_stream(n_listeners=2))")
-        tp = spm.spatial_params(params)
-    else:
-        tp = params
+    tp = (spm.binaural_trace_params(params, l)
+          if binaural_facing is not None else params)
     t_l = tp.listeners.shape[0]
     chunk_key = _rng.frame_key(key, state.chunk_index)
     ir_state = trace_accumulate(
@@ -178,11 +172,9 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
     cur_ir = _augment_ir(ir_state.normalized(), scene, tp,
                          sample_rate, diffraction, air_alpha)  # [L, T, K]
     if binaural_facing is not None:
-        sp_ir = spm.spatial_from_ir(cur_ir)
-        lft, rgt = sp_ir.binaural(sample_rate, binaural_facing,
-                                  head_radius, shadow,
-                                  params.speed_of_sound)
-        cur_ir = jnp.concatenate([lft, rgt], axis=0)       # [2, T, K]
+        cur_ir = spm.binaural_decode_ir(
+            cur_ir, sample_rate, binaural_facing, head_radius, shadow,
+            params.speed_of_sound)                         # [2, T, K]
 
     # First chunk has no predecessor: fade in from the current IR itself.
     is_first = state.chunk_index == 0
@@ -306,20 +298,35 @@ class Streamer:
             lis = np.asarray(p.listeners, np.float32).reshape(-1, 2)[0]
             return float(np.hypot(*(src - lis)))
 
-        pos = jnp.asarray(0.0, jnp.float32)
+        # Host-side float64 read position: f32 accumulation would
+        # quantize fractional positions past ~2^23 samples (~190 s at
+        # 44.1 kHz) into audible sample-and-hold steps on long streams.
+        pos = 0.0
         d_prev = pose_distance(0) if doppler else 0.0
+        rate = 1.0
         chunks = []
         for i in range(n_steps):
             if doppler:
-                d_next = pose_distance(i + 1)
                 p0 = params_fn(i)
                 c = float(np.asarray(p0.speed_of_sound))
                 sr = self.config.audio.sample_rate
-                rate = 1.0 - (d_next - d_prev) * sr / (n * c)
-                d_prev = d_next
-                piece, pos = warp_chunk(dry, pos,
-                                        jnp.asarray(rate, jnp.float32),
-                                        n, loop=loop)
+                if i + 1 < n_steps:
+                    d_next = pose_distance(i + 1)
+                    rate = 1.0 - (d_next - d_prev) * sr / (n * c)
+                    d_prev = d_next
+                # else: params_fn's domain is [0, n_steps) — the final
+                # chunk reuses the previous chunk's rate.
+                if loop:
+                    pos %= float(total)
+                else:
+                    # Past-the-end reads are silence regardless of how
+                    # far past; cap so the f32 handoff stays exact.
+                    pos = min(pos, float(total) + 1.0)
+                piece, _ = warp_chunk(dry,
+                                      jnp.asarray(pos, jnp.float32),
+                                      jnp.asarray(rate, jnp.float32),
+                                      n, loop=loop)
+                pos += rate * n
             else:
                 piece = dry_chunk(dry, i, n, loop)
             scene_i = scene_fn(i) if scene_fn is not None else None

@@ -298,3 +298,43 @@ def test_binaural_traced_echo_lateralizes():
         right[direct - win:direct + win].sum()
     assert right[echo - win:echo + win].sum() > \
         left[echo - win:echo + win].sum()
+
+
+def test_binaural_near_start_bin_clamps_no_negative_energy():
+    # energy in bin 0 arriving from the side: the splat's fractional
+    # target is negative there; an unclamped frac used to deposit
+    # (1 - frac) > 1 and frac < 0 (a ~20x transient with negative bins)
+    sr, r, c = 44100, 0.0875, 343.0
+    s = synth_spatial(0, np.pi / 2, n_t=64)
+    left, right = s.binaural(sr, head_radius=r, shadow=0.6,
+                             speed_of_sound=c)
+    left = np.asarray(left)[0, :, 0]
+    right = np.asarray(right)[0, :, 0]
+    assert (left >= 0).all() and (right >= 0).all()
+    # nothing amplified: per-ear totals are exactly the shadowed gains
+    np.testing.assert_allclose(left.sum(), 1.6, rtol=1e-6)
+    assert left.max() <= 1.6 + 1e-6
+    np.testing.assert_allclose(left.sum() + right.sum(), 2.0, rtol=1e-6)
+
+
+def test_dominant_arrivals_overlapping_windows_keep_bearings():
+    # arrival 1 (bearing 0) smears into arrival 2's +-16-bin window;
+    # suppression must zero x/y alongside w or the second pick's vector
+    # aggregates the first arrival's intensity (wrong bearing/diffuseness)
+    n_t = 256
+    w = np.zeros((1, n_t, 1), np.float32)
+    x = np.zeros_like(w)
+    y = np.zeros_like(w)
+    w[0, 100, 0] = 1.0
+    x[0, 100, 0] = 1.0          # arrival 1 from bearing 0
+    w[0, 104, 0] = 0.5
+    x[0, 104, 0] = 0.5          # its smear, inside arrival 2's window
+    w[0, 120, 0] = 0.8
+    x[0, 120, 0] = -0.8         # arrival 2 from bearing pi
+    s = sp.SpatialIR(w=jnp.asarray(w), x=jnp.asarray(x), y=jnp.asarray(y))
+    arr = sp.dominant_arrivals(s, 8000, n=2, window_bins=16)
+    assert len(arr) == 2
+    assert abs(arr[0]["bearing_rad"]) < 1e-6
+    assert abs(abs(arr[1]["bearing_rad"]) - np.pi) < 1e-6
+    assert arr[1]["diffuseness"] < 1e-6
+    assert arr[1]["energy"] == pytest.approx(0.8)

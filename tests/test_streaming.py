@@ -452,3 +452,25 @@ def test_doppler_stream_receding_source_lowers_pitch(setup):
                        .stream_clip(dry, poses))
     assert abs(peak_hz(plain) - f0) < 12.0, peak_hz(plain)
     assert abs(peak_hz(dopp) - f0 * (1 - v / 343.0)) < 12.0, peak_hz(dopp)
+
+
+def test_doppler_stream_pose_table_of_exact_length(setup):
+    # params_fn's documented domain is [0, n_steps); the Doppler path
+    # used to call params_fn(n_steps) on the final chunk (IndexError on
+    # a pose table sized exactly n_steps). The last chunk now reuses the
+    # previous chunk's rate.
+    room, cfg = setup
+    sr = cfg.audio.sample_rate
+    dry = jnp.asarray(noise_burst(0.15, sr, seed=5))
+    eng = Engine(room.scene, cfg)
+    n = cfg.audio.chunk_samples
+    n_chunks = (dry.shape[-1] + n - 1) // n
+    tail = (cfg.audio.ir_length + n - 1) // n
+    n_steps = n_chunks + tail
+    table = [eng.params(np.asarray(room.source, np.float32)
+                        + np.float32([0.01 * i, 0.0]), room.listener)
+             for i in range(n_steps)]
+    wet = np.asarray(Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+                     .stream_clip(dry, lambda i: table[i], doppler=True))
+    assert wet.shape[-1] == n_steps * n
+    assert np.isfinite(wet).all()
