@@ -151,6 +151,42 @@ def centre_time(ir: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
     return jnp.sum(ir * t, axis=-1) / total
 
 
+def iacc(left: jnp.ndarray, right: jnp.ndarray, sample_rate: int, *,
+         max_lag_ms: float = 1.0, t_start_s: float = 0.0,
+         t_end_s: float | None = None) -> jnp.ndarray:
+    """Interaural cross-correlation coefficient (ISO 3382-1 Annex B).
+
+    ``IACC = max_tau |integral l(t) r(t + tau) dt| / sqrt(E_l E_r)`` over
+    lags ``|tau| <= max_lag_ms`` (the standard +-1 ms), evaluated on the
+    ``[t_start_s, t_end_s)`` span of the two ear IRs ``[..., T]``.
+    1 = interaurally coherent (a mono field dup'ed to both ears — sounds
+    "in the head"), -> 0 = fully decorrelated (a real diffuse late field;
+    IACC_late of good halls is ~0.1-0.3). Use ``t_start_s ~ 80 ms`` for
+    the late-field IACC_L that the binaural decorrelator targets.
+    """
+    lo = int(round(t_start_s * sample_rate))
+    hi = left.shape[-1] if t_end_s is None else int(round(
+        t_end_s * sample_rate))
+    seg_l = left[..., lo:hi]
+    seg_r = right[..., lo:hi]
+    max_lag = max(1, int(round(max_lag_ms * 1e-3 * sample_rate)))
+    energy = jnp.sqrt(jnp.sum(seg_l * seg_l, axis=-1) *
+                      jnp.sum(seg_r * seg_r, axis=-1))
+    pad = jnp.pad(seg_r,
+                  [(0, 0)] * (seg_r.ndim - 1) + [(max_lag, max_lag)])
+    corrs = jnp.stack(
+        [jnp.abs(jnp.sum(
+            seg_l * jax_lax_slice_lag(pad, k, seg_l.shape[-1]), axis=-1))
+         for k in range(2 * max_lag + 1)], axis=-1)
+    return jnp.max(corrs, axis=-1) / jnp.maximum(energy, _EDC_FLOOR)
+
+
+def jax_lax_slice_lag(padded: jnp.ndarray, k: int, n: int) -> jnp.ndarray:
+    """``padded[..., k : k + n]`` with a static lag ``k`` (helper for
+    :func:`iacc`'s unrolled lag scan)."""
+    return padded[..., k:k + n]
+
+
 def direct_arrival_bin(ir: jnp.ndarray,
                        threshold: float = 1e-2) -> jnp.ndarray:
     """Bin index of the first arrival: the first bin holding at least

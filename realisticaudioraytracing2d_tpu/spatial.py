@@ -73,6 +73,34 @@ from .ops.trace import TraceParams
 _PATTERNS = ((1.0, 0.0, 0.0), (1.0, 1.0, 0.0), (1.0, 0.0, 1.0))
 
 
+def _ear_signs(n_t: int, ear_seed: int):
+    """Deterministic per-bin random-sign (Rademacher) pattern ``[T]``
+    for one ear's diffuse-stream decorrelator.
+
+    The IR bins are *energies* — the trace discarded the pressure sign
+    (``Raytrace2D.compute:164`` sums ``rayInfo.energy``), and the decode
+    output is used directly as an amplitude convolution kernel (the
+    reference's ``AudioConvolve`` semantics). A real diffuse late field
+    has independent random phase at each ear; re-synthesizing it as an
+    independent random sign per bin per ear is exactly random-phase
+    late-reverb synthesis. (A near-allpass FIR decorrelator — the other
+    standard — cannot work HERE: it preserves the DC component, and an
+    all-positive energy tail is dominated by DC, which would stay
+    interaurally coherent.)
+
+    Per-bin magnitude is untouched, so every energy measure of the
+    diffuse stream (per-bin |.|, L1 of |.|, L2) is conserved exactly.
+    Deterministic by construction (fixed seed folded with ``ear_seed``)
+    so jitted decodes never retrace and repeat runs are bit-identical.
+    Returns a host numpy float32 array of +-1 (a compile-time constant
+    under jit).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(0xD1FF05E ^ (ear_seed * 0x9E3779B9))
+    return (rng.integers(0, 2, n_t) * 2.0 - 1.0).astype(np.float32)
+
+
 class SpatialIR(NamedTuple):
     """Per-bin spatial energy IR. All channels are ``[L, T, K]``."""
 
@@ -110,7 +138,8 @@ class SpatialIR(NamedTuple):
 
     def binaural(self, sample_rate: int, facing: float = 0.0,
                  head_radius: float = 0.0875, shadow: float = 0.6,
-                 speed_of_sound: float = 343.0
+                 speed_of_sound: float = 343.0,
+                 decorrelate: bool = True
                  ) -> Tuple[jax.Array, jax.Array]:
         """(left, right) ear IRs with interaural time AND level
         differences — a DirAC-style decode of the intensity IR.
@@ -126,16 +155,31 @@ class SpatialIR(NamedTuple):
           ``2 r / c`` before the right) as a fractional two-bin splat,
           and with the first-order head-shadow gain
           ``1 +- shadow * sin(phi)``;
-        * the diffuse part has no direction: each ear receives it at
-          unit gain (an omni microphone in a diffuse field captures the
-          full ``W``; the angle-average of ``1 +- shadow sin`` is 1), no
-          delay.
+        * the diffuse part has no direction: each ear receives its full
+          share (an omni microphone in a diffuse field captures the
+          whole ``W``; the angle-average of ``1 +- shadow sin`` is 1)
+          through a per-ear **decorrelator** (:func:`_ear_signs`): an
+          independent deterministic random sign per bin per ear —
+          random-phase re-synthesis of the late field — so the two
+          ears' diffuse streams are interaurally INCOHERENT. Real
+          diffuse reverberation has low interaural cross-correlation; a
+          bit-identical diffuse stream in both ears localizes "in the
+          head" (DirAC decodes decorrelate for exactly this reason).
+          ``decorrelate=False`` restores the pre-round-4 identical
+          -diffuse decode; decorrelation is also skipped for the
+          degenerate no-head decode (``head_radius == 0 and
+          shadow == 0``: coincident ears receive identical signals, so
+          ``left == right == W`` holds exactly there).
 
-        Conservation: ``left + right`` re-splats exactly ``2 W`` worth
-        of energy — ``2 coh`` (per-bin ear gains sum to 2) plus
-        ``2 (W - coh)`` diffuse. The decode is post-hoc — no
-        retrace — and jit-safe (pure gather/scatter). Returns two
-        ``[L, T, K]`` energy IRs ready for the standard convolve/bake
+        Conservation: the coherent path re-splats exactly ``2 coh``
+        (per-bin ear gains sum to 2) bit-identically to the
+        non-decorrelated decode; the diffuse stream keeps its exact
+        per-bin energy magnitude in both ears (only signs differ), so
+        ``sum(|left|) + sum(|right|) == 2 W`` always, and the plain
+        ``left + right`` L1 identity holds with ``decorrelate=False``.
+        The decode is post-hoc — no retrace — and jit-safe (the sign
+        patterns are compile-time constants). Returns two
+        ``[L, T, K]`` IRs ready for the standard convolve/bake
         pipeline. ``shadow`` in [0, 1] sets the ILD strength (0 = ITD
         only); the delay model omits head diffraction (Woodworth's wrap
         term) — at ``r`` = 8.75 cm the error is < 0.13 ms."""
@@ -149,6 +193,11 @@ class SpatialIR(NamedTuple):
         n_t = self.w.shape[1]
         bins = jnp.arange(n_t, dtype=jnp.float32)[None, :, None]
         max_shift = head_radius / speed_of_sound * sample_rate
+        # Degenerate no-head decode: coincident ears -> identical
+        # signals; decorrelating would fabricate an interaural
+        # difference a radius-0 head cannot have.
+        decorr = (decorrelate
+                  and not (head_radius == 0.0 and shadow == 0.0))
 
         def ear(sign):
             # sign = +1 left ear, -1 right ear
@@ -171,6 +220,9 @@ class SpatialIR(NamedTuple):
             out = out.at[jnp.arange(self.w.shape[0])[:, None, None],
                          hi, jnp.arange(self.w.shape[2])[None, None, :]
                          ].add(e * frac)
+            if decorr:
+                signs = _ear_signs(n_t, ear_seed=0 if sign > 0 else 1)
+                return out + diffuse * jnp.asarray(signs)[None, :, None]
             return out + diffuse
 
         return ear(1.0), ear(-1.0)
@@ -230,13 +282,14 @@ def binaural_trace_params(params: TraceParams,
 
 def binaural_decode_ir(cur_ir: jax.Array, sample_rate: int, facing,
                        head_radius: float, shadow: float,
-                       speed_of_sound) -> jax.Array:
+                       speed_of_sound,
+                       decorrelate: bool = True) -> jax.Array:
     """Split a freshly traced ``[3, T, K]`` spatial IR and decode it to
     the two-ear ``[2, T, K]`` IR — the per-chunk binaural step shared by
     the streaming and live pipelines."""
     sp_ir = spatial_from_ir(cur_ir)
     lft, rgt = sp_ir.binaural(sample_rate, facing, head_radius, shadow,
-                              speed_of_sound)
+                              speed_of_sound, decorrelate=decorrelate)
     return jnp.concatenate([lft, rgt], axis=0)
 
 

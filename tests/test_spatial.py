@@ -236,21 +236,113 @@ def test_binaural_frontal_is_symmetric():
     assert float(np.asarray(left)[0, 50, 0]) == pytest.approx(1.0)
 
 
-def test_binaural_conserves_energy():
-    # random field with |(X,Y)| <= W: left + right == 2 W in total
-    rng = np.random.default_rng(0)
-    n_t = 300
+def random_field(seed=0, n_t=300):
+    # random field with |(X,Y)| <= W (part coherent, part diffuse)
+    rng = np.random.default_rng(seed)
     w = jnp.asarray(rng.random((2, n_t, 3)), jnp.float32)
     ang = rng.random((2, n_t, 3)) * 2 * np.pi
     frac = rng.random((2, n_t, 3))
     x = w * frac * np.cos(ang)
     y = w * frac * np.sin(ang)
-    s = sp.SpatialIR(w=w, x=jnp.asarray(x, jnp.float32),
-                     y=jnp.asarray(y, jnp.float32))
-    left, right = s.binaural(8000, shadow=0.3)
+    return sp.SpatialIR(w=w, x=jnp.asarray(x, jnp.float32),
+                        y=jnp.asarray(y, jnp.float32))
+
+
+def test_binaural_conserves_energy():
+    # decorrelation off: left + right == 2 W in total (L1 identity)
+    s = random_field()
+    left, right = s.binaural(8000, shadow=0.3, decorrelate=False)
     total = float(np.asarray(left).sum() + np.asarray(right).sum())
-    np.testing.assert_allclose(total, 2 * float(np.asarray(w).sum()),
-                               rtol=1e-5)
+    np.testing.assert_allclose(
+        total, 2 * float(np.asarray(s.w).sum()), rtol=1e-5)
+
+
+def test_binaural_decorrelation_keeps_coherent_path_bit_identical():
+    # the decorrelator touches ONLY the diffuse stream: on a fully
+    # coherent field the decorrelated and plain decodes are bit-identical
+    s = synth_spatial(100, 0.9, coherent=1.0)
+    for on, off in zip(s.binaural(8000, shadow=0.4),
+                       s.binaural(8000, shadow=0.4, decorrelate=False)):
+        np.testing.assert_array_equal(np.asarray(on), np.asarray(off))
+    # and on a mixed field: left(decorr) - signs*diffuse ==
+    # left(plain) - diffuse bin-for-bin (the coherent splat is shared)
+    from realisticaudioraytracing2d_tpu.spatial import _ear_signs
+    m = random_field(seed=3)
+    l_on, _ = m.binaural(8000, shadow=0.4)
+    l_off, _ = m.binaural(8000, shadow=0.4, decorrelate=False)
+    diffuse = np.asarray(m.w) - np.minimum(
+        np.hypot(np.asarray(m.x), np.asarray(m.y)), np.asarray(m.w))
+    signs = _ear_signs(m.w.shape[1], ear_seed=0)[None, :, None]
+    np.testing.assert_allclose(np.asarray(l_on) - signs * diffuse,
+                               np.asarray(l_off) - diffuse, atol=1e-6)
+
+
+def test_binaural_decorrelated_diffuse_conserves_energy_magnitude():
+    # the random-sign decorrelator leaves each bin's energy MAGNITUDE
+    # exactly in place: |left| of a fully diffuse field == W bin-for-bin,
+    # so sum(|left|) + sum(|right|) == 2 W and per-ear power is exact
+    m = random_field(seed=4)
+    diffuse_only = sp.SpatialIR(w=m.w, x=jnp.zeros_like(m.w),
+                                y=jnp.zeros_like(m.w))
+    left, right = diffuse_only.binaural(8000, shadow=0.6)
+    np.testing.assert_array_equal(np.abs(np.asarray(left)),
+                                  np.asarray(m.w))
+    np.testing.assert_array_equal(np.abs(np.asarray(right)),
+                                  np.asarray(m.w))
+    # and the two ears' sign patterns are different (that is the point)
+    assert not np.array_equal(np.asarray(left), np.asarray(right))
+
+
+def test_binaural_decorrelation_drops_late_iacc():
+    # fully diffuse late tail (the box-room late field, synthesized as
+    # MC-noise on a decaying envelope with x = y = 0): the identical
+    # -diffuse-both-ears decode measures IACC ~ 1.0; the velvet
+    # decorrelator must push the late-field IACC under 0.5
+    from realisticaudioraytracing2d_tpu.analysis import iacc
+    sr, n_t = 8000, 2048
+    rng = np.random.default_rng(7)
+    env = np.exp(-np.arange(n_t) / (0.08 * sr))
+    w = jnp.asarray((rng.random(n_t) * env)[None, :, None], jnp.float32)
+    s = sp.SpatialIR(w=w, x=jnp.zeros_like(w), y=jnp.zeros_like(w))
+    l0, r0 = s.binaural(sr, decorrelate=False)
+    l1, r1 = s.binaural(sr)
+    late = dict(t_start_s=0.02)
+    i0 = float(iacc(jnp.asarray(np.asarray(l0)[0, :, 0]),
+                    jnp.asarray(np.asarray(r0)[0, :, 0]), sr, **late))
+    i1 = float(iacc(jnp.asarray(np.asarray(l1)[0, :, 0]),
+                    jnp.asarray(np.asarray(r1)[0, :, 0]), sr, **late))
+    assert i0 > 0.99          # the pre-fix decode: fully coherent
+    assert i1 < 0.5           # the decorrelated late field
+
+
+def test_binaural_traced_box_room_late_iacc():
+    # the real thing: traced diffuse box room, late-field IACC of the
+    # default binaural decode < 0.5 while the no-decorrelation decode
+    # stays interaurally coherent (> 0.9)
+    from realisticaudioraytracing2d_tpu.analysis import iacc
+    sr = 8000
+    s = run_spatial(box_room(), (1.0, 0.5), rays=8192, bounces=12,
+                    ir_length=4096, sample_rate=sr)
+    l0, r0 = s.binaural(sr, decorrelate=False)
+    l1, r1 = s.binaural(sr)
+    late = dict(t_start_s=0.08)
+    i0 = float(iacc(jnp.asarray(np.asarray(l0)[0, :, 0]),
+                    jnp.asarray(np.asarray(r0)[0, :, 0]), sr, **late))
+    i1 = float(iacc(jnp.asarray(np.asarray(l1)[0, :, 0]),
+                    jnp.asarray(np.asarray(r1)[0, :, 0]), sr, **late))
+    assert i0 > 0.9
+    assert i1 < 0.5
+
+
+def test_binaural_degenerate_head_identity():
+    # shadow=0 + radius=0 is "no head": coincident ears hear identical
+    # signals, so the decode must return W for both ears EXACTLY — the
+    # decorrelator (default on) must gate itself off here
+    m = random_field(seed=5)
+    left, right = m.binaural(8000, head_radius=0.0, shadow=0.0)
+    np.testing.assert_allclose(np.asarray(left), np.asarray(m.w),
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(left), np.asarray(right))
 
 
 def test_binaural_diffuse_part_not_lateralized():
@@ -259,7 +351,7 @@ def test_binaural_diffuse_part_not_lateralized():
     sr, r, c = 8000, 0.0875, 343.0
     s = synth_spatial(100, np.pi / 2, coherent=0.5)
     left, right = s.binaural(sr, head_radius=r, shadow=1.0,
-                             speed_of_sound=c)
+                             speed_of_sound=c, decorrelate=False)
     right = np.asarray(right)[0, :, 0]
     # right ear: coherent part fully shadowed (gain 0) -> only the
     # diffuse share remains (full, each ear is a whole microphone),
@@ -275,7 +367,7 @@ def test_binaural_traced_echo_lateralizes():
     sr = 8000
     s = run_spatial(echo_scene(), (5.0, 0.0), rays=16384, sample_rate=sr)
     left, right = s.binaural(sr, facing=np.pi / 2, head_radius=0.2,
-                             shadow=0.6)
+                             shadow=0.6, decorrelate=False)
     left = np.asarray(left)[0, :, 0]
     right = np.asarray(right)[0, :, 0]
     shift = 0.2 / 343.0 * sr                 # 4.7 bins each way
