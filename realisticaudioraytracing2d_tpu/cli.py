@@ -660,6 +660,20 @@ def cmd_live(args):
                                     / cfg.audio.chunk_duration)))
     binaural, facing_fn = _binaural_setup(args, room, n_l,
                                           cfg.audio.chunk_duration)
+    chunk_dt = cfg.audio.chunk_duration
+    vel = np.asarray([float(v) for v in args.move_listener.split(",")]) \
+        if args.move_listener else np.zeros(2)
+    svel = np.asarray([float(v) for v in args.move_source.split(",")]) \
+        if args.move_source else np.zeros(2)
+
+    def poses(i):
+        drift = (vel * i * chunk_dt).astype(np.float32)
+        sdrift = (svel * i * chunk_dt).astype(np.float32)
+        return eng.params(np.asarray(room.source, np.float32) + sdrift,
+                          listeners + drift,
+                          directivity=_directivity_arr(args, room),
+                          mic_directivity=_mic_directivity_arr(args, room))
+
     player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
@@ -672,11 +686,9 @@ def cmd_live(args):
     on_chunk = _viz_callback(args.out or "live.wav", args.viz_every) \
         if args.viz_every else None
     rep = player.run(dry, total_chunks=total_chunks,
-                     realtime=args.realtime,
-                     params=eng.params(room.source, listeners,
-                   directivity=_directivity_arr(args, room),
-                   mic_directivity=_mic_directivity_arr(args, room)),
-                     on_chunk=on_chunk, facing_fn=facing_fn)
+                     realtime=args.realtime, params_fn=poses,
+                     on_chunk=on_chunk, facing_fn=facing_fn,
+                     doppler=args.doppler)
     if on_chunk is not None:
         on_chunk.flush()
     if args.out:
@@ -1048,6 +1060,14 @@ def main(argv=None):
     p.add_argument("--realtime", action="store_true",
                    help="pace the audio thread on the wall clock "
                         "(underruns counted when the producer lags)")
+    p.add_argument("--move-listener", default=None,
+                   help="listener velocity 'vx,vy' (m/s)")
+    p.add_argument("--move-source", default=None,
+                   help="source velocity 'vx,vy' (m/s)")
+    p.add_argument("--doppler", action="store_true",
+                   help="fractional-rate dry feed: pitch shifts by "
+                        "1 - v/c from the poses' radial velocity "
+                        "(same physics as stream --doppler)")
     p.add_argument("--viz-every", type=int, default=0, metavar="N",
                    help="write the live IR waveform PNG every N chunks "
                         "(<out stem>_ir_NNNN.png)")

