@@ -541,6 +541,7 @@ def cmd_stream(args):
                    mic_directivity=_mic_directivity_arr(args, room))
 
     binaural, facing_fn = _binaural_setup(args, room, n_l, chunk_dt)
+    poses, facing_fn = _pose_feed_wrap(args, poses, facing_fn)
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
@@ -599,6 +600,25 @@ def _binaural_setup(args, room, n_l: int, chunk_dt: float):
     base = float(np.radians(binaural))
     turn = float(np.radians(getattr(args, "head_turn", 0.0))) * chunk_dt
     return True, (lambda i: base + turn * i)
+
+
+def _pose_feed_wrap(args, poses, facing_fn):
+    """Wrap the trajectory's ``poses``/``facing_fn`` with a
+    ``--pose-feed`` JSON-lines channel (file being appended to, or ``-``
+    = stdin) — live steering of a running stream/live pipeline, the
+    reference's edit-the-scene-while-it-plays loop
+    (RayTraceManager.cs:50-61,67)."""
+    path = getattr(args, "pose_feed", None)
+    if not path:
+        return poses, facing_fn
+    from .posefeed import PoseFeed
+
+    feed = PoseFeed.open(path)
+    fed_poses = lambda i: feed.params(poses(i), i)            # noqa: E731
+    base_facing = facing_fn if facing_fn is not None \
+        else (lambda i: 0.0)
+    fed_facing = lambda i: feed.facing(base_facing(i), i)     # noqa: E731
+    return fed_poses, (fed_facing if facing_fn is not None else None)
 
 
 def _viz_callback(out_path, every: int):
@@ -674,6 +694,7 @@ def cmd_live(args):
                           directivity=_directivity_arr(args, room),
                           mic_directivity=_mic_directivity_arr(args, room))
 
+    poses, facing_fn = _pose_feed_wrap(args, poses, facing_fn)
     player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
@@ -1024,6 +1045,11 @@ def main(argv=None):
     p.add_argument("--doppler", action="store_true",
                    help="fractional-rate dry feed: pitch shifts by "
                         "1 - v/c from the poses' radial velocity")
+    p.add_argument("--pose-feed", default=None, metavar="FILE",
+                   help="steer the running stream: JSON-lines pose "
+                        "overrides tailed from FILE ('-' = stdin), per "
+                        "line {\"chunk\": i, \"source\": [x,y], "
+                        "\"listener\": [x,y], \"facing\": rad}")
     p.add_argument("--frames-per-chunk", type=int, default=1)
     p.add_argument("--duration", type=float, default=None,
                    help="stream for this many seconds; the clip loops at "
@@ -1068,6 +1094,9 @@ def main(argv=None):
                    help="fractional-rate dry feed: pitch shifts by "
                         "1 - v/c from the poses' radial velocity "
                         "(same physics as stream --doppler)")
+    p.add_argument("--pose-feed", default=None, metavar="FILE",
+                   help="steer the running live pipeline: JSON-lines "
+                        "pose overrides tailed from FILE ('-' = stdin)")
     p.add_argument("--viz-every", type=int, default=0, metavar="N",
                    help="write the live IR waveform PNG every N chunks "
                         "(<out stem>_ir_NNNN.png)")
