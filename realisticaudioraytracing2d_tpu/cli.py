@@ -706,10 +706,24 @@ def cmd_live(args):
                         head_radius=getattr(args, "head_radius", 0.0875))
     on_chunk = _viz_callback(args.out or "live.wav", args.viz_every) \
         if args.viz_every else None
-    rep = player.run(dry, total_chunks=total_chunks,
-                     realtime=args.realtime, params_fn=poses,
-                     on_chunk=on_chunk, facing_fn=facing_fn,
-                     doppler=args.doppler)
+    sink = None
+    if args.play:
+        from .native import AudioSink
+        try:
+            sink = AudioSink(cfg.audio.sample_rate, player.n_listeners,
+                             device=args.play_device)
+        except RuntimeError as e:
+            raise SystemExit(
+                f"--play: {e} (run without --play to record to a WAV)")
+    try:
+        rep = player.run(dry, total_chunks=total_chunks,
+                         realtime=args.realtime or sink is not None,
+                         params_fn=poses,
+                         on_chunk=on_chunk, facing_fn=facing_fn,
+                         doppler=args.doppler, sink=sink)
+    finally:
+        if sink is not None:
+            sink.close()
     if on_chunk is not None:
         on_chunk.flush()
     if args.out:
@@ -1097,6 +1111,13 @@ def main(argv=None):
     p.add_argument("--pose-feed", default=None, metavar="FILE",
                    help="steer the running live pipeline: JSON-lines "
                         "pose overrides tailed from FILE ('-' = stdin)")
+    p.add_argument("--play", action="store_true",
+                   help="play through the OS audio device (ALSA via "
+                        "the native sink; implies realtime pacing by "
+                        "the device clock). Degrades with a clear "
+                        "message when no sound system exists.")
+    p.add_argument("--play-device", default="default", metavar="PCM",
+                   help="ALSA PCM device name for --play")
     p.add_argument("--viz-every", type=int, default=0, metavar="N",
                    help="write the live IR waveform PNG every N chunks "
                         "(<out stem>_ir_NNNN.png)")

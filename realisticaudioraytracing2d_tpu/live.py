@@ -161,7 +161,7 @@ class LivePlayer:
             on_chunk: Optional[Callable[[int, jax.Array], None]] = None,
             prime: int = 1,
             facing_fn: Optional[Callable[[int], float]] = None,
-            doppler: bool = False) -> LiveReport:
+            doppler: bool = False, sink=None) -> LiveReport:
         """``on_chunk(i, cur_ir)`` (optional) runs on the producer thread
         after chunk ``i`` is pushed, with that chunk's normalized IR
         ``[L, T, K]`` — the live-feedback hook (the reference blits the
@@ -179,7 +179,16 @@ class LivePlayer:
         :class:`..streaming.DopplerFeed` fractional-rate resampler the
         offline :meth:`..streaming.Streamer.stream_clip` uses — a moving
         pose pitch-shifts identically live and offline (integrity-mode
-        live output is sample-exact against the Doppler stream)."""
+        live output is sample-exact against the Doppler stream).
+
+        ``sink`` (an object with ``write(block[C, N]) -> frames``, e.g.
+        :class:`..native.AudioSink`) receives every drained DSP buffer
+        on the consumer thread — audible playback, the reference's
+        engine-to-sound-card hop (``AudioManager.cs:56-69``). With a
+        real device sink the blocking device write IS the audio clock,
+        so the consumer skips the wall-clock sleep in realtime mode
+        (underrun accounting unchanged); the drained audio is still
+        recorded in the report."""
         cfg = self.config
         n = cfg.audio.chunk_samples
         t = cfg.audio.ir_length
@@ -284,10 +293,12 @@ class LivePlayer:
             period = self.dsp_buffer / sr
             while consumed < total_samples and not producer_err:
                 if realtime:
-                    next_tick += period
-                    delay = next_tick - time.perf_counter()
-                    if delay > 0:
-                        time.sleep(delay)
+                    if sink is None:
+                        next_tick += period
+                        delay = next_tick - time.perf_counter()
+                        if delay > 0:
+                            time.sleep(delay)
+                    # else: the device's blocking write below paces us
                     with frontier_lock:
                         if frontier < min(consumed + self.dsp_buffer,
                                           total_samples):
@@ -313,6 +324,10 @@ class LivePlayer:
                         report.max_lead_samples, frontier - consumed)
                     frontier_lock.notify_all()
                 out.append(buf)
+                if sink is not None:
+                    # outside the lock: a blocking device write must not
+                    # stall the producer's push
+                    sink.write(buf)
 
         tp = threading.Thread(target=producer, name="sim-producer")
         tc = threading.Thread(target=consumer, name="audio-consumer")

@@ -21,7 +21,8 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "artnative.cpp"),
-         os.path.join(_HERE, "mp3dec.cpp")]
+         os.path.join(_HERE, "mp3dec.cpp"),
+         os.path.join(_HERE, "audiosink.cpp")]
 _LIB = os.path.join(_HERE, "libartnative.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -81,6 +82,15 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.art_mp3_encode.argtypes = [
             ctypes.c_char_p, f32p, ctypes.c_longlong, ctypes.c_int,
             ctypes.c_int, ctypes.c_int]
+        lib.art_sink_probe.restype = ctypes.c_int
+        lib.art_sink_error.restype = ctypes.c_char_p
+        lib.art_sink_open.restype = ctypes.c_void_p
+        lib.art_sink_open.argtypes = [ctypes.c_char_p, ctypes.c_uint,
+                                      ctypes.c_uint, ctypes.c_uint]
+        lib.art_sink_write.restype = ctypes.c_long
+        lib.art_sink_write.argtypes = [ctypes.c_void_p, f32p,
+                                       ctypes.c_long, ctypes.c_int]
+        lib.art_sink_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -322,3 +332,86 @@ def encode_mp3(path: str, x: np.ndarray, sample_rate: int,
                             x.shape[1], sample_rate, kbps)
     if rc != 0:
         raise RuntimeError(f"mp3 encode failed ({rc}): {path}")
+
+
+def sink_probe() -> Tuple[bool, str]:
+    """``(available, reason)`` — whether an OS audio sink can exist here:
+    the native runtime compiled AND libasound resolved at runtime. A
+    device may still fail to open (no sound card); that error surfaces
+    from :class:`AudioSink` with the ALSA message."""
+    lib = _load()
+    if lib is None:
+        return False, "native runtime unavailable (no g++?)"
+    if not lib.art_sink_probe():
+        return False, "libasound.so.2 not found (no ALSA runtime)"
+    return True, "alsa"
+
+
+class AudioSink:
+    """Playback through the default (or named) ALSA PCM device — the
+    missing last meter of the reference's audio path: Unity's engine
+    hands ``OnAudioFilterRead``'s buffer to the sound card
+    (``AudioManager.cs:56-69``); here the live consumer thread hands
+    each drained DSP buffer to :meth:`write`.
+
+    Raises ``RuntimeError`` with the probe reason or the ALSA error when
+    no sink can open — callers (CLI ``live --play``) degrade with that
+    message. Use as a context manager or call :meth:`close` (drains)."""
+
+    def __init__(self, sample_rate: int, channels: int,
+                 device: str = "default", latency_ms: float = 100.0):
+        ok, reason = sink_probe()
+        if not ok:
+            raise RuntimeError(f"audio sink unavailable: {reason}")
+        lib = _load()
+        self._lib = lib
+        self.channels = int(channels)
+        self._pcm = lib.art_sink_open(device.encode(), int(sample_rate),
+                                      int(channels),
+                                      int(latency_ms * 1000))
+        if not self._pcm:
+            err = lib.art_sink_error()
+            raise RuntimeError(
+                "audio sink open failed: "
+                f"{err.decode() if err else 'unknown alsa error'}")
+
+    def write(self, block: np.ndarray) -> int:
+        """Blocking play of ``block`` — ``[N]`` mono or ``[C, N]``
+        channel-major (the pipeline's layout; duplicated/interleaved to
+        the device like the reference's mono->all-channels copy).
+        Returns frames written."""
+        x = np.asarray(block, np.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[0] != self.channels:
+            if x.shape[0] == 1:
+                x = np.broadcast_to(x, (self.channels, x.shape[1]))
+            else:
+                raise ValueError(f"sink has {self.channels} channels, "
+                                 f"block has {x.shape[0]}")
+        inter = np.ascontiguousarray(x.T.reshape(-1))     # interleave
+        n = self._lib.art_sink_write(self._pcm, _f32(inter), x.shape[1],
+                                     self.channels)
+        if n < 0:
+            err = self._lib.art_sink_error()
+            raise RuntimeError(
+                "audio sink write failed: "
+                f"{err.decode() if err else 'unknown alsa error'}")
+        return int(n)
+
+    def close(self) -> None:
+        if getattr(self, "_pcm", None):
+            self._lib.art_sink_close(self._pcm)
+            self._pcm = None
+
+    def __enter__(self) -> "AudioSink":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self):  # pragma: no cover - GC-order dependent
+        try:
+            self.close()
+        except Exception:
+            pass

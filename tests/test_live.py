@@ -171,6 +171,43 @@ def test_live_doppler_matches_doppler_stream(live_cfg):
     assert not np.allclose(rep.audio, plain.audio)
 
 
+def test_live_sink_receives_every_drained_buffer(live_cfg):
+    # a sink (the AudioSink contract: write(block[C, N])) gets exactly
+    # the audio the thread drained, in order - so on a host with ALSA,
+    # --play plays precisely what the report records
+    room, cfg, params = live_cfg
+    n = cfg.audio.chunk_samples
+    total = 4
+    dry = jnp.asarray(np.random.default_rng(0).normal(
+        size=2 * n).astype(np.float32) * 0.3)
+
+    class FakeSink:
+        def __init__(self):
+            self.blocks = []
+
+        def write(self, block):
+            self.blocks.append(np.array(block, np.float32))
+            return block.shape[-1]
+
+    sink = FakeSink()
+    player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(1))
+    rep = player.run(dry, total_chunks=total, loop=False, realtime=False,
+                     params=params, sink=sink)
+    got = np.concatenate(sink.blocks, axis=-1)
+    np.testing.assert_array_equal(got, rep.audio)
+
+
+def test_cli_live_play_degrades_cleanly_without_alsa(tmp_path):
+    from realisticaudioraytracing2d_tpu import native
+    from realisticaudioraytracing2d_tpu.cli import main
+    if native.sink_probe()[0]:
+        pytest.skip("ALSA present here; degradation path not reachable")
+    with pytest.raises(SystemExit, match="--play"):
+        main(["live", "--room", "smoll", "--rays", "64", "--bounces", "4",
+              "--frames", "1", "--reverb", "0.2", "--sample-rate", "8000",
+              "--duration", "0.2", "--play"])
+
+
 def test_live_binaural_matches_binaural_stream(live_cfg):
     # binaural live (threaded, integrity mode) == the binaural Streamer
     # output: the ear decode rides the same chunk step on both paths

@@ -231,3 +231,23 @@ def test_mp3_decodes_reference_shipped_clips():
         assert np.isfinite(y).all()
         rms = float(np.sqrt((y.astype(np.float64) ** 2).mean()))
         assert 1e-4 < rms < 1.0
+
+
+# ---- OS audio sink (ALSA via dlopen) ----------------------------------------
+
+
+def test_sink_probe_reports_availability_with_reason():
+    ok, reason = native.sink_probe()
+    assert isinstance(ok, bool)
+    assert isinstance(reason, str) and reason
+    if not ok:
+        # this box: no ALSA runtime -> the reason must say what's missing
+        assert "asound" in reason or "native runtime" in reason
+
+
+def test_audio_sink_degrades_cleanly_without_device():
+    ok, reason = native.sink_probe()
+    if ok:
+        pytest.skip("ALSA present here; degradation path not reachable")
+    with pytest.raises(RuntimeError, match="audio sink unavailable"):
+        native.AudioSink(48000, 1)
