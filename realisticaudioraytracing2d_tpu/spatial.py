@@ -72,6 +72,15 @@ from .ops.trace import TraceParams
 #: ``[c0, c_cos, c_sin]``): omni, cardioid aimed at 0, cardioid at pi/2.
 _PATTERNS = ((1.0, 0.0, 0.0), (1.0, 1.0, 0.0), (1.0, 0.0, 1.0))
 
+#: Order-2 extension ``[c0, cos, sin, cos2, sin2]``: the three above plus
+#: ``1 + cos(2 theta)`` and ``1 + sin(2 theta)`` — still non-negative per
+#: hit, so the per-hit moment identity is exact at second order too.
+_PATTERNS2 = ((1.0, 0.0, 0.0, 0.0, 0.0),
+              (1.0, 1.0, 0.0, 0.0, 0.0),
+              (1.0, 0.0, 1.0, 0.0, 0.0),
+              (1.0, 0.0, 0.0, 1.0, 0.0),
+              (1.0, 0.0, 0.0, 0.0, 1.0))
+
 
 def _ear_signs(n_t: int, ear_seed: int):
     """Deterministic per-bin random-sign (Rademacher) pattern ``[T]``
@@ -102,32 +111,51 @@ def _ear_signs(n_t: int, ear_seed: int):
 
 
 class SpatialIR(NamedTuple):
-    """Per-bin spatial energy IR. All channels are ``[L, T, K]``."""
+    """Per-bin spatial energy IR. All channels are ``[L, T, K]``;
+    ``x2``/``y2`` (second circular moments, present when traced with
+    ``order=2``) sharpen DoA — see :func:`two_arrival_bearings`."""
 
     w: jax.Array  # omni energy (identical to the ordinary IR)
     x: jax.Array  # energy-weighted sum of cos(arrival angle)
     y: jax.Array  # energy-weighted sum of sin(arrival angle)
+    x2: Optional[jax.Array] = None  # sum of e cos(2 angle) (order 2)
+    y2: Optional[jax.Array] = None  # sum of e sin(2 angle) (order 2)
+
+    @property
+    def order(self) -> int:
+        return 2 if self.x2 is not None else 1
 
     @property
     def n_listeners(self) -> int:
         return self.w.shape[0]
 
-    def steer(self, aim, b: float = 1.0, a: float = 1.0) -> jax.Array:
-        """IR of a virtual first-order mic ``g = a + b cos(theta - aim)``
-        at the same position(s), ``[L, T, K]``.
+    def steer(self, aim, b: float = 1.0, a: float = 1.0,
+              c: float = 0.0) -> jax.Array:
+        """IR of a virtual mic ``g = a + b cos(theta - aim)
+        + c cos(2 (theta - aim))`` at the same position(s), ``[L, T, K]``.
 
-        Exactly equals retracing with
-        ``mic_directivity = [a, b cos(aim), b sin(aim)]`` as long as the
-        pattern is non-negative per hit (``|b| <= a``); values outside
-        that range raise (they would need per-hit clamping that a linear
-        combination cannot reproduce)."""
-        if abs(b) > a:
+        Exactly equals retracing with that pattern as the
+        ``mic_directivity`` Fourier series as long as it is non-negative
+        per hit; values that dip negative raise (they would need the
+        per-hit clamp a linear combination cannot reproduce). ``c != 0``
+        needs an ``order=2`` capture (:func:`spatial_params`) and unlocks
+        the sharper second-order family — e.g. the 2D "supercardioid"
+        ``a=1, b=4/3, c=1/3`` whose main lobe is ~30% narrower than the
+        cardioid's, steered post hoc with no retrace."""
+        if _steer_min(a, b, c) < -1e-6 * max(abs(a), abs(b), abs(c), 1.0):
             raise ValueError(
-                f"|b| <= a required for a valid power pattern (a={a}, "
-                f"b={b}): g = a + b cos would go negative per hit")
+                f"invalid power pattern (a={a}, b={b}, c={c}): "
+                f"g = a + b cos + c cos2 goes negative per hit")
+        if c and self.x2 is None:
+            raise ValueError("second-harmonic steering (c != 0) needs an "
+                             "order=2 capture: spatial_params(order=2)")
         aim = jnp.asarray(aim, jnp.float32)
-        return a * self.w + b * (jnp.cos(aim) * self.x +
-                                 jnp.sin(aim) * self.y)
+        out = a * self.w + b * (jnp.cos(aim) * self.x +
+                                jnp.sin(aim) * self.y)
+        if c:
+            out = out + c * (jnp.cos(2.0 * aim) * self.x2 +
+                             jnp.sin(2.0 * aim) * self.y2)
+        return out
 
     def stereo(self, aim=0.0, spread: float = math.pi / 2
                ) -> Tuple[jax.Array, jax.Array]:
@@ -242,15 +270,31 @@ class SpatialIR(NamedTuple):
         return jnp.clip(jnp.where(self.w > 0.0, psi, 1.0), 0.0, 1.0)
 
 
-def spatial_params(params: TraceParams) -> TraceParams:
-    """Expand ``params`` so each of its ``L`` listeners becomes the three
-    coincident virtual microphones (listener axis ``3L``, pattern-major:
+def _steer_min(a: float, b: float, c: float) -> float:
+    """Exact minimum of ``a + b cos(u) + c cos(2u)`` over ``u`` (used to
+    validate steering patterns). With ``t = cos(u)``:
+    ``f(t) = a - c + b t + 2 c t^2`` on ``[-1, 1]`` — min over the two
+    endpoints and the interior stationary point ``t* = -b / (4c)``."""
+    cands = [a + b + c, a - b + c]
+    if c != 0.0:
+        t = -b / (4.0 * c)
+        if -1.0 <= t <= 1.0:
+            cands.append(a - c + b * t + 2.0 * c * t * t)
+    return min(cands)
+
+
+def spatial_params(params: TraceParams, order: int = 1) -> TraceParams:
+    """Expand ``params`` so each of its ``L`` listeners becomes the
+    coincident virtual microphones of the moment capture (pattern-major:
     rows ``[0, L)`` omni, ``[L, 2L)`` cardioid-0, ``[2L, 3L)``
-    cardioid-90).
+    cardioid-90; ``order=2`` adds ``1 + cos(2 theta)`` and
+    ``1 + sin(2 theta)`` rows for the second circular moments — listener
+    axis ``3L`` or ``5L``).
 
     The result can be used anywhere a ``TraceParams`` is —
     ``engine.trace_accumulate``, the streaming chunk step, the
-    diffraction pass — with an ``IRState.zeros(T, 3 * L, K)`` state.
+    diffraction pass — with an ``IRState.zeros(T, 3 * L or 5 * L, K)``
+    state.
 
     Raises if ``params`` already has a mic pattern: spatial capture IS a
     mic-pattern assignment, the two cannot compose.
@@ -258,11 +302,14 @@ def spatial_params(params: TraceParams) -> TraceParams:
     if params.mic_directivity is not None:
         raise ValueError("spatial capture replaces mic_directivity; "
                          "steer the SpatialIR afterwards instead")
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order}")
+    pats = _PATTERNS if order == 1 else _PATTERNS2
     listeners = params.listeners                       # [L, 2]
     n_l = listeners.shape[0]
-    table = jnp.repeat(jnp.asarray(_PATTERNS, jnp.float32), n_l, axis=0)
+    table = jnp.repeat(jnp.asarray(pats, jnp.float32), n_l, axis=0)
     return params._replace(
-        listeners=jnp.tile(listeners, (len(_PATTERNS), 1)),
+        listeners=jnp.tile(listeners, (len(pats), 1)),
         mic_directivity=table)
 
 
@@ -293,16 +340,22 @@ def binaural_decode_ir(cur_ir: jax.Array, sample_rate: int, facing,
     return jnp.concatenate([lft, rgt], axis=0)
 
 
-def spatial_from_ir(ir: jax.Array) -> SpatialIR:
+def spatial_from_ir(ir: jax.Array, order: int = 1) -> SpatialIR:
     """Split an IR traced under :func:`spatial_params` — shape
-    ``[3L, T, K]`` (normalized or raw sum alike; the split is linear) —
-    into :class:`SpatialIR` channels ``[L, T, K]``."""
-    if ir.ndim != 3 or ir.shape[0] % len(_PATTERNS) != 0:
-        raise ValueError(f"expected [3L, T, K] from spatial_params, got "
-                         f"{ir.shape}")
-    n_l = ir.shape[0] // len(_PATTERNS)
+    ``[3L, T, K]`` (or ``[5L, T, K]`` for ``order=2``; normalized or raw
+    sum alike, the split is linear) — into :class:`SpatialIR` channels
+    ``[L, T, K]``."""
+    n_pat = 3 if order == 1 else 5
+    if ir.ndim != 3 or ir.shape[0] % n_pat != 0:
+        raise ValueError(f"expected [{n_pat}L, T, K] from "
+                         f"spatial_params(order={order}), got {ir.shape}")
+    n_l = ir.shape[0] // n_pat
     w = ir[:n_l]
-    return SpatialIR(w=w, x=ir[n_l:2 * n_l] - w, y=ir[2 * n_l:] - w)
+    out = SpatialIR(w=w, x=ir[n_l:2 * n_l] - w, y=ir[2 * n_l:3 * n_l] - w)
+    if order == 2:
+        out = out._replace(x2=ir[3 * n_l:4 * n_l] - w,
+                           y2=ir[4 * n_l:5 * n_l] - w)
+    return out
 
 
 def dominant_arrivals(sp_ir: SpatialIR, sample_rate: int, *,
@@ -390,20 +443,105 @@ def onset_bearing(sp_ir: SpatialIR, time_s: float, sample_rate: int, *,
 def trace_spatial(scene, params: TraceParams, key: jax.Array, *,
                   n_rays: int, max_bounces: int, sample_rate: int,
                   ir_length: int, n_frames: int = 1,
-                  state: Optional[irm.IRState] = None
+                  state: Optional[irm.IRState] = None, order: int = 1
                   ) -> Tuple[SpatialIR, irm.IRState]:
     """One-call spatial trace: accumulate ``n_frames`` frames of the
-    3-virtual-mic capture and split the frame-averaged result.
+    virtual-mic moment capture (3 mics, or 5 with ``order=2``) and split
+    the frame-averaged result.
 
     Returns ``(SpatialIR, IRState)`` — keep the state to accumulate more
     frames (pass it back as ``state=``).
     """
     from .engine import trace_accumulate
-    sp = spatial_params(params)
+    sp = spatial_params(params, order=order)
     if state is None:
         state = irm.IRState.zeros(ir_length, sp.listeners.shape[0],
                                   scene.n_bands)
     state = trace_accumulate(scene, sp, state, key, n_rays=n_rays,
                              max_bounces=max_bounces,
                              sample_rate=sample_rate, n_frames=n_frames)
-    return spatial_from_ir(state.normalized()), state
+    return spatial_from_ir(state.normalized(), order=order), state
+
+
+def two_arrival_bearings(sp_ir: SpatialIR, lo_bin: int, hi_bin: int, *,
+                         listener: int = 0, band: int = 0,
+                         grid: int = 360, refine: int = 3):
+    """Resolve TWO simultaneous arrivals inside one analysis window from
+    the circular moments — what first-order intensity provably cannot do
+    (its single vector is the energy-weighted mean direction; two
+    arrivals smear into one bearing between them with raised
+    diffuseness).
+
+    Model: the window holds arrivals at bearings ``t1, t2`` with
+    energies ``e1, e2 >= 0``. The captured moments are
+    ``m0 = e1 + e2``, ``m1 = e1 u(t1) + e2 u(t2)``,
+    ``m2 = e1 u(2 t1) + e2 u(2 t2)`` (``u`` = unit vector) — 5 real
+    knowns, 4 unknowns. Solved by separable least squares: for candidate
+    ``(t1, t2)`` the optimal energies are a 2x2 nonnegative linear solve;
+    a coarse bearing grid + ``refine`` local refinement passes picks the
+    residual minimizer. Host-side analysis (numpy), like
+    :func:`dominant_arrivals`.
+
+    Returns ``[(bearing_rad, energy), (bearing_rad, energy)]`` sorted by
+    energy (descending). Requires an ``order=2`` capture.
+    """
+    import numpy as np
+
+    if sp_ir.x2 is None:
+        raise ValueError("two_arrival_bearings needs an order=2 capture")
+    sl = (listener, slice(lo_bin, hi_bin), band)
+    m0 = float(np.asarray(sp_ir.w)[sl].sum())
+    m1 = np.array([np.asarray(sp_ir.x)[sl].sum(),
+                   np.asarray(sp_ir.y)[sl].sum()])
+    m2 = np.array([np.asarray(sp_ir.x2)[sl].sum(),
+                   np.asarray(sp_ir.y2)[sl].sum()])
+
+    def residual(t1, t2):
+        # design matrix: each arrival contributes (1, u(t), u(2t))
+        a = np.array([[1.0, 1.0],
+                      [np.cos(t1), np.cos(t2)],
+                      [np.sin(t1), np.sin(t2)],
+                      [np.cos(2 * t1), np.cos(2 * t2)],
+                      [np.sin(2 * t1), np.sin(2 * t2)]])
+        b = np.array([m0, m1[0], m1[1], m2[0], m2[1]])
+        e, *_ = np.linalg.lstsq(a, b, rcond=None)
+        e = np.maximum(e, 0.0)
+        return float(((a @ e - b) ** 2).sum()), e
+
+    # Coarse pass, vectorized over all bearing pairs: per-pair optimal
+    # energies come from the closed-form 2x2 normal equations (unclamped
+    # here; the refine passes use the clamped lstsq).
+    ts = np.linspace(-np.pi, np.pi, grid, endpoint=False)
+    cols = np.stack([np.ones(grid), np.cos(ts), np.sin(ts),
+                     np.cos(2 * ts), np.sin(2 * ts)], axis=1)   # [G, 5]
+    b = np.array([m0, m1[0], m1[1], m2[0], m2[1]])
+    gram = cols @ cols.T                                        # ci . cj
+    cb = cols @ b                                               # ci . b
+    ii, jj = np.triu_indices(grid)
+    g11 = np.diag(gram)[ii]
+    g22 = np.diag(gram)[jj]
+    g12 = gram[ii, jj]
+    det = g11 * g22 - g12 * g12
+    det = np.where(np.abs(det) < 1e-12, np.inf, det)  # t1 == t2: singular
+    e1 = (g22 * cb[ii] - g12 * cb[jj]) / det
+    e2 = (g11 * cb[jj] - g12 * cb[ii]) / det
+    # residual of the exact (unclamped) solve: |b|^2 - e . (A^T b)
+    res = (b @ b) - (e1 * cb[ii] + e2 * cb[jj])
+    res = np.where(np.isfinite(res), res, np.inf)
+    k = int(np.argmin(res))
+    r0, e0 = residual(ts[ii[k]], ts[jj[k]])
+    best = (r0, ts[ii[k]], ts[jj[k]], e0)
+    step = 2 * np.pi / grid
+    for _ in range(refine):
+        step /= 4.0
+        _, t1, t2, _ = best
+        for d1 in (-step, 0.0, step):
+            for d2 in (-step, 0.0, step):
+                r, e = residual(t1 + d1, t2 + d2)
+                if r < best[0]:
+                    best = (r, t1 + d1, t2 + d2, e)
+    _, t1, t2, e = best
+    out = sorted([(float(np.arctan2(np.sin(t), np.cos(t))), float(en))
+                  for t, en in ((t1, e[0]), (t2, e[1]))],
+                 key=lambda p: -p[1])
+    return out

@@ -430,3 +430,105 @@ def test_dominant_arrivals_overlapping_windows_keep_bearings():
     assert abs(abs(arr[1]["bearing_rad"]) - np.pi) < 1e-6
     assert arr[1]["diffuseness"] < 1e-6
     assert arr[1]["energy"] == pytest.approx(0.8)
+
+
+# ---- second-order moments (X2/Y2) -------------------------------------------
+
+
+def test_steer2_matches_retraced_figure_eight():
+    # post-hoc second-harmonic steering == actually tracing with the
+    # figure-eight mic pattern (exact per-hit identity, like the
+    # first-order cardioid test)
+    scene = echo_scene()
+    aim = 0.6
+    p = TraceParams.make(np.float32([0.0, 0.0]), np.float32([5.0, 0.0]),
+                         listener_radius=0.5)
+    ir, _ = sp.trace_spatial(scene, p, jax.random.PRNGKey(0),
+                             n_rays=8192, max_bounces=2,
+                             sample_rate=8000, ir_length=2048, order=2)
+    pm = TraceParams.make(np.float32([0.0, 0.0]), np.float32([5.0, 0.0]),
+                          listener_radius=0.5,
+                          mic_directivity=jnp.asarray(
+                              dv.figure_eight(aim)))
+    st = trace_accumulate(scene, pm, IRState.zeros(2048),
+                          jax.random.PRNGKey(0), n_rays=8192,
+                          max_bounces=2, sample_rate=8000)
+    want = np.asarray(st.normalized())
+    got = np.asarray(ir.steer(aim, b=0.0, a=1.0, c=1.0))
+    np.testing.assert_allclose(got, want, rtol=2e-4,
+                               atol=1e-7 * want.max())
+
+
+def test_steer2_validates_pattern_and_order():
+    ir1, _ = sp.trace_spatial(far_field(),
+                              TraceParams.make(np.float32([0.0, 0.0]),
+                                               np.float32([5.0, 0.0]),
+                                               listener_radius=0.5),
+                              jax.random.PRNGKey(0), n_rays=512,
+                              max_bounces=1, sample_rate=8000,
+                              ir_length=512)
+    with pytest.raises(ValueError, match="order=2"):
+        ir1.steer(0.0, c=0.5)
+    ir2 = sp.SpatialIR(w=jnp.ones((1, 4, 1)), x=jnp.zeros((1, 4, 1)),
+                       y=jnp.zeros((1, 4, 1)), x2=jnp.zeros((1, 4, 1)),
+                       y2=jnp.zeros((1, 4, 1)))
+    with pytest.raises(ValueError, match="negative"):
+        ir2.steer(0.0, b=0.0, a=0.5, c=1.0)  # dips below zero at u=pi/2
+    # supercardioid-like second-order family is legal
+    ir2.steer(0.3, a=1.0, b=4.0 / 3.0, c=1.0 / 3.0)
+
+
+def test_two_arrival_bearings_exact_moments():
+    # two arrivals in one bin: first order smears to the weighted mean
+    # bearing; the order-2 solver recovers both
+    t1, t2, e1, e2 = 0.3, 2.0, 1.0, 0.7
+    n_t = 64
+    z = np.zeros((1, n_t, 1), np.float32)
+    w = z.copy(); w[0, 10, 0] = e1 + e2
+    x = z.copy(); x[0, 10, 0] = e1 * np.cos(t1) + e2 * np.cos(t2)
+    y = z.copy(); y[0, 10, 0] = e1 * np.sin(t1) + e2 * np.sin(t2)
+    x2 = z.copy(); x2[0, 10, 0] = e1 * np.cos(2 * t1) + e2 * np.cos(2 * t2)
+    y2 = z.copy(); y2[0, 10, 0] = e1 * np.sin(2 * t1) + e2 * np.sin(2 * t2)
+    s = sp.SpatialIR(*(jnp.asarray(a) for a in (w, x, y, x2, y2)))
+    # first order: one bearing strictly between the two, diffuse > 0
+    ang = float(np.asarray(s.arrival_angle())[0, 10, 0])
+    assert t1 + 0.1 < ang < t2 - 0.1
+    assert float(np.asarray(s.diffuseness())[0, 10, 0]) > 0.1
+    got = sp.two_arrival_bearings(s, 9, 12)
+    (b1, g1), (b2, g2) = got
+    assert abs(b1 - t1) < 0.02 and abs(g1 - e1) < 0.02
+    assert abs(b2 - t2) < 0.02 and abs(g2 - e2) < 0.02
+
+
+def test_two_arrival_bearings_traced_image_source():
+    # image-source fixture: two specular walls placed so BOTH first
+    # reflections arrive at the same instant (path length 15 m) from
+    # bearings ~0 (back wall) and ~1.91 rad (top wall). One analysis
+    # window holds both: first-order smears them into one intermediate
+    # bearing; the second-order solver separates them.
+    m = AudioMaterial(absorption=0.1, scattering=0.0, transmission=0.0,
+                      ior=1.0)
+    h = np.sqrt((15.0 ** 2 - 25.0) / 4.0)        # 7.0711: mirror path 15
+    b = SceneBuilder(n_bands=1)
+    b.add_segment((10.0, -30.0), (10.0, 30.0), (-1.0, 0.0), m)
+    b.add_segment((-30.0, h), (30.0, h), (0.0, -1.0), m)
+    scene = b.build()
+    sr = 8000
+    p = TraceParams.make(np.float32([0.0, 0.0]), np.float32([5.0, 0.0]),
+                         listener_radius=0.5)
+    ir, _ = sp.trace_spatial(scene, p, jax.random.PRNGKey(3),
+                             n_rays=65536, max_bounces=1,
+                             sample_rate=sr, ir_length=1024, order=2)
+    want1 = 0.0                                   # from +x
+    want2 = float(np.arctan2(2 * h, -5.0))        # from the top wall
+    echo_bin = int(np.floor(15.0 / 343.0 * sr))   # 349
+    lo, hi = echo_bin - 14, echo_bin + 10         # disc smear is early
+    # first order: ONE bearing, strictly between the two arrivals
+    exw = np.asarray(ir.x)[0, lo:hi, 0].sum()
+    eyw = np.asarray(ir.y)[0, lo:hi, 0].sum()
+    smeared = float(np.arctan2(eyw, exw))
+    assert want1 + 0.25 < smeared < want2 - 0.25
+    got = sp.two_arrival_bearings(ir, lo, hi)
+    bearings = sorted(bg[0] for bg in got)
+    assert abs(bearings[0] - want1) < 0.2, bearings
+    assert abs(bearings[1] - want2) < 0.2, bearings
