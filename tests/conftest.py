@@ -24,6 +24,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_xla_executables():
+    """Keep the full single-process suite under the kernel's mmap cap.
+
+    Every retained XLA-CPU executable (module-level jitted functions keep
+    theirs alive in jax's jit cache) holds ~30 mmap'd JIT code/data
+    regions. A ~360-test run accumulates tens of thousands of mappings
+    and dies at ``vm.max_map_count`` (65530 by default): LLVM's memory
+    mapper doesn't check the failing mmap and the process segfaults
+    inside ``backend_compile_and_load`` — the round-3 "full suite
+    segfaults ~200-300 compilations in" failure. Dropping the caches at
+    each module boundary bounds the live mapping count to one module's
+    worth (~2-3k). Evidence + standalone repro: docs/TESTGATE.md.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
