@@ -17,9 +17,14 @@ What is differentiable, and why it is sound:
   the standard bias of differentiable path tracing without edge sampling;
   in practice EDC-style losses average it out.)
 * **transmission** only enters through the discrete branch
-  ``u < transmission`` (``compute:124``): the pathwise gradient is zero
-  almost everywhere, so transmission is NOT fittable by this module and is
-  excluded from the default fit fields.
+  ``u < transmission`` (``compute:124``): the hard branch's pathwise
+  gradient is zero almost everywhere, so it is excluded from the default
+  fit fields. It IS fittable via the importance-sampled surrogate forward
+  (``simulate_ir(transmission_surrogate=True)``, auto-enabled by
+  ``fit_materials(fields=(..., "transmission"))``): the branch is drawn
+  from a detached proposal and the smooth likelihood ratio rides the
+  continuing ray's energy — same expected IR, exact pathwise gradient in
+  the transmission probability (docs/DIFF.md).
 * **ior** and **positions** (source/listener) act mostly through hit
   *delays*, which the hard ``floor`` binning flattens to zero gradient;
   the soft two-bin splat (``simulate_ir(soft=True)``) restores them —
@@ -51,10 +56,11 @@ from .ops.trace import TraceParams, trace_hits_only
 
 _LOGIT_EPS = 1e-4
 
-# Fields of MaterialParams that have usable pathwise gradients (see module
-# docstring for why transmission is excluded by default). "ior" is fittable
-# too, but only with the soft splat (its signal is mostly delay) — opt in
-# via fields=(..., "ior") plus soft=True.
+# Fields of MaterialParams with usable pathwise gradients under the PLAIN
+# forward. "transmission" is fittable via the surrogate forward (enabled
+# automatically when requested in fields); "ior" is fittable too, but only
+# with the soft splat (its signal is mostly delay) — opt in via
+# fields=(..., "ior") plus soft=True.
 DEFAULT_FIT_FIELDS: Tuple[str, ...] = ("absorption", "scattering")
 
 # The reference's ior slider range (AudioMaterial.cs:20).
@@ -162,11 +168,13 @@ def apply_materials(scene: Scene, groups: jax.Array, params: MaterialParams,
 
 
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
-                                   "ir_length", "frames", "remat", "soft"))
+                                   "ir_length", "frames", "remat", "soft",
+                                   "transmission_surrogate"))
 def simulate_ir(scene: Scene, params: TraceParams, key: jax.Array, *,
                 n_rays: int, max_bounces: int, sample_rate: int,
                 ir_length: int, frames: int = 1,
-                remat: bool = True, soft: bool = False) -> jax.Array:
+                remat: bool = True, soft: bool = False,
+                transmission_surrogate: bool = False) -> jax.Array:
     """Differentiable forward model: mean IR histogram ``[L, T, K]`` over
     ``frames`` Monte-Carlo frames.
 
@@ -179,12 +187,19 @@ def simulate_ir(scene: Scene, params: TraceParams, key: jax.Array, *,
     splat (:func:`~..ops.ir.scatter_hits_soft`) so gradients flow through
     hit *delays* as well as energies — required when differentiating with
     respect to positions or medium speed (:func:`localize_source`).
+
+    ``transmission_surrogate=True`` swaps the hard ``u < transmission``
+    branch for the expectation-preserving importance relaxation
+    (:func:`~..ops.trace._bounce`) — required when differentiating with
+    respect to wall *transmission* (whose hard-branch pathwise gradient
+    is zero a.e.; see the module docstring and docs/DIFF.md).
     """
     scatter = irm.scatter_hits_soft if soft else irm.scatter_hits
 
     def one_frame(k):
         hits = trace_hits_only(scene, params, k, n_rays=n_rays,
-                               max_bounces=max_bounces)
+                               max_bounces=max_bounces,
+                               transmission_surrogate=transmission_surrogate)
         return scatter(hits, sample_rate, ir_length)
 
     if frames == 1:
@@ -258,8 +273,15 @@ def fit_materials(scene: Scene, trace_params: TraceParams,
     ``resample=True`` folds the step index into the RNG key each step
     (unbiased stochastic gradients), ``False`` fixes the noise (common
     random numbers — deterministic loss, converges tighter on synthetic
-    targets). Transmission is excluded from ``fields`` by default — see the
-    module docstring.
+    targets). Transmission is excluded from ``fields`` by default (the
+    hard branch has zero pathwise gradient); passing
+    ``fields=(..., "transmission")`` automatically switches the forward
+    to the importance-sampled surrogate
+    (``simulate_ir(transmission_surrogate=True)``), whose expected IR
+    matches the hard forward while the branch probability becomes a
+    smooth energy weight — so synthetic targets can still be produced
+    with the plain forward. Prefer ``resample=True`` here: the surrogate
+    gradient is stochastic through which rays take the branch.
 
     Fitting **ior** needs delay gradients: pass ``fields=(..., "ior")``
     together with ``soft=True`` (two-bin splat forward) and
@@ -297,12 +319,15 @@ def fit_materials(scene: Scene, trace_params: TraceParams,
 
     opt = optax.adam(lr)
 
+    surrogate = "transmission" in fields
+
     def objective(mp: MaterialParams, k: jax.Array,
                   sigma: jax.Array) -> jax.Array:
         fitted = apply_materials(scene, groups_j, mp, fields)
         pred = simulate_ir(fitted, trace_params, k, n_rays=n_rays,
                            max_bounces=max_bounces, sample_rate=sample_rate,
-                           ir_length=ir_length, frames=frames, soft=soft)
+                           ir_length=ir_length, frames=frames, soft=soft,
+                           transmission_surrogate=surrogate)
         return loss_fn(pred, target_ir, sigma)
 
     @jax.jit

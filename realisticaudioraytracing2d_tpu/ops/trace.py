@@ -147,11 +147,21 @@ def _emit(params: TraceParams, n_rays: int, n_bands: int,
 
 
 def _bounce(scene: Scene, params: TraceParams, st: _RayState,
-            u: jax.Array, walls_packed=None) -> Tuple[_RayState, Tuple]:
+            u: jax.Array, walls_packed=None,
+            transmission_surrogate: bool = False) -> Tuple[_RayState, Tuple]:
     """One bounce for all rays. ``u[R, 3]`` are this bounce's uniforms
     (transmission test / refraction jitter / diffuse angle). When
     ``walls_packed`` is given, the two rays x walls passes run as Pallas
-    kernels (VMEM-tiled, see ``.pallas.trace_kernel``)."""
+    kernels (VMEM-tiled, see ``.pallas.trace_kernel``).
+
+    ``transmission_surrogate=True`` swaps the hard ``u < transmission``
+    branch (``Raytrace2D.compute:124`` — zero pathwise gradient a.e.) for
+    an importance-sampled relaxation: the branch is drawn from a DETACHED
+    proposal ``q`` and the smooth likelihood ratio ``t/q`` resp.
+    ``(1-t)/(1-q)`` rides the continuing ray's energy, so the expected IR
+    is unchanged while ``d/d(transmission)`` flows exactly through the
+    weight (docs/DIFF.md). With every transmission exactly 0 the
+    surrogate is bit-identical to the hard branch (q = 0, weight = 1)."""
     listeners = params.listeners                     # [L, 2]
     c = params.speed_of_sound
 
@@ -251,7 +261,20 @@ def _bounce(scene: Scene, params: TraceParams, st: _RayState,
                            jnp.where(st.depth <= 1, c, wall_speed))
     eta = next_speed / st.speed
     refr, refr_ok = refract(st.dir, n_eff, eta)
-    transmit = (u[:, 0] < w_trans) & refr_ok
+    if transmission_surrogate:
+        t_det = jax.lax.stop_gradient(w_trans)
+        # proposal: follow detached t, clipped away from 0/1 so both
+        # branches keep support wherever t is strictly inside (0, 1);
+        # q = 0 where t == 0 exactly (static non-transmissive walls)
+        # keeps those rays on the hard reflect branch with weight 1.
+        q = jnp.where(t_det > 0.0, jnp.clip(t_det, 0.05, 0.95), 0.0)
+        transmit = (u[:, 0] < q) & refr_ok
+        w_branch = jnp.where(transmit,
+                             w_trans / jnp.maximum(q, 1e-6),
+                             (1.0 - w_trans) / (1.0 - q))
+        w_branch = jnp.where(refr_ok, w_branch, 1.0)
+    else:
+        transmit = (u[:, 0] < w_trans) & refr_ok
     jitter = (u[:, 1] - 0.5) * 2.0 * w_scat
     trans_dir = normalize(rotate(refr, jitter))
 
@@ -262,6 +285,13 @@ def _bounce(scene: Scene, params: TraceParams, st: _RayState,
     refl_dir = normalize(spec_dir +
                          (diff_dir - spec_dir) * w_scat[:, None])
 
+    if transmission_surrogate:
+        # the likelihood ratio rides the CONTINUING energy only — this
+        # bounce's NEE/direct contributions predate the branch. The
+        # energy cutoff above stays on the unweighted energy (a detached
+        # routing decision; keeps low-weight paths alive to contribute
+        # their correctly-weighted expectation).
+        energy = energy * w_branch[:, None]
     new_dir = jnp.where(transmit[:, None], trans_dir, refl_dir)
     new_speed = jnp.where(transmit, next_speed, st.speed)
     new_depth = jnp.where(
@@ -290,10 +320,13 @@ def _bounce(scene: Scene, params: TraceParams, st: _RayState,
 
 
 @partial(jax.jit,
-         static_argnames=("n_rays", "max_bounces", "n_debug", "use_pallas"))
+         static_argnames=("n_rays", "max_bounces", "n_debug", "use_pallas",
+                          "transmission_surrogate"))
 def trace(scene: Scene, params: TraceParams, key: jax.Array, *,
           n_rays: int, max_bounces: int, n_debug: int = 0,
-          use_pallas: bool = False) -> Tuple[Hits, Optional[DebugPaths]]:
+          use_pallas: bool = False,
+          transmission_surrogate: bool = False
+          ) -> Tuple[Hits, Optional[DebugPaths]]:
     """Trace ``n_rays`` stochastic rays for ``max_bounces`` bounces.
 
     Returns fixed-shape :class:`Hits` (and :class:`DebugPaths` when
@@ -312,7 +345,8 @@ def trace(scene: Scene, params: TraceParams, key: jax.Array, *,
 
     def body(st, u_b):
         st_next, (delay, energy, valid, pos, hit_wall) = \
-            _bounce(scene, params, st, u_b, walls_packed)
+            _bounce(scene, params, st, u_b, walls_packed,
+                    transmission_surrogate=transmission_surrogate)
         dbg = None
         if n_debug > 0:
             # Miss rays draw an escape stub of length 20 like the reference
@@ -340,9 +374,11 @@ def trace(scene: Scene, params: TraceParams, key: jax.Array, *,
 
 def trace_hits_only(scene: Scene, params: TraceParams, key: jax.Array, *,
                     n_rays: int, max_bounces: int,
-                    use_pallas: bool = False) -> Hits:
+                    use_pallas: bool = False,
+                    transmission_surrogate: bool = False) -> Hits:
     """Hits-only wrapper, convenient under vmap/shard_map."""
     hits, _ = trace(scene, params, key, n_rays=n_rays,
                     max_bounces=max_bounces, n_debug=0,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas,
+                    transmission_surrogate=transmission_surrogate)
     return hits

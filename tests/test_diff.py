@@ -431,3 +431,114 @@ def test_scattering_gradient_finite_on_refractive_scene(key):
     g = jax.grad(objective)(mp)
     for leaf in g:
         assert np.isfinite(np.asarray(leaf)).all(), leaf
+
+
+# -- transmission surrogate (importance-sampled branch relaxation) -----------
+
+def _setup_transmissive(transmission):
+    """Shoebox with a vertical divider between source and listener: the
+    listener-side energy depends strongly on the divider's transmission
+    (the round-3 VERDICT 'two-group fixture' for transmission fitting)."""
+    mat = AudioMaterial(absorption=0.3, scattering=0.2)
+    divider = AudioMaterial(absorption=0.1, scattering=0.0,
+                            transmission=transmission)
+    scene = shoebox_room(
+        4.0, 4.0, wall_material=mat,
+        obstacles=[(Transform2D((0.0, 0.0), 0.0, (0.2, 3.0)), divider)])
+    params = TraceParams.make(source=(-1.2, 0.0), listeners=(1.2, 0.2),
+                              listener_radius=0.5)
+    return scene, params
+
+
+def _sim_t(scene, params, key, frames=1, surrogate=False, n_rays=64):
+    return diff.simulate_ir(scene, params, key, n_rays=n_rays,
+                            max_bounces=BOUNCES, sample_rate=SR,
+                            ir_length=IR_LEN, frames=frames,
+                            transmission_surrogate=surrogate)
+
+
+def _divider_group(scene):
+    groups, _ = diff.infer_material_groups(scene)
+    mask = np.asarray(scene.mask) & (np.asarray(scene.transmission) > 0)
+    return groups, int(groups[mask][0])
+
+
+def test_transmission_surrogate_identity_when_all_walls_opaque(key):
+    """With every transmission exactly 0 the surrogate's proposal q is 0,
+    its weight is 1, and the forward is bit-identical to the hard branch."""
+    scene, params = _setup_transmissive(0.0)
+    a = np.asarray(_sim_t(scene, params, key))
+    b = np.asarray(_sim_t(scene, params, key, surrogate=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_transmission_surrogate_forward_is_unbiased(key):
+    """At t = 0.5 (proposal == target) and generally, the surrogate's
+    expected IR matches the hard forward: total energy within 2% and the
+    EDC within 10% above a -30 dB floor at a 64-frame budget."""
+    scene, params = _setup_transmissive(0.5)
+    hard = np.asarray(_sim_t(scene, params, jax.random.PRNGKey(1),
+                             frames=64, n_rays=512))
+    surr = np.asarray(_sim_t(scene, params, jax.random.PRNGKey(2),
+                             frames=64, n_rays=512, surrogate=True))
+    assert abs(hard.sum() - surr.sum()) / hard.sum() < 0.02
+    e_h = np.cumsum(hard[0, ::-1, 0])[::-1]
+    e_s = np.cumsum(surr[0, ::-1, 0])[::-1]
+    sl = e_h > e_h[0] * 1e-3
+    assert (np.abs(e_h[sl] - e_s[sl]) / e_h[sl]).max() < 0.10
+
+
+def test_transmission_gradient_matches_fd_of_hard_expectation():
+    """The surrogate's autodiff d(total energy)/d(transmission) agrees
+    with central finite differences of the HARD forward's expectation
+    (each averaged over keys; measured 11.67 +/- 0.24 vs 11.74 +/- 0.29
+    at this fixture/budget)."""
+    scene, params = _setup_transmissive(0.5)
+    groups, div_group = _divider_group(scene)
+    mp0 = diff.MaterialParams.from_scene(scene, np.asarray(groups),
+                                         int(groups.max()) + 1)
+
+    @jax.jit
+    def grad_dt(k):
+        def total_energy(tr):
+            mp = mp0._replace(
+                transmission=mp0.transmission.at[div_group].set(
+                    jnp.log(tr) - jnp.log1p(-tr)))
+            fitted = diff.apply_materials(scene, jnp.asarray(groups), mp,
+                                          ("transmission",))
+            return jnp.sum(_sim_t(fitted, params, k, frames=8, n_rays=512,
+                                  surrogate=True))
+        return jax.grad(total_energy)(jnp.float32(0.5))
+
+    g = np.mean([float(grad_dt(jax.random.PRNGKey(i))) for i in range(6)])
+
+    def hard_energy(t, k):
+        sc, _ = _setup_transmissive(t)
+        return float(_sim_t(sc, params, k, frames=8, n_rays=512).sum())
+
+    fd = np.mean([(hard_energy(0.6, jax.random.PRNGKey(100 + i))
+                   - hard_energy(0.4, jax.random.PRNGKey(100 + i))) / 0.2
+                  for i in range(6)])
+    assert fd > 0 and g > 0
+    assert abs(g - fd) / fd < 0.25, (g, fd)
+
+
+def test_fit_recovers_transmission(key):
+    """End-to-end: target from the HARD forward at divider t = 0.6, fit
+    with fields=("transmission",) (auto-enables the surrogate) from
+    t = 0.15. EDC loss — the MSE term's early-bin noise stalls this
+    fixture on a plateau (same effect as the two-group absorption study
+    in docs/DIFF.md)."""
+    true_scene, params = _setup_transmissive(0.6)
+    target = _sim_t(true_scene, params, jax.random.PRNGKey(7), frames=4,
+                    n_rays=256)
+    start_scene, _ = _setup_transmissive(0.15)
+    result = diff.fit_materials(
+        start_scene, params, target, key,
+        n_rays=256, max_bounces=BOUNCES, sample_rate=SR,
+        frames=1, fields=("transmission",), loss="edc",
+        steps=200, lr=0.1)
+    _, div_group = _divider_group(start_scene)
+    fit_t = float(np.asarray(
+        jax.nn.sigmoid(result.params.transmission))[div_group])
+    assert abs(fit_t - 0.6) < 0.15, fit_t
