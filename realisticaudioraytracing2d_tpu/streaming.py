@@ -274,7 +274,11 @@ class Streamer:
         the reference (and a plain stream) is Doppler-free because chunk
         convolution is time-invariant within a chunk. All paths share
         the direct-path rate (the standard real-time approximation —
-        per-reflection Doppler would need per-path warps).
+        per-reflection Doppler would need per-path warps). Rates come
+        from consecutive-pose differences, so the LAST chunk reuses the
+        previous chunk's rate (no pose to difference against), and a
+        single-chunk stream (``n_steps == 1``) has no pose pair at all —
+        it streams at rate 1.0, i.e. no pitch shift.
 
         ``loop`` selects the end-of-clip behavior of the reference
         (``RayTraceManager.cs:74-77``): when set, the dry feed restarts at
