@@ -1945,7 +1945,27 @@ def _make_accel_kernel(hi_rows: int, ir_length: int, n_listeners: int,
     return kernel
 
 
-_ACCEL_MAX_CLUSTERS = 2048  # bounds the SMEM AABB/visit-order tables
+# Bounds the SMEM AABB/visit-order tables: the per-cluster AABB row costs
+# 32 B of SMEM, and the v5e scalar memory tops out just above 52 KB of
+# live tables — C=1563 (800k walls @ cs=512) compiles, C=1954 (1M walls)
+# crashes the Mosaic compiler. 1536 keeps every auto-grown scene under
+# the measured ceiling (1M walls -> cs=1024, C=977).
+_ACCEL_MAX_CLUSTERS = 1536
+
+
+def _accel_compiler_params(wp: int, attrs_rows: int):
+    """Mosaic's default scoped-VMEM bound (~64 MiB) rejects very large
+    VMEM-resident wall tables (the transposed [8, Wp] geometry +
+    [attrs_rows, Wp] attributes are ~61 MiB at 1M walls) even though
+    they fit the v5e's physical 128 MiB — the tables are NOT
+    double-buffered (measured: the 1M-wall kernel compiles and runs with
+    the bound raised). Raise it when the tables pass 32 MiB; leave small
+    scenes on the default (keeps their compile cache keys unchanged)."""
+    tables = wp * 4 * (8 + attrs_rows)
+    if tables <= 32 * 2 ** 20:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(tables + 64 * 2 ** 20, 128 * 2 ** 20))
 
 
 def accel_cluster_size(n_walls: int,
@@ -2123,6 +2143,7 @@ def trace_frames_ir_accel(scene, params: TraceParams, key: jax.Array, *,
             pltpu.VMEM((attrs.shape[0], tile_r), jnp.float32),
             pltpu.VMEM((1, tile_r), jnp.float32),
         ],
+        compiler_params=_accel_compiler_params(wp, attrs.shape[0]),
         interpret=_interpret(),
     )
     ir_part = kernel(scal, lis, u_in, geo, attrs, aabb8, saabb8)
@@ -2332,6 +2353,7 @@ def trace_frames_ir_accel_sorted(scene, params: TraceParams,
         # inside the bounce scan (round-3 OOM), and the copy was waste
         # anyway
         input_output_aliases={2: 0},
+        compiler_params=_accel_compiler_params(wp, attrs.shape[0]),
         interpret=_interpret(),
     )
 

@@ -139,6 +139,26 @@ def test_auto_tile_bounds():
         bk.auto_tile(100000)  # beyond one-tile VMEM: needs ACCEL.md plan
 
 
+def test_accel_sizing_bounds():
+    # SMEM ceiling: auto-grown cluster size keeps the per-cluster AABB
+    # table under the measured v5e scalar-memory bound (docs/ACCEL.md
+    # round 4: C=1954 crashes Mosaic, C<=1536 compiles).
+    for walls in (8, 1032, 100_008, 400_008, 800_008, 1_000_008, 4_000_008):
+        cs = bk.accel_cluster_size(walls)
+        n_clusters = -(-max(walls, cs) // cs)
+        assert n_clusters <= bk._ACCEL_MAX_CLUSTERS
+    assert bk.accel_cluster_size(1_000_008) == 1024
+
+    # Scoped-VMEM override: None (default bound, stable cache keys) for
+    # small wall tables; raised but physically capped for huge ones.
+    assert bk._accel_compiler_params(8, 6) is None
+    assert bk._accel_compiler_params(100_008, 6) is None
+    big = bk._accel_compiler_params(1_000_008, 6)
+    assert big is not None
+    lim = big.vmem_limit_bytes
+    assert 1_000_008 * 4 * (8 + 6) < lim <= 128 * 2 ** 20
+
+
 def test_stereo_fused_hist(setup):
     room, p, key = setup
     ears = np.stack([np.asarray([0.0, -3.68]),
