@@ -174,17 +174,11 @@ def iacc(left: jnp.ndarray, right: jnp.ndarray, sample_rate: int, *,
                       jnp.sum(seg_r * seg_r, axis=-1))
     pad = jnp.pad(seg_r,
                   [(0, 0)] * (seg_r.ndim - 1) + [(max_lag, max_lag)])
+    n = seg_l.shape[-1]
     corrs = jnp.stack(
-        [jnp.abs(jnp.sum(
-            seg_l * jax_lax_slice_lag(pad, k, seg_l.shape[-1]), axis=-1))
+        [jnp.abs(jnp.sum(seg_l * pad[..., k:k + n], axis=-1))
          for k in range(2 * max_lag + 1)], axis=-1)
     return jnp.max(corrs, axis=-1) / jnp.maximum(energy, _EDC_FLOOR)
-
-
-def jax_lax_slice_lag(padded: jnp.ndarray, k: int, n: int) -> jnp.ndarray:
-    """``padded[..., k : k + n]`` with a static lag ``k`` (helper for
-    :func:`iacc`'s unrolled lag scan)."""
-    return padded[..., k:k + n]
 
 
 def direct_arrival_bin(ir: jnp.ndarray,

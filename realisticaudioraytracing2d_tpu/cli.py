@@ -526,20 +526,8 @@ def cmd_stream(args):
     x, rate = read_audio(args.infile or builtin_clip_path())
     dry = jnp.asarray(load_samples(jnp.asarray(x), rate,
                                    cfg.audio.sample_rate))
-    vel = np.asarray([float(v) for v in args.move_listener.split(",")]) \
-        if args.move_listener else np.zeros(2)
-    svel = np.asarray([float(v) for v in args.move_source.split(",")]) \
-        if args.move_source else np.zeros(2)
     chunk_dt = cfg.audio.chunk_duration
-
-    def poses(i):
-        drift = (vel * i * chunk_dt).astype(np.float32)
-        sdrift = (svel * i * chunk_dt).astype(np.float32)
-        return eng.params(np.asarray(room.source, np.float32) + sdrift,
-                          listeners + drift,
-                          directivity=_directivity_arr(args, room),
-                   mic_directivity=_mic_directivity_arr(args, room))
-
+    poses = _trajectory_poses(args, eng, room, listeners, chunk_dt)
     binaural, facing_fn = _binaural_setup(args, room, n_l, chunk_dt)
     poses, facing_fn = _pose_feed_wrap(args, poses, facing_fn)
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
@@ -600,6 +588,28 @@ def _binaural_setup(args, room, n_l: int, chunk_dt: float):
     base = float(np.radians(binaural))
     turn = float(np.radians(getattr(args, "head_turn", 0.0))) * chunk_dt
     return True, (lambda i: base + turn * i)
+
+
+def _trajectory_poses(args, eng, room, listeners, chunk_dt):
+    """``--move-listener``/``--move-source`` linear-drift trajectory as a
+    ``params_fn(chunk) -> TraceParams``. ONE definition shared by
+    ``stream`` and ``live`` so the two pipelines cannot diverge on
+    trajectory semantics (they already share the physics via
+    DopplerFeed/wet_chunk)."""
+    vel = np.asarray([float(v) for v in args.move_listener.split(",")]) \
+        if args.move_listener else np.zeros(2)
+    svel = np.asarray([float(v) for v in args.move_source.split(",")]) \
+        if args.move_source else np.zeros(2)
+
+    def poses(i):
+        drift = (vel * i * chunk_dt).astype(np.float32)
+        sdrift = (svel * i * chunk_dt).astype(np.float32)
+        return eng.params(np.asarray(room.source, np.float32) + sdrift,
+                          listeners + drift,
+                          directivity=_directivity_arr(args, room),
+                          mic_directivity=_mic_directivity_arr(args, room))
+
+    return poses
 
 
 def _pose_feed_wrap(args, poses, facing_fn):
@@ -681,19 +691,7 @@ def cmd_live(args):
     binaural, facing_fn = _binaural_setup(args, room, n_l,
                                           cfg.audio.chunk_duration)
     chunk_dt = cfg.audio.chunk_duration
-    vel = np.asarray([float(v) for v in args.move_listener.split(",")]) \
-        if args.move_listener else np.zeros(2)
-    svel = np.asarray([float(v) for v in args.move_source.split(",")]) \
-        if args.move_source else np.zeros(2)
-
-    def poses(i):
-        drift = (vel * i * chunk_dt).astype(np.float32)
-        sdrift = (svel * i * chunk_dt).astype(np.float32)
-        return eng.params(np.asarray(room.source, np.float32) + sdrift,
-                          listeners + drift,
-                          directivity=_directivity_arr(args, room),
-                          mic_directivity=_mic_directivity_arr(args, room))
-
+    poses = _trajectory_poses(args, eng, room, listeners, chunk_dt)
     poses, facing_fn = _pose_feed_wrap(args, poses, facing_fn)
     player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,

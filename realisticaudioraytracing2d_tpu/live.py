@@ -298,15 +298,29 @@ class LivePlayer:
                         delay = next_tick - time.perf_counter()
                         if delay > 0:
                             time.sleep(delay)
-                    # else: the device's blocking write below paces us
+                    # else: the device's blocking write paces us — the
+                    # drained-audio write below, or the silence write on
+                    # a skipped tick
+                    skip = False
                     with frontier_lock:
                         if frontier < min(consumed + self.dsp_buffer,
                                           total_samples):
                             report.underruns += 1
-                            if frontier <= consumed:
-                                # nothing final yet: the real callback
-                                # would emit silence; skip this tick
-                                continue
+                            skip = frontier <= consumed
+                    if skip:
+                        # nothing final yet: the real callback emits one
+                        # DSP period of silence. The device write blocks
+                        # for that period (outside the lock), so a
+                        # lagging producer sees a paced consumer, not a
+                        # busy-spin pegging the core and inflating the
+                        # underrun count once per spin; without a sink
+                        # the wall-clock sleep above already paced this
+                        # tick.
+                        if sink is not None:
+                            sink.write(np.zeros(
+                                (self.ring.channels, self.dsp_buffer),
+                                np.float32))
+                        continue
                 else:
                     with frontier_lock:
                         while (frontier < min(consumed + self.dsp_buffer,

@@ -118,10 +118,11 @@ class PoseFeed:
         self._close = close
         self._buf = ""
         self._line_no = 0
-        self._pending: list = []   # validated overrides awaiting their chunk
-        self._source: Optional[np.ndarray] = None
-        self._listener: Optional[np.ndarray] = None
-        self._facing: Optional[float] = None
+        # (effective chunk, line number, override) in ingest order; the
+        # state FOR a chunk is folded per query (see _state) instead of
+        # held mutably, so polling ahead never leaks a later chunk's
+        # override into an earlier chunk.
+        self._events: list = []
         fd = None
         try:
             fd = fh.fileno()
@@ -159,8 +160,16 @@ class PoseFeed:
         return self._fh.read()
 
     def poll(self, chunk_index: int) -> None:
-        """Consume every complete line that has arrived; apply overrides
-        whose chunk is due (<= ``chunk_index``), queue the rest."""
+        """Consume every complete line that has arrived. Each line is
+        recorded with its *effective* chunk — ``max(line's chunk,
+        chunk_index)``: a future chunk waits for its chunk, a line with
+        no chunk (or one whose chunk already played) takes effect now.
+        Which overrides a given chunk sees is folded per query
+        (:meth:`_state`), never held mutably — so the Doppler rate
+        lookahead's ``params_fn(i + 1)`` call polling at ``i + 1``
+        cannot leak a chunk-``i+1`` override into chunk ``i``'s trace
+        (it also means a chunk-less line racing that lookahead lands at
+        ``i + 1`` instead of ``i`` — live feeds are late by nature)."""
         self._buf += self._read_available()
         while "\n" in self._buf:
             line, self._buf = self._buf.split("\n", 1)
@@ -173,19 +182,24 @@ class PoseFeed:
                 raise PoseFeedError(
                     f"pose feed line {self._line_no}: invalid JSON "
                     f"({e.msg}): {line!r}") from None
-            self._pending.append(_validate(obj, self._line_no, line))
-        due = [o for o in self._pending
-               if o.get("chunk", chunk_index) <= chunk_index]
-        self._pending = [o for o in self._pending
-                         if o.get("chunk", chunk_index) > chunk_index]
-        # apply in feed order; later lines win (hold-until-changed)
-        for o in due:
-            if "source" in o:
-                self._source = o["source"]
-            if "listener" in o:
-                self._listener = o["listener"]
-            if "facing" in o:
-                self._facing = o["facing"]
+            o = _validate(obj, self._line_no, line)
+            self._events.append(
+                (max(o.get("chunk", chunk_index), chunk_index),
+                 self._line_no, o))
+
+    def _state(self, chunk_index: int):
+        """Fold the overrides effective at ``chunk_index``: by effective
+        chunk, then feed order — the line applied *latest* wins
+        (hold-until-changed), exactly the mutable-hold semantics for
+        in-order playback, but stable under out-of-order queries."""
+        src = lis = fac = None
+        for due, _seq, o in sorted(self._events,
+                                   key=lambda e: (e[0], e[1])):
+            if due <= chunk_index:
+                src = o.get("source", src)
+                lis = o.get("listener", lis)
+                fac = o.get("facing", fac)
+        return src, lis, fac
 
     # -- the params_fn / facing_fn replacements ------------------------------
 
@@ -193,20 +207,27 @@ class PoseFeed:
         """``base_params`` = the trajectory's ``params_fn(chunk_index)``
         output; returns it with any held overrides applied."""
         self.poll(chunk_index)
+        src_ov, lis_ov, _ = self._state(chunk_index)
         p = base_params
-        if self._source is not None:
+        if src_ov is not None:
             src = np.asarray(p.source, np.float32)
-            ov = self._source
-            if ov.ndim == 1 and src.ndim == 2:
-                ov = np.broadcast_to(ov, src.shape)
-            if np.asarray(ov).shape != src.shape:
+            ov = np.asarray(src_ov, np.float32)
+            if src.ndim == 1:
+                # single-source stream: accept [x, y] or [[x, y]]
+                if ov.ndim == 2 and ov.shape == (1, 2):
+                    ov = ov[0]
+            else:
+                ov = ov.reshape(-1, 2)
+                if ov.shape[0] == 1 and src.shape[0] > 1:
+                    ov = np.broadcast_to(ov, src.shape)
+            if ov.shape != src.shape:
                 raise PoseFeedError(
                     f"pose feed: source override shape {ov.shape} does "
                     f"not match the stream's {src.shape}")
             p = p._replace(source=np.asarray(ov, np.float32))
-        if self._listener is not None:
+        if lis_ov is not None:
             lis = np.asarray(p.listeners, np.float32)
-            ov = self._listener.reshape(-1, 2)
+            ov = lis_ov.reshape(-1, 2)
             if ov.shape[0] == 1 and lis.shape[0] > 1:
                 ov = np.broadcast_to(ov, lis.shape)
             if ov.shape != lis.shape:
@@ -221,7 +242,8 @@ class PoseFeed:
         (idempotent per arrived data, so params+facing in one chunk is
         fine in either order)."""
         self.poll(chunk_index)
-        return self._facing if self._facing is not None else base_facing
+        fac = self._state(chunk_index)[2]
+        return fac if fac is not None else base_facing
 
 
 def _fd_path(fd: int) -> str:

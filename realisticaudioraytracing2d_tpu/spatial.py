@@ -201,10 +201,19 @@ class SpatialIR(NamedTuple):
 
         Conservation: the coherent path re-splats exactly ``2 coh``
         (per-bin ear gains sum to 2) bit-identically to the
-        non-decorrelated decode; the diffuse stream keeps its exact
-        per-bin energy magnitude in both ears (only signs differ), so
-        ``sum(|left|) + sum(|right|) == 2 W`` always, and the plain
-        ``left + right`` L1 identity holds with ``decorrelate=False``.
+        non-decorrelated decode, and the diffuse stream keeps its exact
+        per-bin energy magnitude in both ears (only signs differ) —
+        each STREAM is conserved separately. The summed ear IR is a
+        SIGNED amplitude kernel, not an energy IR: a bin holding both
+        coherent and sign-flipped diffuse energy partially cancels
+        inside ``|.|``, so ``sum(|left + right|)`` and per-ear L1 are
+        NOT invariants of the decorrelated decode (through the
+        convolution the sign/coherent cross terms are zero-mean, so
+        delivered energy is conserved in expectation). Run energy
+        analysis (EDC/RT60/...) on ``self.w`` or a
+        ``decorrelate=False`` decode, whose plain ``left + right`` L1
+        identity does hold; feed the decorrelated ears only to the
+        convolve/bake pipeline.
         The decode is post-hoc — no retrace — and jit-safe (the sign
         patterns are compile-time constants). Returns two
         ``[L, T, K]`` IRs ready for the standard convolve/bake

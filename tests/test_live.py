@@ -197,6 +197,50 @@ def test_live_sink_receives_every_drained_buffer(live_cfg):
     np.testing.assert_array_equal(got, rep.audio)
 
 
+def test_live_sink_underrun_paces_with_silence_not_spin(live_cfg):
+    # realtime + device sink + a producer that can't keep up: every
+    # skipped tick must write ONE DSP period of silence to the device
+    # (whose blocking write paces the loop) instead of busy-spinning
+    # with no write at all — so sink writes > drained callbacks, and
+    # underruns count periods, not spin iterations (round-4 review
+    # finding: the skip path had no sleep/write with a sink attached)
+    import time
+
+    room, cfg, params = live_cfg
+    n = cfg.audio.chunk_samples
+    sr = cfg.audio.sample_rate
+    total = 3
+    dsp = n // 2
+    period = dsp / sr
+    dry = jnp.asarray(np.random.default_rng(0).normal(
+        size=2 * n).astype(np.float32) * 0.3)
+
+    def slow_params(i):
+        time.sleep(4 * period)   # guarantee the producer falls behind
+        return params
+
+    class BlockingSink:
+        def __init__(self):
+            self.writes = 0
+
+        def write(self, block):
+            assert block.shape[-1] == dsp
+            self.writes += 1
+            time.sleep(block.shape[-1] / sr)   # a real device blocks
+            return block.shape[-1]
+
+    sink = BlockingSink()
+    player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(1),
+                        dsp_buffer=dsp)
+    rep = player.run(dry, total_chunks=total, loop=False, realtime=True,
+                     params_fn=slow_params, sink=sink, prime=1)
+    assert rep.underruns >= 1                 # the producer did lag
+    assert sink.writes > rep.callbacks        # skipped ticks hit the device
+    # one write per period: underruns can never exceed device writes
+    # (the spin bug produced underruns >> writes)
+    assert rep.underruns <= sink.writes
+
+
 def test_cli_live_play_degrades_cleanly_without_alsa(tmp_path):
     from realisticaudioraytracing2d_tpu import native
     from realisticaudioraytracing2d_tpu.cli import main

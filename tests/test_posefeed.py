@@ -121,6 +121,29 @@ def test_malformed_lines_error_cleanly(tmp_path, line, match):
         feed.params(base_params(), 0)
 
 
+def test_lookahead_poll_does_not_leak_future_override(tmp_path):
+    # the Doppler rate lookahead calls params_fn(i + 1) BEFORE chunk i
+    # is traced; polling at i + 1 must not apply a chunk-(i+1) override
+    # into chunk i's trace (round-4 review finding)
+    feed, _ = feed_from(tmp_path, [{"chunk": 5, "source": [1.0, 2.0]}])
+    p = base_params()
+    feed.params(p, 5)                    # lookahead while producing 4
+    p4 = feed.params(p, 4)
+    np.testing.assert_array_equal(np.asarray(p4.source),
+                                  np.asarray(p.source))
+    np.testing.assert_array_equal(np.asarray(feed.params(p, 5).source),
+                                  [1.0, 2.0])
+
+
+def test_single_source_nested_list_form(tmp_path):
+    # the documented [[x, y], ...] form with count 1 must match a
+    # single-source stream's (2,)-shaped params.source
+    feed, _ = feed_from(tmp_path, [{"source": [[1.0, 2.0]]}])
+    p = feed.params(base_params(), 0)
+    assert np.asarray(p.source).shape == (2,)
+    np.testing.assert_array_equal(np.asarray(p.source), [1.0, 2.0])
+
+
 def test_shape_mismatch_errors(tmp_path):
     feed, _ = feed_from(tmp_path, [
         {"source": [[0.0, 0.0], [1.0, 1.0]]}])   # 2 sources into a
@@ -162,6 +185,44 @@ def test_pose_feed_stream_equals_params_fn_stream(tmp_path):
     plain = np.asarray(Streamer(room.scene, cfg, jax.random.PRNGKey(0))
                        .stream_clip(dry, static, loop=False))
     assert not np.array_equal(got, plain)
+
+
+def test_pose_feed_doppler_stream_equals_params_fn_stream(tmp_path):
+    # with doppler=True the DopplerFeed's rate lookahead polls the feed
+    # at i + 1 while chunk i is being produced; the fed stream must
+    # still equal the explicit params_fn stream sample for sample
+    # (round-4 review: the lookahead used to apply chunk-(i+1)
+    # overrides one chunk early)
+    import dataclasses
+    room = art.rooms.smoll_room()
+    cfg = art.smoll_room_config(ray_count=256)
+    cfg = dataclasses.replace(
+        cfg, audio=dataclasses.replace(cfg.audio, sample_rate=8000,
+                                       reverb_duration=0.2))
+    eng = Engine(room.scene, cfg)
+    sr = cfg.audio.sample_rate
+    total = 4
+    dry = jnp.asarray(noise_burst(0.25, sr, seed=1))
+    src = np.asarray(room.source, np.float32)
+
+    def moved(i):
+        return eng.params(src + np.float32([0.4 * i, 0.0]),
+                          room.listener)
+
+    feed, _ = feed_from(tmp_path, [
+        {"chunk": i,
+         "source": [float(src[0] + 0.4 * i), float(src[1])]}
+        for i in range(total)])
+    static = lambda i: eng.params(src, room.listener)     # noqa: E731
+    fed = lambda i: feed.params(static(i), i)             # noqa: E731
+
+    want = np.asarray(Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+                      .stream_clip(dry, moved, loop=False,
+                                   total_chunks=total, doppler=True))
+    got = np.asarray(Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+                     .stream_clip(dry, fed, loop=False,
+                                  total_chunks=total, doppler=True))
+    np.testing.assert_array_equal(got, want)
 
 
 # ---- CLI end to end ---------------------------------------------------------
