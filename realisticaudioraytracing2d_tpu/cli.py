@@ -543,6 +543,8 @@ def cmd_stream(args):
         viz_cb = _viz_callback(args.out, args.viz_every)
         on_chunk = lambda i, st: viz_cb(i, st.prev_ir)  # noqa: E731
     t0 = time.perf_counter()
+    doppler = "per_arrival" if getattr(args, "doppler_per_arrival",
+                                       False) else args.doppler
     if args.duration is not None:
         # timed stream: the clip wraps at its end while config.audio.loop
         # is set (RayTraceManager.cs:74-77), else pads with silence
@@ -551,13 +553,13 @@ def cmd_stream(args):
                                               total_chunks=total_chunks,
                                               on_chunk=on_chunk,
                                               facing_fn=facing_fn,
-                                              doppler=args.doppler))
+                                              doppler=doppler))
     else:
         # play the clip once and flush the reverb tail
         wet = np.asarray(streamer.stream_clip(dry, poses, loop=False,
                                               on_chunk=on_chunk,
                                               facing_fn=facing_fn,
-                                              doppler=args.doppler))
+                                              doppler=doppler))
     dt = time.perf_counter() - t0
     if args.viz_every:
         viz_cb.flush()
@@ -1057,6 +1059,11 @@ def main(argv=None):
     p.add_argument("--doppler", action="store_true",
                    help="fractional-rate dry feed: pitch shifts by "
                         "1 - v/c from the poses' radial velocity")
+    p.add_argument("--doppler-per-arrival", action="store_true",
+                   help="per-path Doppler: the direct sound and each "
+                        "dominant early reflection glide at their OWN "
+                        "rates, derived from the traced IRs (K=1, "
+                        "non-binaural)")
     p.add_argument("--pose-feed", default=None, metavar="FILE",
                    help="steer the running stream: JSON-lines pose "
                         "overrides tailed from FILE ('-' = stdin), per "

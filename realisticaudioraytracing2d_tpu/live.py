@@ -210,6 +210,11 @@ class LivePlayer:
                             jnp.float32)
         producer_err = []
 
+        if doppler == "per_arrival":
+            raise NotImplementedError(
+                "per-arrival Doppler is a Streamer feature "
+                "(stream_clip(doppler='per_arrival')); the live pipeline "
+                "supports the shared-rate feed (doppler=True)")
         feed = DopplerFeed(dry, params_fn, n, sr, total_chunks,
                            loop) if doppler else None
 

@@ -133,6 +133,159 @@ def _augment_ir(cur_ir: jax.Array, scene: Scene, params: TraceParams,
     return cur_ir
 
 
+# ---- per-arrival Doppler (doppler="per_arrival") ---------------------------
+#
+# The shared-rate Doppler feed (DopplerFeed) warps the WHOLE dry stream at
+# the direct path's rate — physically wrong for reflections, whose path
+# lengths change at their own rates (a source approaching the listener
+# but receding from the back wall pitch-shifts the direct sound UP and
+# the echo DOWN). These helpers give each dominant early arrival its own
+# glide: the top-A early peaks of the chunk IR become 3-bin taps (the
+# peak bin and its two neighbors, carried with their individual gains,
+# so tap + residual reproduce the full IR's convolution EXACTLY whatever
+# the window holds — a two-bin scatter_hits splat, a capture-circle
+# plateau, overlapping hits), matched mutual-nearest against the
+# previous chunk's taps, and synthesized as time-varying fractional-
+# delay reads of the dry history with the window delay and per-bin gains
+# gliding linearly across the chunk — the delay glide IS the per-path
+# Doppler. The tap bins are removed from both IRs so the residual (late
+# field + unmatched transients) rides the ordinary crossfaded
+# convolution; a diffuse late field has arrivals from every direction,
+# so its net shift is ~zero and leaving it unwarped is the physically
+# honest default.
+
+_ARRIVAL_TAPS = 6        # taps tracked per listener
+_ARRIVAL_WINDOW_S = 0.12  # early window the taps may live in
+_ARRIVAL_MATCH_BINS = 64.0  # max bin drift matched chunk-to-chunk
+
+
+def _arrival_table(ir: jax.Array, early_bins: int, n_taps: int,
+                   rel_floor: float = 1e-3):
+    """Top-``n_taps`` early arrivals of a K=1 IR ``[L, T, 1]``:
+    ``(idx[L, A] int32, g3[L, A, 3], valid[L, A])``.
+
+    A tap is a local maximum in the first ``early_bins`` bins carrying
+    its 3-bin window ``g3 = ir[idx-1 : idx+2]`` — exactly the bins
+    :func:`_remove_taps` zeroes, so tap + residual reproduce the full
+    IR's convolution EXACTLY whatever the window holds (a splat, a
+    capture-circle plateau, overlapping hits). Taps within 2 bins of a
+    stronger one are suppressed (their windows would overlap), and taps
+    below ``rel_floor`` of the listener's strongest are dropped."""
+    e = ir[..., 0]                                       # [L, T]
+    w = e[:, :early_bins]
+    left = jnp.pad(w, ((0, 0), (1, 0)))[:, :-1]
+    right = jnp.pad(w, ((0, 0), (0, 1)))[:, 1:]
+    ismax = (w >= left) & (w > right) & (w > 0)
+    score = jnp.where(ismax, w + left + right, -1.0)
+    val, idx = jax.lax.top_k(score, n_taps)             # [L, A]
+    li = jnp.arange(e.shape[0])[:, None, None]
+    cols = jnp.clip(idx[:, :, None] + jnp.arange(-1, 2)[None, None, :],
+                    0, e.shape[1] - 1)
+    g3 = e[li, cols]                                    # [L, A, 3]
+    gain = jnp.sum(g3, axis=-1)
+    valid = (val > 0) & (gain > rel_floor
+                         * jnp.max(gain, axis=1, keepdims=True))
+    # suppress a tap within 2 bins of a stronger (or earlier-ranked
+    # equal) one — their 3-bin windows would overlap and double-count
+    d = jnp.abs(idx[:, :, None] - idx[:, None, :])
+    rank = jnp.arange(n_taps)
+    stronger = (gain[:, None, :] > gain[:, :, None]) | (
+        (gain[:, None, :] == gain[:, :, None])
+        & (rank[None, None, :] < rank[None, :, None]))
+    clash = (d <= 2) & stronger & valid[:, None, :]
+    valid = valid & ~jnp.any(clash, axis=2)
+    return idx, g3, valid
+
+
+def _match_arrivals(idx_c, valid_c, idx_p, g3_p, valid_p,
+                    match_bins: float):
+    """Mutual-nearest matching of this chunk's taps to the previous
+    chunk's within ``match_bins``. Returns ``(tau0, g0[.., 3],
+    matched_prev)``: per current tap the previous tap (delay + window
+    gains) it glides from; an unmatched tap fades in from gain 0 at its
+    own delay (a new arrival), and previous taps nobody matched stay in
+    the previous residual and fade out with the crossfade (a vanished
+    arrival)."""
+    tau_c = idx_c.astype(jnp.float32)
+    tau_p = idx_p.astype(jnp.float32)
+    d = jnp.abs(tau_c[:, :, None] - tau_p[:, None, :])   # [L, A, A]
+    d_cp = jnp.where(valid_p[:, None, :], d, jnp.inf)
+    j = jnp.argmin(d_cp, axis=2)                         # cur -> prev
+    best = jnp.min(d_cp, axis=2)
+    d_pc = jnp.where(valid_c[:, :, None], d, jnp.inf)
+    i_back = jnp.argmin(d_pc, axis=1)                    # prev -> cur
+    li = jnp.arange(tau_c.shape[0])[:, None]
+    a = tau_c.shape[1]
+    mutual = ((i_back[li, j] == jnp.arange(a)[None, :])
+              & (best <= match_bins) & valid_c)
+    tau0 = jnp.where(mutual, tau_p[li, j], tau_c)
+    g0 = jnp.where(mutual[..., None], g3_p[li, j], 0.0)
+    matched_prev = jnp.zeros(tau_p.shape, jnp.int32
+                             ).at[li, j].max(mutual.astype(jnp.int32))
+    return tau0, g0, matched_prev.astype(bool)
+
+
+def _remove_taps(ir: jax.Array, idx: jax.Array, valid: jax.Array
+                 ) -> jax.Array:
+    """Zero the 3-bin windows of the given taps in a K=1 IR
+    ``[L, T, 1]`` — the residual the crossfaded convolution handles."""
+    e = ir[..., 0]
+    li = jnp.arange(e.shape[0])[:, None, None]
+    cols = jnp.clip(idx[:, :, None] + jnp.arange(-1, 2)[None, None, :],
+                    0, e.shape[1] - 1)
+    mask = jnp.ones_like(e).at[li, cols].min(
+        jnp.where(valid[:, :, None], 0.0, 1.0))
+    return (e * mask)[..., None]
+
+
+def _tap_chunk(dry_window: jax.Array, tau0, tau1, g0, g1, valid,
+               n: int) -> jax.Array:
+    """``[L, n]`` sum of time-varying 3-bin taps. ``dry_window[Wd]``
+    ends at the chunk end: its sample ``Wd - n + s`` is the chunk's
+    output sample ``s``, so tap ``a``'s window bin ``d in (-1, 0, 1)``
+    reads position ``Wd - n + s - (tau_a(s) + d)`` with the window
+    delay and per-bin gains ``g[.., 3]`` gliding linearly
+    ``tau0 -> tau1`` / ``g0 -> g1`` across the chunk (matching the
+    crossfade's prev->cur ramp). With ``tau0 == tau1`` integer the
+    reads are exact samples and the tap equals the removed bins'
+    convolution bit-for-bit; a gliding delay advances ``1 - dtau/n``
+    dry samples per output sample — the per-path Doppler rate. Reads
+    before the window (silence before the clip) are 0."""
+    wd = dry_window.shape[-1]
+    s = jnp.arange(n, dtype=jnp.float32)
+    r = s / jnp.float32(max(1, n))
+    off = jnp.arange(-1, 2, dtype=jnp.float32)
+    tau = (tau0[:, :, None] + (tau1 - tau0)[:, :, None] * r
+           )[:, :, None, :] + off[None, None, :, None]   # [L, A, 3, n]
+    g = (g0[..., None] + (g1 - g0)[..., None] * r)       # [L, A, 3, n]
+    p = (wd - n) + s - tau
+    lo = jnp.floor(p)
+    frac = p - lo
+    lo_i = jnp.clip(lo.astype(jnp.int32), 0, wd - 1)
+    hi_i = jnp.clip(lo_i + 1, 0, wd - 1)
+    y = dry_window[lo_i] * (1.0 - frac) + dry_window[hi_i] * frac
+    y = jnp.where((p >= 0) & (p <= wd - 1), y, 0.0)
+    return jnp.sum(jnp.where(valid[:, :, None, None], g * y, 0.0),
+                   axis=(1, 2))
+
+
+def dry_history_window(dry: jax.Array, i: int, n: int, early_bins: int,
+                       loop: bool) -> jax.Array:
+    """The ``early_bins + 2 + n`` dry samples ending at chunk ``i``'s
+    end — the read window for :func:`_tap_chunk` (+2 slack for the
+    centroid's ±1 bin and the interpolation's +1 sample). Positions
+    before the clip are silence; ``loop`` wraps them modulo the clip,
+    exactly like :func:`dry_chunk`."""
+    wd = n + early_bins + 2
+    end = (i + 1) * n
+    pos = jnp.arange(end - wd, end)
+    total = dry.shape[-1]
+    if loop:
+        return dry[..., pos % total]
+    ok = (pos >= 0) & (pos < total)
+    return jnp.where(ok, dry[..., jnp.clip(pos, 0, total - 1)], 0.0)
+
+
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
                                    "frames_per_chunk", "diffraction",
                                    "head_radius", "shadow",
@@ -145,7 +298,8 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
                  air_alpha=None, binaural_facing=None,
                  head_radius: float = 0.0875,
                  shadow: float = 0.6,
-                 decorrelate: bool = True
+                 decorrelate: bool = True,
+                 dry_window=None
                  ) -> Tuple[jax.Array, StreamState]:
     """One streaming step: retrace -> crossfaded convolution -> overlap-add
     -> drain. Returns ``(out_chunk[L, N], new_state)``. Fully on-device;
@@ -185,13 +339,38 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
     is_first = state.chunk_index == 0
     prev_ir = jnp.where(is_first, cur_ir, state.prev_ir)
 
-    # 2. convolve + crossfade
-    wet = _crossfaded_wet(dry_chunk, prev_ir, cur_ir)           # [L, N+T]
+    # 2. convolve + crossfade. With a dry history window attached
+    #    (doppler="per_arrival"), the dominant early arrivals leave the
+    #    convolution and become per-path Doppler taps (see the helper
+    #    block above); the residual IRs ride the ordinary crossfade.
+    taps = None
+    if dry_window is not None:
+        if k != 1:
+            raise ValueError("per-arrival Doppler supports K == 1 IRs")
+        if binaural_facing is not None:
+            raise ValueError(
+                "per-arrival Doppler + binaural is not supported")
+        early_bins = dry_window.shape[-1] - n - 2
+        idx_c, g3_c, val_c = _arrival_table(cur_ir, early_bins,
+                                            _ARRIVAL_TAPS)
+        idx_p, g3_p, val_p = _arrival_table(prev_ir, early_bins,
+                                            _ARRIVAL_TAPS)
+        tau0, g0, matched_prev = _match_arrivals(
+            idx_c, val_c, idx_p, g3_p, val_p, _ARRIVAL_MATCH_BINS)
+        taps = _tap_chunk(cv.gate_input(dry_window), tau0,
+                          idx_c.astype(jnp.float32), g0, g3_c, val_c, n)
+        prev_ir = _remove_taps(prev_ir, idx_p, matched_prev & val_p)
+        cur_res = _remove_taps(cur_ir, idx_c, val_c)
+        wet = _crossfaded_wet(dry_chunk, prev_ir, cur_res)
+    else:
+        wet = _crossfaded_wet(dry_chunk, prev_ir, cur_ir)       # [L, N+T]
 
     # 3. overlap-add into the ring at the stream position (== the read
     #    head: both advance one chunk per step), then drain one chunk
     ring = state.ring.push(wet, state.ring.read_head)
     out, ring = ring.drain(n)
+    if taps is not None:
+        out = out + taps
 
     new_state = StreamState(prev_ir=cur_ir, ring=ring,
                             chunk_index=state.chunk_index + 1)
@@ -228,7 +407,7 @@ class Streamer:
 
     def process(self, dry_chunk: jax.Array, params: TraceParams,
                 scene: Optional[Scene] = None,
-                facing: float = 0.0) -> jax.Array:
+                facing: float = 0.0, dry_window=None) -> jax.Array:
         """One chunk. ``scene`` overrides the bound scene for this chunk —
         the dynamic-obstacles mode (the reference re-flattens colliders
         every FixedUpdate when ``dynamicObstacles`` is set,
@@ -247,13 +426,13 @@ class Streamer:
             binaural_facing=(jnp.asarray(facing, jnp.float32)
                              if self.binaural else None),
             head_radius=self.head_radius, shadow=self.shadow,
-            decorrelate=self.decorrelate)
+            decorrelate=self.decorrelate, dry_window=dry_window)
         return out
 
     def stream_clip(self, dry: jax.Array, params_fn, scene_fn=None,
                     pad_tail: bool = True, loop: Optional[bool] = None,
                     total_chunks: Optional[int] = None,
-                    on_chunk=None, facing_fn=None, doppler: bool = False):
+                    on_chunk=None, facing_fn=None, doppler=False):
         """Stream a whole clip; ``params_fn(chunk_index) -> TraceParams``
         supplies (possibly moving) poses and optional
         ``scene_fn(chunk_index) -> Scene`` supplies per-chunk geometry
@@ -273,12 +452,24 @@ class Streamer:
         ``params_fn`` poses. The traced IR keeps handling level/reverb;
         the reference (and a plain stream) is Doppler-free because chunk
         convolution is time-invariant within a chunk. All paths share
-        the direct-path rate (the standard real-time approximation —
-        per-reflection Doppler would need per-path warps). Rates come
-        from consecutive-pose differences, so the LAST chunk reuses the
-        previous chunk's rate (no pose to difference against), and a
-        single-chunk stream (``n_steps == 1``) has no pose pair at all —
-        it streams at rate 1.0, i.e. no pitch shift.
+        the direct-path rate (the standard real-time approximation).
+        Rates come from consecutive-pose differences, so the LAST chunk
+        reuses the previous chunk's rate (no pose to difference
+        against), and a single-chunk stream (``n_steps == 1``) has no
+        pose pair at all — it streams at rate 1.0, i.e. no pitch shift.
+
+        ``doppler="per_arrival"`` upgrades that approximation: the
+        dominant early arrivals of each chunk's traced IR become
+        per-path fractional-delay taps whose delays glide chunk to
+        chunk, so the direct sound and each early reflection carry
+        their OWN Doppler rates (a source approaching you but receding
+        from the back wall shifts the direct sound up and the echo
+        down); the late field stays in the crossfaded convolution,
+        unwarped — diffuse arrivals come from every direction, so their
+        net shift is ~zero. Needs no pose lookahead (rates come from
+        the IRs themselves, so this mode also hears geometry-driven
+        delay changes a pose difference cannot see, e.g. a moving
+        obstacle). K == 1, non-binaural streams only.
 
         ``loop`` selects the end-of-clip behavior of the reference
         (``RayTraceManager.cs:74-77``): when set, the dry feed restarts at
@@ -303,15 +494,23 @@ class Streamer:
                 else 0
             n_steps = (n_chunks + tail) if total_chunks is None \
                 else total_chunks
+        per_arrival = doppler == "per_arrival"
         feed = DopplerFeed(dry, params_fn, n, self.config.audio.sample_rate,
-                           n_steps, loop) if doppler else None
+                           n_steps, loop) if (doppler and not per_arrival) \
+            else None
+        early = min(self.config.audio.ir_length,
+                    int(round(_ARRIVAL_WINDOW_S
+                              * self.config.audio.sample_rate)))
         chunks = []
         for i in range(n_steps):
-            piece = feed.chunk(i) if doppler else dry_chunk(dry, i, n, loop)
+            piece = (feed.chunk(i) if feed is not None
+                     else dry_chunk(dry, i, n, loop))
+            window = dry_history_window(dry, i, n, early, loop) \
+                if per_arrival else None
             scene_i = scene_fn(i) if scene_fn is not None else None
             facing = facing_fn(i) if facing_fn is not None else 0.0
             chunks.append(self.process(piece, params_fn(i), scene_i,
-                                       facing=facing))
+                                       facing=facing, dry_window=window))
             if on_chunk is not None:
                 on_chunk(i, self.state)
         return jnp.concatenate(chunks, axis=-1)

@@ -1,0 +1,279 @@
+"""Per-arrival Doppler (streaming.py ``doppler="per_arrival"``): each
+dominant early arrival of the chunk IR becomes a fractional-delay tap
+whose delay glides chunk to chunk — the direct sound and every early
+reflection carry their OWN pitch shift, upgrading the shared direct-path
+rate of ``doppler=True`` (the reference has no Doppler at all: its chunk
+convolution is time-invariant, ``RayTraceManager.cs:91-123``)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import realisticaudioraytracing2d_tpu as art
+from realisticaudioraytracing2d_tpu import streaming as st
+from realisticaudioraytracing2d_tpu.engine import Engine
+from realisticaudioraytracing2d_tpu.models.scene import SceneBuilder
+from realisticaudioraytracing2d_tpu.models.materials import AudioMaterial
+from realisticaudioraytracing2d_tpu.streaming import Streamer
+
+
+# ---- unit: arrival extraction ------------------------------------------------
+
+
+def _ir(bins, vals, t=512, l=1):
+    e = np.zeros((l, t, 1), np.float32)
+    for b, v in zip(bins, vals):
+        e[:, b, 0] = v
+    return jnp.asarray(e)
+
+
+def test_arrival_table_carries_exact_window():
+    # a scatter_hits deposit is a linear two-bin splat: the tap must
+    # carry exactly those bins so tap + residual == the full IR
+    e = _ir([100, 101], [1.5, 0.5])
+    idx, g3, valid = st._arrival_table(e, 512, 4)
+    assert bool(valid[0, 0])
+    assert int(idx[0, 0]) == 100
+    np.testing.assert_allclose(np.asarray(g3[0, 0]), [0.0, 1.5, 0.5])
+    # remaining slots are invalid (only one local max exists)
+    assert not np.any(np.asarray(valid[0, 1:]))
+
+
+def test_arrival_table_suppresses_overlapping_windows():
+    # two local maxima 2 bins apart would share a window bin; the weaker
+    # one must be suppressed so tap + residual conserves energy
+    e = _ir([100, 102], [3.0, 1.0])
+    idx, g3, valid = st._arrival_table(e, 512, 4)
+    keep = np.asarray(valid[0])
+    assert keep.sum() == 1
+    assert int(np.asarray(idx[0])[np.argmax(keep)]) == 100
+
+
+def test_remove_taps_plus_gain_conserves_energy():
+    e = _ir([50, 51, 200, 300, 301, 302], [1.0, 0.5, 2.0, 0.3, 0.9, 0.1])
+    idx, g3, valid = st._arrival_table(e, 512, 4)
+    res = st._remove_taps(e, idx, valid)
+    removed = float(jnp.sum(e) - jnp.sum(res))
+    kept_gain = float(jnp.sum(jnp.where(valid, jnp.sum(g3, -1), 0.0)))
+    np.testing.assert_allclose(removed, kept_gain, rtol=1e-6)
+
+
+def test_match_arrivals_mutual_nearest_and_fade_in():
+    idx_c = jnp.asarray([[100, 240, 0]], jnp.int32)
+    val_c = jnp.asarray([[True, True, False]])
+    idx_p = jnp.asarray([[103, 400, 0]], jnp.int32)
+    g3_p = jnp.asarray([[[0.0, 5.0, 0.0], [1.0, 7.0, 2.0],
+                         [0.0, 0.0, 0.0]]])
+    val_p = jnp.asarray([[True, True, False]])
+    tau0, g0, matched_prev = st._match_arrivals(
+        idx_c, val_c, idx_p, g3_p, val_p, match_bins=64.0)
+    # arrival 0 glides from prev (103, its window gains); arrival 1 is
+    # new (400 is beyond the 64-bin window): fades in from gain 0 at
+    # its own delay
+    np.testing.assert_allclose(np.asarray(tau0[0]), [103.0, 240.0, 0.0])
+    np.testing.assert_allclose(np.asarray(g0[0, 0]), [0.0, 5.0, 0.0])
+    np.testing.assert_allclose(np.asarray(g0[0, 1]), [0.0, 0.0, 0.0])
+    # prev arrival 0 consumed; prev arrival 1 stays (fades out in the
+    # residual crossfade)
+    assert list(np.asarray(matched_prev[0])) == [True, False, False]
+
+
+def test_tap_chunk_glide_rate_is_doppler():
+    # a tap whose delay shrinks by dtau across the chunk reads
+    # 1 + dtau/n dry samples per output sample: a sine comes out
+    # pitch-shifted by exactly that ratio
+    sr, n, f0 = 8000, 800, 400.0
+    early = 200
+    wd = n + early + 2
+    t_all = np.arange(4 * n) / sr
+    dry = jnp.asarray(np.sin(2 * np.pi * f0 * t_all).astype(np.float32))
+    window = st.dry_history_window(dry, 2, n, early, loop=False)
+    assert window.shape[-1] == wd
+    tau0, tau1 = 150.0, 130.0                      # approaching: 20 bins
+    g = jnp.asarray([[[0.0, 1.0, 0.0]]])
+    y = st._tap_chunk(window,
+                      jnp.asarray([[tau0]]), jnp.asarray([[tau1]]),
+                      g, g, jnp.asarray([[True]]), n)
+    y = np.asarray(y)[0]
+    # measure the dominant frequency by zero crossings
+    zc = np.sum(np.abs(np.diff(np.signbit(y))))
+    f_meas = zc * sr / (2.0 * n)
+    f_want = f0 * (1.0 + (tau0 - tau1) / n)
+    np.testing.assert_allclose(f_meas, f_want, rtol=0.02)
+    assert abs(f_meas - f0) > 5.0                  # the shift is real
+
+
+# ---- integration fixtures ----------------------------------------------------
+
+
+def _free_field_room(src_x, wall_h=2.0):
+    """Listener at origin, source on +x, one reflective wall at x=6
+    (absorption 0, specular, opaque): exactly two early arrivals —
+    direct (length src_x) and the wall echo (length 12 - src_x). The
+    wall is kept SHORT so the echo is compact: NEE deposits spread over
+    source->wall-point->listener path lengths, and a long wall smears
+    the echo into a stationary-phase plateau whose local maxima are
+    Monte-Carlo noise."""
+    from realisticaudioraytracing2d_tpu.models.scene import Transform2D
+    mirror = AudioMaterial(absorption=0.0, scattering=0.0,
+                           transmission=0.0, ior=1.0)
+    b = SceneBuilder()
+    b.add_box(mirror, Transform2D(position=(6.5, 0.0)),
+              size=(1.0, wall_h))
+    return b.build(), np.asarray([src_x, 0.0], np.float32), \
+        np.asarray([0.0, 0.0], np.float32)
+
+
+def _cfg(sr=8000, reverb=0.2, rays=512, chunk=0.1, radius=None):
+    cfg = art.smoll_room_config(ray_count=rays)
+    if radius is not None:
+        # compact arrivals: the capture-circle delay spread is +-r/c
+        cfg = dataclasses.replace(
+            cfg, sim=dataclasses.replace(cfg.sim, listener_radius=radius))
+    return dataclasses.replace(
+        cfg, audio=dataclasses.replace(cfg.audio, sample_rate=sr,
+                                       reverb_duration=reverb,
+                                       chunk_duration=chunk))
+
+
+def test_static_scene_per_arrival_matches_plain_stream():
+    # with nothing moving the taps carry their exact 3-bin windows, so
+    # tap + residual reproduce the plain stream's convolution. The first
+    # chunk (prev == cur, taps at identical bins) is exact to FFT-conv
+    # noise; later chunks differ only by Monte-Carlo trace noise, which
+    # per-arrival reinterprets as sub-bin motion of the weak arrivals —
+    # bounded, and shrinking with frames_per_chunk.
+    scene, src, lis = _free_field_room(2.0)
+    cfg = _cfg()
+    eng = Engine(scene, cfg)
+    params = eng.params(src, lis)
+    sr = cfg.audio.sample_rate
+    n = cfg.audio.chunk_samples
+    rng = np.random.default_rng(3)
+    dry = jnp.asarray(rng.normal(size=int(0.4 * sr)).astype(np.float32)
+                      * 0.3)
+    fn = lambda i: params                                   # noqa: E731
+    plain = np.asarray(Streamer(scene, cfg, jax.random.PRNGKey(0),
+                                frames_per_chunk=4)
+                       .stream_clip(dry, fn, loop=False))
+    pa = np.asarray(Streamer(scene, cfg, jax.random.PRNGKey(0),
+                             frames_per_chunk=4)
+                    .stream_clip(dry, fn, loop=False,
+                                 doppler="per_arrival"))
+    assert pa.shape == plain.shape
+    scale = np.abs(plain).max()
+    # first chunk: prev == cur -> constant integer taps -> exact
+    np.testing.assert_allclose(pa[:, :n], plain[:, :n],
+                               atol=1e-4 * scale)
+    # whole stream: close in waveform and energy
+    num = np.linalg.norm(pa - plain)
+    den = np.linalg.norm(plain)
+    assert num / den < 0.05
+    corr = np.dot(pa.ravel(), plain.ravel()) / (
+        np.linalg.norm(pa) * den)
+    assert corr > 0.995
+
+
+def test_moving_source_direct_and_echo_shift_opposite_ways():
+    # source approaching the listener while receding from the wall
+    # behind it: the direct path shortens at +v (pitch UP) while the
+    # echo path lengthens at -v (pitch DOWN). Per-arrival Doppler must
+    # put energy at BOTH shifted frequencies; the shared-rate feed
+    # (doppler=True) warps everything at the direct rate and has no
+    # down-shifted line.
+    cfg = _cfg(reverb=0.15, rays=2048, radius=0.05)
+    sr = cfg.audio.sample_rate
+    n = cfg.audio.chunk_samples
+    v = 2.0                                    # m/s toward the listener
+    c = 343.0
+    f0 = 1000.0
+    total = 10
+    t_all = np.arange((total + 4) * n) / sr
+    dry = jnp.asarray(np.sin(2 * np.pi * f0 * t_all).astype(np.float32))
+
+    scene, _, lis = _free_field_room(3.0)
+    eng = Engine(scene, cfg)
+
+    def poses(i):
+        x = 3.0 - v * (i * n / sr)             # 3.0 m -> 1.0 m
+        return eng.params(np.asarray([x, 0.0], np.float32), lis)
+
+    wet = np.asarray(Streamer(scene, cfg, jax.random.PRNGKey(0),
+                              frames_per_chunk=4)
+                     .stream_clip(dry, poses, loop=False,
+                                  total_chunks=total,
+                                  doppler="per_arrival"))[0]
+    seg = wet[2 * n:total * n]                 # steady middle
+    win = np.hanning(seg.size)
+    spec = np.abs(np.fft.rfft(seg * win))
+    freqs = np.fft.rfftfreq(seg.size, 1.0 / sr)
+
+    def band(f_lo, f_hi):
+        m = (freqs >= f_lo) & (freqs <= f_hi)
+        return spec[m], freqs[m]
+
+    f_up = f0 * (1.0 + v / c)                  # direct, ~+5.8 Hz
+    f_dn = f0 * (1.0 - v / c)                  # echo, ~-5.8 Hz
+    up_s, up_f = band(f0 + 1.0, f0 + 15.0)
+    dn_s, dn_f = band(f0 - 15.0, f0 - 1.0)
+    floor = max(band(f0 - 40, f0 - 25)[0].max(),
+                band(f0 + 25, f0 + 40)[0].max())
+    # both shifted lines rise well out of the local spectral floor...
+    assert up_s.max() > 10.0 * floor
+    assert dn_s.max() > 4.0 * floor
+    # ...and sit at the predicted Doppler frequencies (the FFT grid is
+    # 1.25 Hz here)
+    assert abs(up_f[np.argmax(up_s)] - f_up) < 2.2
+    assert abs(dn_f[np.argmax(dn_s)] - f_dn) < 2.2
+
+
+def test_cli_stream_doppler_per_arrival(tmp_path):
+    from realisticaudioraytracing2d_tpu.cli import main
+    from realisticaudioraytracing2d_tpu.utils.audio_io import (noise_burst,
+                                                               read_wav,
+                                                               write_wav)
+    tiny = ["--rays", "256", "--bounces", "4", "--frames", "1",
+            "--reverb", "0.2", "--sample-rate", "8000"]
+    dry = str(tmp_path / "dry.wav")
+    write_wav(dry, noise_burst(0.2, 8000, seed=3), 8000)
+    out = str(tmp_path / "pa.wav")
+    main(["stream", "--room", "smoll", *tiny, "--in", dry, "--out", out,
+          "--move-source", "1,0", "--doppler-per-arrival"])
+    x, sr = read_wav(out)
+    assert np.abs(x).max() > 0 and np.isfinite(x).all()
+
+
+def test_guards():
+    room = art.rooms.smoll_room()
+    cfg = _cfg()
+    # K > 1 rejected
+    from realisticaudioraytracing2d_tpu.models.scene import Transform2D
+    banded = SceneBuilder(n_bands=2)
+    banded.add_box(AudioMaterial(band_absorption=(0.1, 0.2)),
+                   Transform2D(position=(0.0, 5.0)), size=(4.0, 1.0))
+    bscene = banded.build()
+    eng = Engine(bscene, cfg)
+    p = eng.params(np.asarray([0.0, 0.0], np.float32),
+                   np.asarray([1.0, 0.0], np.float32))
+    srm = Streamer(bscene, cfg, jax.random.PRNGKey(0))
+    dry = jnp.zeros(cfg.audio.chunk_samples)
+    with pytest.raises(ValueError, match="K == 1"):
+        srm.stream_clip(dry, lambda i: p, loop=False, total_chunks=1,
+                        doppler="per_arrival")
+    # binaural rejected
+    eng2 = Engine(room.scene, cfg)
+    p2 = eng2.params(room.source, room.listener)
+    srb = Streamer(room.scene, cfg, jax.random.PRNGKey(0), binaural=True)
+    with pytest.raises(ValueError, match="binaural"):
+        srb.stream_clip(dry, lambda i: p2, loop=False, total_chunks=1,
+                        doppler="per_arrival")
+    # live pipeline: explicit NotImplementedError, not a silent
+    # fall-through to the shared-rate feed
+    from realisticaudioraytracing2d_tpu.live import LivePlayer
+    player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError, match="per-arrival"):
+        player.run(dry, total_chunks=1, loop=False, realtime=False,
+                   params=p2, doppler="per_arrival")
