@@ -720,7 +720,10 @@ def cmd_live(args):
                          realtime=args.realtime or sink is not None,
                          params_fn=poses,
                          on_chunk=on_chunk, facing_fn=facing_fn,
-                         doppler=args.doppler, sink=sink)
+                         doppler=("per_arrival"
+                                  if getattr(args, "doppler_per_arrival",
+                                             False) else args.doppler),
+                         sink=sink)
     finally:
         if sink is not None:
             sink.close()
@@ -1113,6 +1116,11 @@ def main(argv=None):
                    help="fractional-rate dry feed: pitch shifts by "
                         "1 - v/c from the poses' radial velocity "
                         "(same physics as stream --doppler)")
+    p.add_argument("--doppler-per-arrival", action="store_true",
+                   help="per-path Doppler: direct sound and each "
+                        "dominant early reflection glide at their OWN "
+                        "rates (same physics as stream "
+                        "--doppler-per-arrival)")
     p.add_argument("--pose-feed", default=None, metavar="FILE",
                    help="steer the running live pipeline: JSON-lines "
                         "pose overrides tailed from FILE ('-' = stdin)")

@@ -38,7 +38,8 @@ from .models.scene import Scene
 from .native import NativeRingBuffer
 from .ops import ir as irm
 from .ops import rng as _rng
-from .streaming import DopplerFeed, _crossfaded_wet, dry_chunk
+from .streaming import (DopplerFeed, _crossfaded_wet, dry_chunk,
+                        dry_history_window)
 from .ops.trace import TraceParams
 
 
@@ -52,7 +53,7 @@ def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
               frames_per_chunk: int = 1, diffraction: bool = False,
               air_alpha=None, binaural_facing=None,
               head_radius: float = 0.0875, shadow: float = 0.6,
-              decorrelate: bool = True):
+              decorrelate: bool = True, dry_window=None):
     """One live step fully on-device: retrace a fresh IR for this chunk and
     return ``(wet[L, N+T], cur_ir)`` — the crossfaded convolution output
     *including* its reverb tail, ready for host overlap-add (the
@@ -83,6 +84,15 @@ def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
             cur_ir, sample_rate, binaural_facing, head_radius, shadow,
             params.speed_of_sound, decorrelate=decorrelate)
     prev = jnp.where(chunk_index == 0, cur_ir, prev_ir)
+    if dry_window is not None:
+        # per-arrival Doppler (see streaming._per_arrival_parts): the
+        # taps are THIS chunk's output samples, so they join the wet
+        # chunk region before the host ring's overlap-add
+        from .streaming import _per_arrival_parts
+        wet, taps = _per_arrival_parts(dry, dry_window, prev, cur_ir,
+                                       dry.shape[-1], k,
+                                       binaural_facing is not None)
+        return wet.at[:, :dry.shape[-1]].add(taps), cur_ir
     return _crossfaded_wet(dry, prev, cur_ir), cur_ir
 
 
@@ -180,6 +190,11 @@ class LivePlayer:
         offline :meth:`..streaming.Streamer.stream_clip` uses — a moving
         pose pitch-shifts identically live and offline (integrity-mode
         live output is sample-exact against the Doppler stream).
+        ``doppler="per_arrival"`` likewise mirrors the streamer's
+        per-path mode (each dominant early arrival glides at its own
+        rate; see :meth:`..streaming.Streamer.stream_clip`): the same
+        tap extraction runs inside ``wet_chunk``, so live and stream
+        agree here too. K == 1, non-binaural.
 
         ``sink`` (an object with ``write(block[C, N]) -> frames``, e.g.
         :class:`..native.AudioSink`) receives every drained DSP buffer
@@ -210,21 +225,20 @@ class LivePlayer:
                             jnp.float32)
         producer_err = []
 
-        if doppler == "per_arrival":
-            raise NotImplementedError(
-                "per-arrival Doppler is a Streamer feature "
-                "(stream_clip(doppler='per_arrival')); the live pipeline "
-                "supports the shared-rate feed (doppler=True)")
+        per_arrival = doppler == "per_arrival"
         feed = DopplerFeed(dry, params_fn, n, sr, total_chunks,
-                           loop) if doppler else None
+                           loop) if (doppler and not per_arrival) else None
+        early = min(t, int(round(0.12 * sr))) if per_arrival else 0
 
         def producer():
             nonlocal frontier, prev_ir
             t0 = time.perf_counter()
             try:
                 for i in range(total_chunks):
-                    piece = (feed.chunk(i) if doppler
+                    piece = (feed.chunk(i) if feed is not None
                              else dry_chunk(dry, i, n, loop))
+                    window = dry_history_window(dry, i, n, early, loop) \
+                        if per_arrival else None
                     # mono dry is broadcast per listener inside wet_chunk
                     facing = None
                     if self.binaural:
@@ -243,7 +257,8 @@ class LivePlayer:
                         binaural_facing=facing,
                         head_radius=self.head_radius,
                         shadow=self.shadow,
-                        decorrelate=self.decorrelate)
+                        decorrelate=self.decorrelate,
+                        dry_window=window)
                     wet_np = np.asarray(wet)  # device->host readback
                     if wet_np.ndim == 1:
                         wet_np = wet_np[None, :]

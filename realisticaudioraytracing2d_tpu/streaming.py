@@ -269,6 +269,30 @@ def _tap_chunk(dry_window: jax.Array, tau0, tau1, g0, g1, valid,
                    axis=(1, 2))
 
 
+def _per_arrival_parts(dry_piece: jax.Array, dry_window: jax.Array,
+                       prev_ir: jax.Array, cur_ir: jax.Array,
+                       n: int, k: int, binaural: bool):
+    """The per-arrival step shared by :func:`stream_chunk` and the live
+    pipeline's ``wet_chunk``: extract + match + synthesize the taps and
+    convolve the residuals. Returns ``(wet[L, N+T], taps[L, n])`` —
+    ``wet`` is the crossfaded residual convolution, ``taps`` the
+    per-path Doppler signal for THIS chunk's output samples."""
+    if k != 1:
+        raise ValueError("per-arrival Doppler supports K == 1 IRs")
+    if binaural:
+        raise ValueError("per-arrival Doppler + binaural is not supported")
+    early_bins = dry_window.shape[-1] - n - 2
+    idx_c, g3_c, val_c = _arrival_table(cur_ir, early_bins, _ARRIVAL_TAPS)
+    idx_p, g3_p, val_p = _arrival_table(prev_ir, early_bins, _ARRIVAL_TAPS)
+    tau0, g0, matched_prev = _match_arrivals(
+        idx_c, val_c, idx_p, g3_p, val_p, _ARRIVAL_MATCH_BINS)
+    taps = _tap_chunk(cv.gate_input(dry_window), tau0,
+                      idx_c.astype(jnp.float32), g0, g3_c, val_c, n)
+    prev_res = _remove_taps(prev_ir, idx_p, matched_prev & val_p)
+    cur_res = _remove_taps(cur_ir, idx_c, val_c)
+    return _crossfaded_wet(dry_piece, prev_res, cur_res), taps
+
+
 def dry_history_window(dry: jax.Array, i: int, n: int, early_bins: int,
                        loop: bool) -> jax.Array:
     """The ``early_bins + 2 + n`` dry samples ending at chunk ``i``'s
@@ -345,23 +369,9 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
     #    block above); the residual IRs ride the ordinary crossfade.
     taps = None
     if dry_window is not None:
-        if k != 1:
-            raise ValueError("per-arrival Doppler supports K == 1 IRs")
-        if binaural_facing is not None:
-            raise ValueError(
-                "per-arrival Doppler + binaural is not supported")
-        early_bins = dry_window.shape[-1] - n - 2
-        idx_c, g3_c, val_c = _arrival_table(cur_ir, early_bins,
-                                            _ARRIVAL_TAPS)
-        idx_p, g3_p, val_p = _arrival_table(prev_ir, early_bins,
-                                            _ARRIVAL_TAPS)
-        tau0, g0, matched_prev = _match_arrivals(
-            idx_c, val_c, idx_p, g3_p, val_p, _ARRIVAL_MATCH_BINS)
-        taps = _tap_chunk(cv.gate_input(dry_window), tau0,
-                          idx_c.astype(jnp.float32), g0, g3_c, val_c, n)
-        prev_ir = _remove_taps(prev_ir, idx_p, matched_prev & val_p)
-        cur_res = _remove_taps(cur_ir, idx_c, val_c)
-        wet = _crossfaded_wet(dry_chunk, prev_ir, cur_res)
+        wet, taps = _per_arrival_parts(
+            dry_chunk, dry_window, prev_ir, cur_ir, n, k,
+            binaural_facing is not None)
     else:
         wet = _crossfaded_wet(dry_chunk, prev_ir, cur_ir)       # [L, N+T]
 

@@ -270,10 +270,46 @@ def test_guards():
     with pytest.raises(ValueError, match="binaural"):
         srb.stream_clip(dry, lambda i: p2, loop=False, total_chunks=1,
                         doppler="per_arrival")
-    # live pipeline: explicit NotImplementedError, not a silent
-    # fall-through to the shared-rate feed
+    # binaural live rejected too (same guard, inside wet_chunk)
     from realisticaudioraytracing2d_tpu.live import LivePlayer
-    player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(0))
-    with pytest.raises(NotImplementedError, match="per-arrival"):
-        player.run(dry, total_chunks=1, loop=False, realtime=False,
-                   params=p2, doppler="per_arrival")
+    playerb = LivePlayer(room.scene, cfg, jax.random.PRNGKey(0),
+                         binaural=True)
+    with pytest.raises(ValueError, match="binaural"):
+        playerb.run(dry, total_chunks=1, loop=False, realtime=False,
+                    params=p2, doppler="per_arrival")
+
+
+def test_live_per_arrival_matches_stream():
+    # integrity-mode live == the per-arrival streamer sample for sample
+    # (same tap extraction inside wet_chunk; the paths are separately
+    # compiled programs, hence the float-noise tolerance)
+    from realisticaudioraytracing2d_tpu.live import LivePlayer
+    scene, _, lis = _free_field_room(3.0)
+    cfg = _cfg(reverb=0.15, rays=512, radius=0.05)
+    sr = cfg.audio.sample_rate
+    n = cfg.audio.chunk_samples
+    total = 4
+    eng = Engine(scene, cfg)
+
+    def poses(i):
+        x = 3.0 - 2.0 * (i * n / sr)
+        return eng.params(np.asarray([x, 0.0], np.float32), lis)
+
+    t_all = np.arange((total + 2) * n) / sr
+    dry = jnp.asarray(np.sin(2 * np.pi * 500.0 * t_all)
+                      .astype(np.float32))
+    rep = LivePlayer(scene, cfg, jax.random.PRNGKey(1)).run(
+        dry, total_chunks=total, loop=False, realtime=False,
+        params_fn=poses, doppler="per_arrival")
+    want = np.asarray(Streamer(scene, cfg, jax.random.PRNGKey(1))
+                      .stream_clip(dry, poses, loop=False,
+                                   total_chunks=total,
+                                   doppler="per_arrival"))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(rep.audio, want[:, :rep.audio.shape[-1]],
+                               atol=1e-5 * scale)
+    # and the per-path shift is real: differs from the plain live run
+    plain = LivePlayer(scene, cfg, jax.random.PRNGKey(1)).run(
+        dry, total_chunks=total, loop=False, realtime=False,
+        params_fn=poses)
+    assert not np.allclose(rep.audio, plain.audio)
