@@ -31,6 +31,8 @@ CASES = {
     "spatial_doa.py": (["--rays", "8192", "--frames", "1"],
                        ["bearing"]),
     "occlusion_walkby.py": ([], ["shadow"]),
+    "doppler_walkby.py": (["--rays", "1024", "--chunks", "8"],
+                          ["direct shifts up, echo shifts down"]),
     "inverse_materials.py": (["--steps", "25", "--rays", "128"],
                              ["fitted"]),
     "locate_source.py": (["--starts", "4", "--steps", "60",
