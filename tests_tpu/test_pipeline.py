@@ -144,3 +144,52 @@ def test_checkpoint_resume_on_chip(ref_setup, tmp_path):
     # geometry (first arrival) is seed-independent
     assert abs(int(np.nonzero(ir_r > 1e-7)[0][0])
                - int(np.nonzero(ir_o > 1e-7)[0][0])) <= 4
+
+
+def test_per_arrival_doppler_stream_on_chip():
+    # the per-arrival Doppler chunk step (arrival top_k + mutual match +
+    # gliding 3-bin taps + residual conv, streaming._per_arrival_parts)
+    # composes with the fused-kernel retrace on the real chip: on the
+    # compact two-arrival fixture (tests/test_doppler_arrivals.py) a
+    # static pose renders the same audio as the plain stream — the taps
+    # carry their exact windows; deviation is bounded MC tap jitter.
+    # (SmollRoom's wall-mediated arrivals are spread plateaus whose
+    # local maxima jitter with MC noise — docs/ACOUSTICS.md limits.)
+    from realisticaudioraytracing2d_tpu.models.materials import (
+        AudioMaterial)
+    from realisticaudioraytracing2d_tpu.models.scene import (SceneBuilder,
+                                                             Transform2D)
+    mirror = AudioMaterial(absorption=0.0, scattering=0.0,
+                           transmission=0.0, ior=1.0)
+    b = SceneBuilder()
+    b.add_box(mirror, Transform2D(position=(6.5, 0.0)), size=(1.0, 2.0))
+    scene = b.build()
+    cfg = art.smoll_room_config(ray_count=2048)
+    cfg = dataclasses.replace(
+        cfg,
+        sim=dataclasses.replace(cfg.sim, listener_radius=0.05),
+        audio=dataclasses.replace(cfg.audio, sample_rate=8000,
+                                  reverb_duration=0.15,
+                                  chunk_duration=0.1))
+    eng = Engine(scene, cfg)
+    params = eng.params(np.asarray([2.0, 0.0], np.float32),
+                        np.asarray([0.0, 0.0], np.float32))
+    sr = cfg.audio.sample_rate
+    n = cfg.audio.chunk_samples
+    dry = jnp.asarray(noise_burst(0.35, sr, seed=5))
+    fn = lambda i: params                                 # noqa: E731
+    plain = np.asarray(Streamer(scene, cfg, jax.random.PRNGKey(2),
+                                frames_per_chunk=4)
+                       .stream_clip(dry, fn, loop=False,
+                                    total_chunks=4))
+    pa = np.asarray(Streamer(scene, cfg, jax.random.PRNGKey(2),
+                             frames_per_chunk=4)
+                    .stream_clip(dry, fn, loop=False, total_chunks=4,
+                                 doppler="per_arrival"))
+    assert pa.shape == plain.shape
+    assert np.isfinite(pa).all()
+    scale = np.abs(plain).max()
+    np.testing.assert_allclose(pa[:, :n], plain[:, :n],
+                               atol=1e-4 * scale)      # chunk 0: exact
+    num = np.linalg.norm(pa - plain)
+    assert num / np.linalg.norm(plain) < 0.05
