@@ -543,8 +543,7 @@ def cmd_stream(args):
         viz_cb = _viz_callback(args.out, args.viz_every)
         on_chunk = lambda i, st: viz_cb(i, st.prev_ir)  # noqa: E731
     t0 = time.perf_counter()
-    doppler = "per_arrival" if getattr(args, "doppler_per_arrival",
-                                       False) else args.doppler
+    doppler = _doppler_arg(args)
     if args.duration is not None:
         # timed stream: the clip wraps at its end while config.audio.loop
         # is set (RayTraceManager.cs:74-77), else pads with silence
@@ -590,6 +589,17 @@ def _binaural_setup(args, room, n_l: int, chunk_dt: float):
     base = float(np.radians(binaural))
     turn = float(np.radians(getattr(args, "head_turn", 0.0))) * chunk_dt
     return True, (lambda i: base + turn * i)
+
+
+def _doppler_arg(args):
+    """``--doppler`` / ``--doppler-per-arrival`` -> the ``doppler=``
+    value; the two modes are different physics, so asking for both is a
+    conflict, not a precedence question."""
+    per = getattr(args, "doppler_per_arrival", False)
+    if per and args.doppler:
+        raise SystemExit("--doppler and --doppler-per-arrival are "
+                         "mutually exclusive (shared-rate vs per-path)")
+    return "per_arrival" if per else args.doppler
 
 
 def _trajectory_poses(args, eng, room, listeners, chunk_dt):
@@ -720,10 +730,7 @@ def cmd_live(args):
                          realtime=args.realtime or sink is not None,
                          params_fn=poses,
                          on_chunk=on_chunk, facing_fn=facing_fn,
-                         doppler=("per_arrival"
-                                  if getattr(args, "doppler_per_arrival",
-                                             False) else args.doppler),
-                         sink=sink)
+                         doppler=_doppler_arg(args), sink=sink)
     finally:
         if sink is not None:
             sink.close()

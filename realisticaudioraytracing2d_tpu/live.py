@@ -38,8 +38,8 @@ from .models.scene import Scene
 from .native import NativeRingBuffer
 from .ops import ir as irm
 from .ops import rng as _rng
-from .streaming import (DopplerFeed, _crossfaded_wet, dry_chunk,
-                        dry_history_window)
+from .streaming import (_ARRIVAL_WINDOW_S, DopplerFeed, _crossfaded_wet,
+                        _per_arrival_parts, dry_chunk, dry_history_window)
 from .ops.trace import TraceParams
 
 
@@ -88,7 +88,6 @@ def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
         # per-arrival Doppler (see streaming._per_arrival_parts): the
         # taps are THIS chunk's output samples, so they join the wet
         # chunk region before the host ring's overlap-add
-        from .streaming import _per_arrival_parts
         wet, taps = _per_arrival_parts(dry, dry_window, prev, cur_ir,
                                        dry.shape[-1], k,
                                        binaural_facing is not None)
@@ -228,7 +227,8 @@ class LivePlayer:
         per_arrival = doppler == "per_arrival"
         feed = DopplerFeed(dry, params_fn, n, sr, total_chunks,
                            loop) if (doppler and not per_arrival) else None
-        early = min(t, int(round(0.12 * sr))) if per_arrival else 0
+        early = min(t, int(round(_ARRIVAL_WINDOW_S * sr))) \
+            if per_arrival else 0
 
         def producer():
             nonlocal frontier, prev_ir

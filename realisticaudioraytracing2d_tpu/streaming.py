@@ -172,16 +172,25 @@ def _arrival_table(ir: jax.Array, early_bins: int, n_taps: int,
     stronger one are suppressed (their windows would overlap), and taps
     below ``rel_floor`` of the listener's strongest are dropped."""
     e = ir[..., 0]                                       # [L, T]
+    # neighbors from the FULL IR so the last window bin is compared
+    # against its real right neighbor, not a zero pad (an arrival whose
+    # peak sits just past the window must not spawn a rising-edge tap)
+    left_e = jnp.pad(e, ((0, 0), (1, 0)))[:, :-1]
+    right_e = jnp.pad(e, ((0, 0), (0, 1)))[:, 1:]
     w = e[:, :early_bins]
-    left = jnp.pad(w, ((0, 0), (1, 0)))[:, :-1]
-    right = jnp.pad(w, ((0, 0), (0, 1)))[:, 1:]
+    left = left_e[:, :early_bins]
+    right = right_e[:, :early_bins]
     ismax = (w >= left) & (w > right) & (w > 0)
     score = jnp.where(ismax, w + left + right, -1.0)
     val, idx = jax.lax.top_k(score, n_taps)             # [L, A]
     li = jnp.arange(e.shape[0])[:, None, None]
-    cols = jnp.clip(idx[:, :, None] + jnp.arange(-1, 2)[None, None, :],
-                    0, e.shape[1] - 1)
-    g3 = e[li, cols]                                    # [L, A, 3]
+    raw_cols = idx[:, :, None] + jnp.arange(-1, 2)[None, None, :]
+    cols = jnp.clip(raw_cols, 0, e.shape[1] - 1)
+    # mask out-of-range neighbors instead of letting the clip duplicate
+    # the edge bin (an idx=0 or idx=T-1 tap would otherwise synthesize
+    # more energy than _remove_taps zeroes)
+    in_range = (raw_cols >= 0) & (raw_cols < e.shape[1])
+    g3 = jnp.where(in_range, e[li, cols], 0.0)          # [L, A, 3]
     gain = jnp.sum(g3, axis=-1)
     valid = (val > 0) & (gain > rel_floor
                          * jnp.max(gain, axis=1, keepdims=True))
@@ -286,9 +295,21 @@ def _per_arrival_parts(dry_piece: jax.Array, dry_window: jax.Array,
     idx_p, g3_p, val_p = _arrival_table(prev_ir, early_bins, _ARRIVAL_TAPS)
     tau0, g0, matched_prev = _match_arrivals(
         idx_c, val_c, idx_p, g3_p, val_p, _ARRIVAL_MATCH_BINS)
-    taps = _tap_chunk(cv.gate_input(dry_window), tau0,
-                      idx_c.astype(jnp.float32), g0, g3_c, val_c, n)
-    prev_res = _remove_taps(prev_ir, idx_p, matched_prev & val_p)
+    gated = cv.gate_input(dry_window)
+    taps = _tap_chunk(gated, tau0, idx_c.astype(jnp.float32), g0, g3_c,
+                      val_c, n)
+    # A vanished arrival (valid in prev, matched by no current tap) must
+    # FADE OUT as a tap, not vanish: the previous chunk's convolution
+    # tail was pushed WITHOUT its bins (they were that chunk's cur-side
+    # taps), so leaving it to the residual crossfade — which only
+    # convolves THIS chunk's dry — would drop its dry-history tail and
+    # click at the boundary. A gain ramp g3_p -> 0 at its own delay is
+    # the crossfade's (1 - r) weight, reading the right history.
+    vanished = val_p & ~matched_prev
+    taps = taps + _tap_chunk(gated, idx_p.astype(jnp.float32),
+                             idx_p.astype(jnp.float32), g3_p,
+                             jnp.zeros_like(g3_p), vanished, n)
+    prev_res = _remove_taps(prev_ir, idx_p, val_p)
     cur_res = _remove_taps(cur_ir, idx_c, val_c)
     return _crossfaded_wet(dry_piece, prev_res, cur_res), taps
 
@@ -305,7 +326,10 @@ def dry_history_window(dry: jax.Array, i: int, n: int, early_bins: int,
     pos = jnp.arange(end - wd, end)
     total = dry.shape[-1]
     if loop:
-        return dry[..., pos % total]
+        # the loop wrap only ever applies at the clip END (dry_chunk
+        # semantics) — history BEFORE the stream started is silence,
+        # not the tail of a clip that has not played yet
+        return jnp.where(pos >= 0, dry[..., pos % total], 0.0)
     ok = (pos >= 0) & (pos < total)
     return jnp.where(ok, dry[..., jnp.clip(pos, 0, total - 1)], 0.0)
 

@@ -106,6 +106,83 @@ def test_tap_chunk_glide_rate_is_doppler():
     assert abs(f_meas - f0) > 5.0                  # the shift is real
 
 
+def test_arrival_table_edge_bins_not_duplicated():
+    # idx=0 / idx=T-1 taps: the out-of-range window neighbors must be
+    # masked, not clipped onto the edge bin — otherwise the tap
+    # synthesizes more energy than _remove_taps zeroes (review round 4)
+    t = 64
+    e = np.zeros((1, t, 1), np.float32)
+    e[0, 0, 0] = 1.0
+    e[0, t - 1, 0] = 0.8
+    e = jnp.asarray(e)
+    idx, g3, valid = st._arrival_table(e, t, 4)
+    res = st._remove_taps(e, idx, valid)
+    removed = float(jnp.sum(e) - jnp.sum(res))
+    kept = float(jnp.sum(jnp.where(valid, jnp.sum(g3, -1), 0.0)))
+    np.testing.assert_allclose(removed, kept, rtol=1e-6)
+    np.testing.assert_allclose(removed, 1.8, rtol=1e-6)
+
+
+def test_arrival_table_window_edge_uses_real_neighbor():
+    # a peak just PAST the early window must not spawn a rising-edge
+    # tap at early_bins-1 (the old zero right-pad made any rising slope
+    # a local max at the boundary)
+    e = _ir([199, 200], [0.6, 1.0], t=512)   # peak at 200, window is 200
+    idx, g3, valid = st._arrival_table(e, 200, 4)
+    assert not np.any(np.asarray(valid))
+
+
+def test_vanished_arrival_fades_out_instead_of_clicking():
+    # an arrival valid in prev but absent from cur was removed from the
+    # previous chunk's pushed tail, so it MUST be synthesized as a
+    # fading tap here — dropping it zeroes the first tau samples of the
+    # chunk (an audible click; review round 4)
+    n, t, tau, g = 256, 400, 100, 1.0
+    prev_ir = _ir([tau], [g], t=t)
+    cur_ir = jnp.zeros((1, t, 1), jnp.float32)
+    early = 300
+    wd = n + early + 2
+    dry_window = jnp.asarray(
+        np.random.default_rng(0).normal(size=wd).astype(np.float32))
+    wet, taps = st._per_arrival_parts(dry_window[-n:], dry_window,
+                                      prev_ir, cur_ir, n, 1, False)
+    s = np.arange(n)
+    dw = np.asarray(dry_window)
+    dw = np.where(np.abs(dw) > 1e-4, dw, 0.0)   # the conv input gate
+    want = (1.0 - s / n) * dw[wd - n + s - tau] * g
+    np.testing.assert_allclose(np.asarray(taps)[0], want, atol=1e-5)
+    # and the residuals no longer hold the arrival at all
+    assert float(jnp.sum(st._remove_taps(prev_ir, *(
+        st._arrival_table(prev_ir, early, st._ARRIVAL_TAPS)[0:3:2])))) == 0.0
+
+
+def test_dry_history_window_loop_prestream_is_silence():
+    # loop wraps at the clip END only: history before the stream began
+    # is silence, not the not-yet-played clip tail (review round 4)
+    n, early = 64, 32
+    dry = jnp.asarray(np.arange(1, 129, dtype=np.float32))
+    w0 = np.asarray(st.dry_history_window(dry, 0, n, early, loop=True))
+    assert (w0[:early + 2] == 0.0).all()          # pre-stream silence
+    np.testing.assert_array_equal(w0[early + 2:], np.asarray(dry)[:n])
+    # once the stream is past the clip head, the wrap is the clip tail
+    w2 = np.asarray(st.dry_history_window(dry, 2, n, early, loop=True))
+    np.testing.assert_array_equal(w2[-n:],
+                                  np.asarray(dry)[(2 * n) % 128:][:n])
+
+
+def test_cli_doppler_flags_conflict(tmp_path):
+    from realisticaudioraytracing2d_tpu.cli import main
+    from realisticaudioraytracing2d_tpu.utils.audio_io import (noise_burst,
+                                                               write_wav)
+    dry = str(tmp_path / "dry.wav")
+    write_wav(dry, noise_burst(0.1, 8000, seed=0), 8000)
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["stream", "--room", "smoll", "--rays", "64",
+              "--bounces", "4", "--sample-rate", "8000", "--in", dry,
+              "--out", str(tmp_path / "x.wav"),
+              "--doppler", "--doppler-per-arrival"])
+
+
 # ---- integration fixtures ----------------------------------------------------
 
 
