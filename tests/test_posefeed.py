@@ -225,6 +225,44 @@ def test_pose_feed_doppler_stream_equals_params_fn_stream(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_pose_feed_per_arrival_stream_equals_params_fn_stream(tmp_path):
+    # per-arrival Doppler polls no lookahead (rates come from the IRs),
+    # so the fed stream must be BYTE-identical to the explicit params_fn
+    # stream — the steering and the per-path physics compose
+    import dataclasses
+    room = art.rooms.smoll_room()
+    cfg = art.smoll_room_config(ray_count=256)
+    cfg = dataclasses.replace(
+        cfg, audio=dataclasses.replace(cfg.audio, sample_rate=8000,
+                                       reverb_duration=0.2))
+    eng = Engine(room.scene, cfg)
+    sr = cfg.audio.sample_rate
+    total = 4
+    dry = jnp.asarray(noise_burst(0.25, sr, seed=1))
+    src = np.asarray(room.source, np.float32)
+
+    def moved(i):
+        return eng.params(src + np.float32([0.3 * i, 0.0]),
+                          room.listener)
+
+    feed, _ = feed_from(tmp_path, [
+        {"chunk": i,
+         "source": [float(src[0] + 0.3 * i), float(src[1])]}
+        for i in range(total)])
+    static = lambda i: eng.params(src, room.listener)     # noqa: E731
+    fed = lambda i: feed.params(static(i), i)             # noqa: E731
+
+    want = np.asarray(Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+                      .stream_clip(dry, moved, loop=False,
+                                   total_chunks=total,
+                                   doppler="per_arrival"))
+    got = np.asarray(Streamer(room.scene, cfg, jax.random.PRNGKey(0))
+                     .stream_clip(dry, fed, loop=False,
+                                  total_chunks=total,
+                                  doppler="per_arrival"))
+    np.testing.assert_array_equal(got, want)
+
+
 # ---- CLI end to end ---------------------------------------------------------
 
 
