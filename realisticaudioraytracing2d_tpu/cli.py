@@ -593,12 +593,9 @@ def _binaural_setup(args, room, n_l: int, chunk_dt: float):
 
 def _doppler_arg(args):
     """``--doppler`` / ``--doppler-per-arrival`` -> the ``doppler=``
-    value; the two modes are different physics, so asking for both is a
-    conflict, not a precedence question."""
+    value (the flags are an argparse mutually-exclusive group — the two
+    modes are different physics, rejected at parse time)."""
     per = getattr(args, "doppler_per_arrival", False)
-    if per and args.doppler:
-        raise SystemExit("--doppler and --doppler-per-arrival are "
-                         "mutually exclusive (shared-rate vs per-path)")
     return "per_arrival" if per else args.doppler
 
 
@@ -1066,14 +1063,15 @@ def main(argv=None):
                         "each chunk, so a moving source reverberates "
                         "correctly; add --doppler for the physical "
                         "pitch shift (the reference has neither)")
-    p.add_argument("--doppler", action="store_true",
-                   help="fractional-rate dry feed: pitch shifts by "
-                        "1 - v/c from the poses' radial velocity")
-    p.add_argument("--doppler-per-arrival", action="store_true",
-                   help="per-path Doppler: the direct sound and each "
-                        "dominant early reflection glide at their OWN "
-                        "rates, derived from the traced IRs (K=1, "
-                        "non-binaural)")
+    dop = p.add_mutually_exclusive_group()
+    dop.add_argument("--doppler", action="store_true",
+                     help="fractional-rate dry feed: pitch shifts by "
+                          "1 - v/c from the poses' radial velocity")
+    dop.add_argument("--doppler-per-arrival", action="store_true",
+                     help="per-path Doppler: the direct sound and each "
+                          "dominant early reflection glide at their OWN "
+                          "rates, derived from the traced IRs (K=1, "
+                          "non-binaural)")
     p.add_argument("--pose-feed", default=None, metavar="FILE",
                    help="steer the running stream: JSON-lines pose "
                         "overrides tailed from FILE ('-' = stdin), per "
@@ -1119,15 +1117,16 @@ def main(argv=None):
                    help="listener velocity 'vx,vy' (m/s)")
     p.add_argument("--move-source", default=None,
                    help="source velocity 'vx,vy' (m/s)")
-    p.add_argument("--doppler", action="store_true",
-                   help="fractional-rate dry feed: pitch shifts by "
-                        "1 - v/c from the poses' radial velocity "
-                        "(same physics as stream --doppler)")
-    p.add_argument("--doppler-per-arrival", action="store_true",
-                   help="per-path Doppler: direct sound and each "
-                        "dominant early reflection glide at their OWN "
-                        "rates (same physics as stream "
-                        "--doppler-per-arrival)")
+    dop = p.add_mutually_exclusive_group()
+    dop.add_argument("--doppler", action="store_true",
+                     help="fractional-rate dry feed: pitch shifts by "
+                          "1 - v/c from the poses' radial velocity "
+                          "(same physics as stream --doppler)")
+    dop.add_argument("--doppler-per-arrival", action="store_true",
+                     help="per-path Doppler: direct sound and each "
+                          "dominant early reflection glide at their OWN "
+                          "rates (same physics as stream "
+                          "--doppler-per-arrival)")
     p.add_argument("--pose-feed", default=None, metavar="FILE",
                    help="steer the running live pipeline: JSON-lines "
                         "pose overrides tailed from FILE ('-' = stdin)")

@@ -211,10 +211,13 @@ def _match_arrivals(idx_c, valid_c, idx_p, g3_p, valid_p,
     """Mutual-nearest matching of this chunk's taps to the previous
     chunk's within ``match_bins``. Returns ``(tau0, g0[.., 3],
     matched_prev)``: per current tap the previous tap (delay + window
-    gains) it glides from; an unmatched tap fades in from gain 0 at its
-    own delay (a new arrival), and previous taps nobody matched stay in
-    the previous residual and fade out with the crossfade (a vanished
-    arrival)."""
+    gains) it glides from; an unmatched current tap fades in from gain 0
+    at its own delay (a new arrival). Previous taps nobody matched
+    (vanished arrivals; ``~matched_prev``) are synthesized by the caller
+    as FADING taps at their own delay — they cannot be left to the
+    residual crossfade, whose convolution only reads this chunk's dry
+    (the previous chunk pushed its tail without their bins), so dropping
+    them would click at the boundary."""
     tau_c = idx_c.astype(jnp.float32)
     tau_p = idx_p.astype(jnp.float32)
     d = jnp.abs(tau_c[:, :, None] - tau_p[:, None, :])   # [L, A, A]
@@ -295,20 +298,24 @@ def _per_arrival_parts(dry_piece: jax.Array, dry_window: jax.Array,
     idx_p, g3_p, val_p = _arrival_table(prev_ir, early_bins, _ARRIVAL_TAPS)
     tau0, g0, matched_prev = _match_arrivals(
         idx_c, val_c, idx_p, g3_p, val_p, _ARRIVAL_MATCH_BINS)
-    gated = cv.gate_input(dry_window)
-    taps = _tap_chunk(gated, tau0, idx_c.astype(jnp.float32), g0, g3_c,
-                      val_c, n)
     # A vanished arrival (valid in prev, matched by no current tap) must
     # FADE OUT as a tap, not vanish: the previous chunk's convolution
     # tail was pushed WITHOUT its bins (they were that chunk's cur-side
     # taps), so leaving it to the residual crossfade — which only
     # convolves THIS chunk's dry — would drop its dry-history tail and
     # click at the boundary. A gain ramp g3_p -> 0 at its own delay is
-    # the crossfade's (1 - r) weight, reading the right history.
+    # the crossfade's (1 - r) weight, reading the right history. The
+    # fade-outs ride the SAME _tap_chunk call as the current taps
+    # (concatenated along the tap axis).
+    tau_p = idx_p.astype(jnp.float32)
     vanished = val_p & ~matched_prev
-    taps = taps + _tap_chunk(gated, idx_p.astype(jnp.float32),
-                             idx_p.astype(jnp.float32), g3_p,
-                             jnp.zeros_like(g3_p), vanished, n)
+    cat = lambda a, b: jnp.concatenate([a, b], axis=1)   # noqa: E731
+    taps = _tap_chunk(cv.gate_input(dry_window),
+                      cat(tau0, tau_p),
+                      cat(idx_c.astype(jnp.float32), tau_p),
+                      cat(g0, g3_p),
+                      cat(g3_c, jnp.zeros_like(g3_p)),
+                      cat(val_c, vanished), n)
     prev_res = _remove_taps(prev_ir, idx_p, val_p)
     cur_res = _remove_taps(cur_ir, idx_c, val_c)
     return _crossfaded_wet(dry_piece, prev_res, cur_res), taps
@@ -323,15 +330,20 @@ def dry_history_window(dry: jax.Array, i: int, n: int, early_bins: int,
     exactly like :func:`dry_chunk`."""
     wd = n + early_bins + 2
     end = (i + 1) * n
-    pos = jnp.arange(end - wd, end)
     total = dry.shape[-1]
+    # positions in host Python ints (arbitrary precision), bounded into
+    # [0, total) BEFORE they become device indices — a device arange
+    # from (i+1)*n would overflow int32 ~13.5 h into a 44.1 kHz stream
+    pos = np.arange(end - wd, end, dtype=np.int64)
     if loop:
         # the loop wrap only ever applies at the clip END (dry_chunk
         # semantics) — history BEFORE the stream started is silence,
         # not the tail of a clip that has not played yet
-        return jnp.where(pos >= 0, dry[..., pos % total], 0.0)
+        idx = jnp.asarray((pos % total).astype(np.int32))
+        return jnp.where(jnp.asarray(pos >= 0), dry[..., idx], 0.0)
     ok = (pos >= 0) & (pos < total)
-    return jnp.where(ok, dry[..., jnp.clip(pos, 0, total - 1)], 0.0)
+    idx = jnp.asarray(np.clip(pos, 0, total - 1).astype(np.int32))
+    return jnp.where(jnp.asarray(ok), dry[..., idx], 0.0)
 
 
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
@@ -654,7 +666,9 @@ def dry_chunk(dry: jax.Array, i: int, n: int, loop: bool) -> jax.Array:
     total = dry.shape[-1]
     lo = i * n
     if loop:
-        idx = (lo + jnp.arange(n)) % total
+        # wrap the unbounded host offset BEFORE the device arange (int32
+        # would overflow ~13.5 h into a 44.1 kHz stream)
+        idx = ((lo % total) + jnp.arange(n)) % total
         return dry[..., idx]
     piece = dry[..., lo:lo + n] if lo < total else dry[..., :0]
     if piece.shape[-1] < n:

@@ -76,8 +76,8 @@ def test_match_arrivals_mutual_nearest_and_fade_in():
     np.testing.assert_allclose(np.asarray(tau0[0]), [103.0, 240.0, 0.0])
     np.testing.assert_allclose(np.asarray(g0[0, 0]), [0.0, 5.0, 0.0])
     np.testing.assert_allclose(np.asarray(g0[0, 1]), [0.0, 0.0, 0.0])
-    # prev arrival 0 consumed; prev arrival 1 stays (fades out in the
-    # residual crossfade)
+    # prev arrival 0 consumed; prev arrival 1 is ~matched_prev, which
+    # _per_arrival_parts synthesizes as a fade-out tap (g -> 0)
     assert list(np.asarray(matched_prev[0])) == [True, False, False]
 
 
@@ -170,17 +170,15 @@ def test_dry_history_window_loop_prestream_is_silence():
                                   np.asarray(dry)[(2 * n) % 128:][:n])
 
 
-def test_cli_doppler_flags_conflict(tmp_path):
+def test_cli_doppler_flags_conflict(tmp_path, capsys):
+    # the two Doppler modes are different physics: argparse rejects the
+    # combination at parse time (exit 2), before any work happens
     from realisticaudioraytracing2d_tpu.cli import main
-    from realisticaudioraytracing2d_tpu.utils.audio_io import (noise_burst,
-                                                               write_wav)
-    dry = str(tmp_path / "dry.wav")
-    write_wav(dry, noise_burst(0.1, 8000, seed=0), 8000)
-    with pytest.raises(SystemExit, match="mutually exclusive"):
-        main(["stream", "--room", "smoll", "--rays", "64",
-              "--bounces", "4", "--sample-rate", "8000", "--in", dry,
-              "--out", str(tmp_path / "x.wav"),
-              "--doppler", "--doppler-per-arrival"])
+    with pytest.raises(SystemExit) as exc:
+        main(["stream", "--room", "smoll", "--in", "x.wav",
+              "--out", "y.wav", "--doppler", "--doppler-per-arrival"])
+    assert exc.value.code == 2
+    assert "not allowed with" in capsys.readouterr().err
 
 
 # ---- integration fixtures ----------------------------------------------------
