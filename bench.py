@@ -197,6 +197,55 @@ def bench_stream_chunk(n_chunks=30):
     return (time.perf_counter() - t0) / n_chunks * 1e3
 
 
+def bench_stream_chunk_modes(n_chunks=30):
+    """Steady-state chunk cost of the flagship streaming modes
+    (round-4/5 paths the bench previously missed): per-arrival Doppler
+    (device-sliced dry-history window + gliding tap synthesis),
+    binaural (3-virtual-mic spatial trace + ITD/ILD decode), and the
+    two composed. Per 0.1 s chunk, like bench_stream_chunk."""
+    import jax.random
+
+    import realisticaudioraytracing2d_tpu as art
+    from realisticaudioraytracing2d_tpu.streaming import window_scalars
+
+    room = art.rooms.smoll_room(pad_to=32)
+    cfg = art.smoll_room_config()
+    eng = art.Engine(room.scene, cfg)
+    p = eng.params(room.source, room.listener)
+    n = cfg.audio.chunk_samples
+    dry = jnp.asarray(np.random.default_rng(0)
+                      .uniform(-1, 1, 4 * n).astype(np.float32))
+    chunk = dry[:n]
+
+    def run_mode(streamer, per_arrival, facing):
+        wd = n + streamer.arrival_early + 2
+
+        def window(i):
+            if not per_arrival:
+                return None
+            return (dry,) + window_scalars(i, n, wd, dry.shape[-1],
+                                           True) + (True,)
+
+        out = streamer.process(chunk, p, facing=facing, window=window(0))
+        _sync(out)                                   # compile
+        out = streamer.process(chunk, p, facing=facing, window=window(1))
+        _sync(out)                                   # warm
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            out = streamer.process(chunk, p, facing=facing,
+                                   window=window(2 + i))
+        _sync(out)
+        return (time.perf_counter() - t0) / n_chunks * 1e3
+
+    key = jax.random.PRNGKey(0)
+    pa = run_mode(art.Streamer(room.scene, cfg, key), True, 0.0)
+    bi = run_mode(art.Streamer(room.scene, cfg, key, binaural=True),
+                  False, 0.3)
+    bpa = run_mode(art.Streamer(room.scene, cfg, key, binaural=True),
+                   True, 0.3)
+    return pa, bi, bpa
+
+
 def bench_accel(n_boxes=10000, n_rays=131072, max_bounces=6):
     """Large-scene path (docs/ACCEL.md): cluster-early-out + Morton ray
     re-sort vs brute force on a 40k-wall procedural city. Reports
@@ -243,6 +292,7 @@ def main():
     ir_ms = bench_ir_build()
     xrt = bench_streaming_xrt()
     chunk_ms = bench_stream_chunk()
+    pa_ms, bi_ms, bpa_ms = bench_stream_chunk_modes()
     rooms_s = bench_sweep()
     accel_ms, accel_gts, accel_speedup, accel_walls = bench_accel()
     # the two-level sweep's speedup grows with wall count: show the
@@ -258,6 +308,9 @@ def main():
           f"streaming conv: {xrt:.0f}x realtime @44.1kHz; "
           f"full stream chunk (retrace+conv+ring): {chunk_ms:.1f} ms per "
           f"100 ms chunk; "
+          f"per-arrival Doppler chunk: {pa_ms:.1f} ms; "
+          f"binaural chunk: {bi_ms:.1f} ms; "
+          f"binaural+per-arrival chunk: {bpa_ms:.1f} ms; "
           f"room sweep: {rooms_s:.1f} rooms/s (4096 rays x 6 bounces); "
           f"large scene ({accel_walls} walls): {accel_ms:.0f} ms/4 frames, "
           f"{accel_gts:.0f} G tests/s brute-equivalent, "

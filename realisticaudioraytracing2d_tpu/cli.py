@@ -529,7 +529,8 @@ def cmd_stream(args):
     chunk_dt = cfg.audio.chunk_duration
     poses = _trajectory_poses(args, eng, room, listeners, chunk_dt)
     binaural, facing_fn = _binaural_setup(args, room, n_l, chunk_dt)
-    poses, facing_fn = _pose_feed_wrap(args, poses, facing_fn)
+    poses, facing_fn, scene_fn, control_fn = _pose_feed_wrap(
+        args, poses, facing_fn, room=room, binaural=binaural)
     streamer = Streamer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
@@ -537,7 +538,8 @@ def cmd_stream(args):
                                      and args.diffraction_order),
                         air_alpha=_air_alpha_arr(args, room.scene.n_bands),
                         binaural=binaural,
-                        head_radius=getattr(args, "head_radius", 0.0875))
+                        head_radius=getattr(args, "head_radius", 0.0875),
+                        **_arrival_kwargs(args))
     on_chunk = None
     if args.viz_every:
         viz_cb = _viz_callback(args.out, args.viz_every)
@@ -549,16 +551,20 @@ def cmd_stream(args):
         # is set (RayTraceManager.cs:74-77), else pads with silence
         total_chunks = max(1, int(round(args.duration / chunk_dt)))
         wet = np.asarray(streamer.stream_clip(dry, poses,
+                                              scene_fn=scene_fn,
                                               total_chunks=total_chunks,
                                               on_chunk=on_chunk,
                                               facing_fn=facing_fn,
-                                              doppler=doppler))
+                                              doppler=doppler,
+                                              control_fn=control_fn))
     else:
         # play the clip once and flush the reverb tail
         wet = np.asarray(streamer.stream_clip(dry, poses, loop=False,
+                                              scene_fn=scene_fn,
                                               on_chunk=on_chunk,
                                               facing_fn=facing_fn,
-                                              doppler=doppler))
+                                              doppler=doppler,
+                                              control_fn=control_fn))
     dt = time.perf_counter() - t0
     if args.viz_every:
         viz_cb.flush()
@@ -591,6 +597,30 @@ def _binaural_setup(args, room, n_l: int, chunk_dt: float):
     return True, (lambda i: base + turn * i)
 
 
+def _arrival_kwargs(args):
+    """Per-arrival Doppler tuning flags -> Streamer/LivePlayer kwargs
+    (defaults documented in docs/ACOUSTICS.md)."""
+    return dict(
+        arrival_taps=getattr(args, "arrival_taps", 6),
+        arrival_window_s=getattr(args, "arrival_window", 0.12),
+        arrival_match_bins=getattr(args, "arrival_match_bins", 64.0))
+
+
+def _arrival_args(p):
+    p.add_argument("--arrival-taps", type=int, default=6, metavar="N",
+                   help="per-arrival Doppler: tracked early arrivals per "
+                        "listener (default 6; raise for scenes with many "
+                        "comparable early reflections)")
+    p.add_argument("--arrival-window", type=float, default=0.12,
+                   metavar="S",
+                   help="per-arrival Doppler: early IR window the taps "
+                        "may live in, seconds (default 0.12)")
+    p.add_argument("--arrival-match-bins", type=float, default=64.0,
+                   metavar="B",
+                   help="per-arrival Doppler: max IR-bin drift matched "
+                        "chunk-to-chunk (default 64 = ~0.5 m at 48 kHz)")
+
+
 def _doppler_arg(args):
     """``--doppler`` / ``--doppler-per-arrival`` -> the ``doppler=``
     value (the flags are an argparse mutually-exclusive group — the two
@@ -621,23 +651,49 @@ def _trajectory_poses(args, eng, room, listeners, chunk_dt):
     return poses
 
 
-def _pose_feed_wrap(args, poses, facing_fn):
+def _pose_feed_wrap(args, poses, facing_fn, room=None, binaural=False):
     """Wrap the trajectory's ``poses``/``facing_fn`` with a
     ``--pose-feed`` JSON-lines channel (file being appended to, or ``-``
     = stdin) — live steering of a running stream/live pipeline, the
     reference's edit-the-scene-while-it-plays loop
-    (RayTraceManager.cs:50-61,67)."""
+    (RayTraceManager.cs:50-61,67). Returns ``(poses, facing_fn,
+    scene_fn, control_fn)``: the feed also re-poses named colliders
+    (``obstacle`` lines re-flatten through the room's SceneBuilder, same
+    padded wall count — RayTraceManager.cs:67,246-250) and carries the
+    runtime verbs (``stop``/``reset_ir`` = Space/R,
+    RayTraceManager.cs:55-61). A well-formed ``facing`` override on a
+    non-binaural stream has nowhere to go — it is surfaced with a
+    one-time warning instead of silently dropped."""
     path = getattr(args, "pose_feed", None)
     if not path:
-        return poses, facing_fn
+        return poses, facing_fn, None, None
     from .posefeed import PoseFeed
 
     feed = PoseFeed.open(path)
-    fed_poses = lambda i: feed.params(poses(i), i)            # noqa: E731
+    if room is not None and getattr(room, "builder", None) is not None:
+        feed.bind_scene(room.builder)
     base_facing = facing_fn if facing_fn is not None \
         else (lambda i: 0.0)
-    fed_facing = lambda i: feed.facing(base_facing(i), i)     # noqa: E731
-    return fed_poses, (fed_facing if facing_fn is not None else None)
+    warned = []
+
+    def fed_poses(i):
+        p = feed.params(poses(i), i)
+        if not binaural and not warned \
+                and feed.facing(None, i) is not None:
+            import warnings
+            warnings.warn(
+                "pose feed 'facing' override ignored: this stream is not "
+                "binaural (add --binaural to steer the head)",
+                stacklevel=2)
+            warned.append(True)
+        return p
+
+    fed_facing = (lambda i: feed.facing(base_facing(i), i)) \
+        if binaural else None
+    base_scene = room.scene if room is not None else None
+    fed_scene = (lambda i: feed.scene(base_scene, i)) \
+        if base_scene is not None else None
+    return fed_poses, fed_facing, fed_scene, feed.control
 
 
 def _viz_callback(out_path, every: int):
@@ -701,7 +757,8 @@ def cmd_live(args):
                                           cfg.audio.chunk_duration)
     chunk_dt = cfg.audio.chunk_duration
     poses = _trajectory_poses(args, eng, room, listeners, chunk_dt)
-    poses, facing_fn = _pose_feed_wrap(args, poses, facing_fn)
+    poses, facing_fn, scene_fn, control_fn = _pose_feed_wrap(
+        args, poses, facing_fn, room=room, binaural=binaural)
     player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(args.seed),
                         n_listeners=n_l,
                         frames_per_chunk=args.frames_per_chunk,
@@ -710,7 +767,8 @@ def cmd_live(args):
                                      and args.diffraction_order),
                         air_alpha=_air_alpha_arr(args, room.scene.n_bands),
                         binaural=binaural,
-                        head_radius=getattr(args, "head_radius", 0.0875))
+                        head_radius=getattr(args, "head_radius", 0.0875),
+                        **_arrival_kwargs(args))
     on_chunk = _viz_callback(args.out or "live.wav", args.viz_every) \
         if args.viz_every else None
     sink = None
@@ -725,9 +783,10 @@ def cmd_live(args):
     try:
         rep = player.run(dry, total_chunks=total_chunks,
                          realtime=args.realtime or sink is not None,
-                         params_fn=poses,
+                         params_fn=poses, scene_fn=scene_fn,
                          on_chunk=on_chunk, facing_fn=facing_fn,
-                         doppler=_doppler_arg(args), sink=sink)
+                         doppler=_doppler_arg(args), sink=sink,
+                         control_fn=control_fn)
     finally:
         if sink is not None:
             sink.close()
@@ -1073,10 +1132,14 @@ def main(argv=None):
                           "rates, derived from the traced IRs (K=1, "
                           "non-binaural)")
     p.add_argument("--pose-feed", default=None, metavar="FILE",
-                   help="steer the running stream: JSON-lines pose "
-                        "overrides tailed from FILE ('-' = stdin), per "
-                        "line {\"chunk\": i, \"source\": [x,y], "
-                        "\"listener\": [x,y], \"facing\": rad}")
+                   help="steer the running stream: JSON-lines overrides "
+                        "tailed from FILE ('-' = stdin), per line "
+                        "{\"chunk\": i, \"source\": [x,y], "
+                        "\"listener\": [x,y], \"facing\": rad} or "
+                        "{\"obstacle\": name, \"position\": [x,y], "
+                        "\"angle\": rad} (drag a wall mid-stream) or "
+                        "{\"command\": \"stop\"|\"reset_ir\"} "
+                        "(Space/R keys)")
     p.add_argument("--frames-per-chunk", type=int, default=1)
     p.add_argument("--duration", type=float, default=None,
                    help="stream for this many seconds; the clip loops at "
@@ -1095,6 +1158,7 @@ def main(argv=None):
                         "(the facing is traced — no recompiles)")
     p.add_argument("--head-radius", type=float, default=0.0875,
                    metavar="M")
+    _arrival_args(p)
     _air_args(p)
     p.set_defaults(fn=cmd_stream)
 
@@ -1129,7 +1193,9 @@ def main(argv=None):
                           "--doppler-per-arrival)")
     p.add_argument("--pose-feed", default=None, metavar="FILE",
                    help="steer the running live pipeline: JSON-lines "
-                        "pose overrides tailed from FILE ('-' = stdin)")
+                        "overrides tailed from FILE ('-' = stdin); "
+                        "poses, obstacle moves, and stop/reset_ir "
+                        "commands (see stream --pose-feed)")
     p.add_argument("--play", action="store_true",
                    help="play through the OS audio device (ALSA via "
                         "the native sink; implies realtime pacing by "
@@ -1148,6 +1214,7 @@ def main(argv=None):
                    help="with --binaural: rotate the head DEG_S deg/s")
     p.add_argument("--head-radius", type=float, default=0.0875,
                    metavar="M")
+    _arrival_args(p)
     _air_args(p)
     p.set_defaults(fn=cmd_live)
 

@@ -38,39 +38,53 @@ from .models.scene import Scene
 from .native import NativeRingBuffer
 from .ops import ir as irm
 from .ops import rng as _rng
-from .streaming import (_ARRIVAL_WINDOW_S, DopplerFeed, _crossfaded_wet,
-                        _per_arrival_parts, dry_chunk, dry_history_window)
+from .streaming import (_ARRIVAL_MATCH_BINS, _ARRIVAL_TAPS,
+                        _ARRIVAL_WINDOW_S, DopplerFeed, _crossfaded_wet,
+                        _device_window, _per_arrival_binaural,
+                        _per_arrival_parts, dry_chunk, window_scalars)
 from .ops.trace import TraceParams
 
 
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
                                    "frames_per_chunk", "diffraction",
                                    "head_radius", "shadow",
-                                   "decorrelate"))
+                                   "decorrelate", "arrival_early",
+                                   "arrival_taps", "arrival_match_bins",
+                                   "window_loop"))
 def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
               dry: jax.Array, key: jax.Array, chunk_index: jax.Array, *,
               n_rays: int, max_bounces: int, sample_rate: int,
               frames_per_chunk: int = 1, diffraction: bool = False,
               air_alpha=None, binaural_facing=None,
               head_radius: float = 0.0875, shadow: float = 0.6,
-              decorrelate: bool = True, dry_window=None):
-    """One live step fully on-device: retrace a fresh IR for this chunk and
-    return ``(wet[L, N+T], cur_ir)`` — the crossfaded convolution output
-    *including* its reverb tail, ready for host overlap-add (the
-    ``ProcessChunk`` dispatch, RayTraceManager.cs:100-122).
+              decorrelate: bool = True, dry_full=None, win_start=None,
+              win_prefix=None, win_cut=None, arrival_early: int = 0,
+              arrival_taps: int = _ARRIVAL_TAPS,
+              arrival_match_bins: float = _ARRIVAL_MATCH_BINS,
+              window_loop: bool = False, prev_spatial=None,
+              prev_facing=None):
+    """One live step fully on-device: retrace a fresh IR for this chunk
+    and return ``(wet[L, N+T], cur_ir, cur_spatial)`` — the crossfaded
+    convolution output *including* its reverb tail, ready for host
+    overlap-add (the ``ProcessChunk`` dispatch,
+    RayTraceManager.cs:100-122). ``cur_spatial`` is the raw 3-mic
+    capture for binaural per-arrival carry (``None`` otherwise).
 
     ``binaural_facing`` (traced radians; per-chunk head rotation
     recompiles nothing) switches to binaural: ``params`` carry the ONE
     head listener and ``prev_ir`` two ear channels — the chunk traces
     the 3-virtual-mic spatial capture and decodes it
-    (see :func:`..streaming.stream_chunk`)."""
+    (see :func:`..streaming.stream_chunk`). ``dry_full`` + the traced
+    window scalars switch on per-arrival Doppler exactly as in
+    :func:`..streaming.stream_chunk` (binaural per-arrival additionally
+    carries ``prev_spatial``/``prev_facing``)."""
     from . import spatial as spm
     from .engine import trace_accumulate
     from .streaming import _augment_ir
 
     l, t, k = prev_ir.shape
-    tp = (spm.binaural_trace_params(params, l)
-          if binaural_facing is not None else params)
+    binaural = binaural_facing is not None
+    tp = spm.binaural_trace_params(params, l) if binaural else params
     t_l = tp.listeners.shape[0]
     ir_state = trace_accumulate(
         scene, tp, irm.IRState.zeros(t, t_l, k),
@@ -79,20 +93,36 @@ def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
         n_frames=frames_per_chunk)
     cur_ir = _augment_ir(ir_state.normalized(), scene, tp,
                          sample_rate, diffraction, air_alpha)
-    if binaural_facing is not None:
+    cur_sp = None
+    if binaural:
+        cur_sp = cur_ir
         cur_ir = spm.binaural_decode_ir(
-            cur_ir, sample_rate, binaural_facing, head_radius, shadow,
+            cur_sp, sample_rate, binaural_facing, head_radius, shadow,
             params.speed_of_sound, decorrelate=decorrelate)
     prev = jnp.where(chunk_index == 0, cur_ir, prev_ir)
-    if dry_window is not None:
+    if dry_full is not None:
         # per-arrival Doppler (see streaming._per_arrival_parts): the
         # taps are THIS chunk's output samples, so they join the wet
         # chunk region before the host ring's overlap-add
-        wet, taps = _per_arrival_parts(dry, dry_window, prev, cur_ir,
-                                       dry.shape[-1], k,
-                                       binaural_facing is not None)
-        return wet.at[:, :dry.shape[-1]].add(taps), cur_ir
-    return _crossfaded_wet(dry, prev, cur_ir), cur_ir
+        n = dry.shape[-1]
+        window = _device_window(dry_full, n + arrival_early + 2,
+                                win_start, win_prefix, win_cut,
+                                window_loop)
+        if binaural:
+            prev_sp = jnp.where(chunk_index == 0, cur_sp, prev_spatial)
+            prev_fac = jnp.where(chunk_index == 0, binaural_facing,
+                                 prev_facing)
+            wet, taps = _per_arrival_binaural(
+                dry, window, prev_sp, cur_sp, prev_fac, binaural_facing,
+                n, sample_rate, head_radius, shadow,
+                params.speed_of_sound, decorrelate, arrival_taps,
+                arrival_match_bins)
+        else:
+            wet, taps = _per_arrival_parts(dry, window, prev, cur_ir,
+                                           n, k, arrival_taps,
+                                           arrival_match_bins)
+        return wet.at[:, :n].add(taps), cur_ir, cur_sp
+    return _crossfaded_wet(dry, prev, cur_ir), cur_ir, cur_sp
 
 
 @dataclass
@@ -133,9 +163,14 @@ class LivePlayer:
                  dsp_buffer: int = 1024, ring_size: Optional[int] = None,
                  diffraction: bool = False, air_alpha=None,
                  binaural: bool = False, head_radius: float = 0.0875,
-                 shadow: float = 0.6, decorrelate: bool = True):
+                 shadow: float = 0.6, decorrelate: bool = True,
+                 arrival_taps: int = _ARRIVAL_TAPS,
+                 arrival_window_s: float = _ARRIVAL_WINDOW_S,
+                 arrival_match_bins: float = _ARRIVAL_MATCH_BINS):
         if binaural and n_listeners != 1:
             raise ValueError("binaural live takes one head listener")
+        if arrival_taps < 1:
+            raise ValueError("arrival_taps must be >= 1")
         self.scene = scene
         self.config = config
         self.key = key
@@ -148,6 +183,11 @@ class LivePlayer:
         self.head_radius = head_radius
         self.shadow = shadow
         self.decorrelate = decorrelate
+        self.arrival_taps = int(arrival_taps)
+        self.arrival_match_bins = float(arrival_match_bins)
+        self.arrival_early = min(
+            config.audio.ir_length,
+            int(round(arrival_window_s * config.audio.sample_rate)))
         n = config.audio.chunk_samples
         t = config.audio.ir_length
         if ring_size is None:
@@ -170,7 +210,8 @@ class LivePlayer:
             on_chunk: Optional[Callable[[int, jax.Array], None]] = None,
             prime: int = 1,
             facing_fn: Optional[Callable[[int], float]] = None,
-            doppler: bool = False, sink=None) -> LiveReport:
+            doppler: bool = False, sink=None, control_fn=None,
+            scene_fn=None) -> LiveReport:
         """``on_chunk(i, cur_ir)`` (optional) runs on the producer thread
         after chunk ``i`` is pushed, with that chunk's normalized IR
         ``[L, T, K]`` — the live-feedback hook (the reference blits the
@@ -202,7 +243,17 @@ class LivePlayer:
         real device sink the blocking device write IS the audio clock,
         so the consumer skips the wall-clock sleep in realtime mode
         (underrun accounting unchanged); the drained audio is still
-        recorded in the report."""
+        recorded in the report.
+
+        ``control_fn(i) -> dict`` carries the reference's runtime verbs
+        (``RayTraceManager.cs:55-61``) exactly like
+        :meth:`..streaming.Streamer.stream_clip`: ``"reset_ir"`` drops
+        the producer's IR memory before chunk ``i``; ``"stop"``
+        silences the dry feed and ends the run after flushing the
+        reverb tail (the consumer's goal shrinks accordingly — the
+        report's audio is shorter). ``scene_fn(i) -> Scene`` supplies
+        per-chunk geometry (dynamic obstacles / pose-feed geometry
+        steering); same padded wall count = no recompile."""
         cfg = self.config
         n = cfg.audio.chunk_samples
         t = cfg.audio.ir_length
@@ -220,6 +271,9 @@ class LivePlayer:
         report = LiveReport(audio=np.zeros((self.n_listeners, 0),
                                            np.float32))
         total_samples = total_chunks * n
+        # the consumer's goal in samples; shrinks when a control stop
+        # ends the run early (read/written under frontier_lock)
+        goal = [total_samples]
         prev_ir = jnp.zeros((self.n_listeners, t, self.scene.n_bands),
                             jnp.float32)
         producer_err = []
@@ -227,26 +281,52 @@ class LivePlayer:
         per_arrival = doppler == "per_arrival"
         feed = DopplerFeed(dry, params_fn, n, sr, total_chunks,
                            loop) if (doppler and not per_arrival) else None
-        early = min(t, int(round(_ARRIVAL_WINDOW_S * sr))) \
-            if per_arrival else 0
+        wd = n + self.arrival_early + 2
+        total_dry = dry.shape[-1]
+        tail_chunks = (t + n - 1) // n
 
         def producer():
             nonlocal frontier, prev_ir
+            prev_sp = (jnp.zeros((3, t, self.scene.n_bands), jnp.float32)
+                       if (self.binaural and per_arrival) else None)
+            prev_fac = (jnp.zeros((), jnp.float32)
+                        if (self.binaural and per_arrival) else None)
+            stop_at = None
+            end_step = total_chunks
             t0 = time.perf_counter()
             try:
                 for i in range(total_chunks):
-                    piece = (feed.chunk(i) if feed is not None
-                             else dry_chunk(dry, i, n, loop))
-                    window = dry_history_window(dry, i, n, early, loop) \
-                        if per_arrival else None
+                    if i >= end_step:
+                        break
+                    if control_fn is not None:
+                        ctrl = control_fn(i) or {}
+                        if ctrl.get("reset_ir"):
+                            prev_ir = jnp.zeros_like(prev_ir)
+                            if prev_sp is not None:
+                                prev_sp = jnp.zeros_like(prev_sp)
+                        if ctrl.get("stop") and stop_at is None:
+                            stop_at = i * n
+                            end_step = min(end_step, i + tail_chunks)
+                            with frontier_lock:
+                                goal[0] = min(goal[0], end_step * n)
+                                frontier_lock.notify_all()
+                    if stop_at is not None:
+                        piece = jnp.zeros((n,), jnp.float32)
+                    else:
+                        piece = (feed.chunk(i) if feed is not None
+                                 else dry_chunk(dry, i, n, loop))
+                    win = window_scalars(i, n, wd, total_dry, loop,
+                                         stop_at) if per_arrival \
+                        else (None, None, None)
                     # mono dry is broadcast per listener inside wet_chunk
                     facing = None
                     if self.binaural:
                         facing = jnp.asarray(
                             facing_fn(i) if facing_fn is not None
                             else 0.0, jnp.float32)
-                    wet, prev_ir = wet_chunk(
-                        self.scene, params_fn(i), prev_ir, piece,
+                    wet, prev_ir, new_sp = wet_chunk(
+                        (scene_fn(i) if scene_fn is not None
+                         else self.scene), params_fn(i), prev_ir, piece,
                         self.key, jnp.asarray(i, jnp.int32),
                         n_rays=cfg.sim.ray_count,
                         max_bounces=cfg.sim.max_bounces,
@@ -258,7 +338,18 @@ class LivePlayer:
                         head_radius=self.head_radius,
                         shadow=self.shadow,
                         decorrelate=self.decorrelate,
-                        dry_window=window)
+                        dry_full=dry if per_arrival else None,
+                        win_start=win[0], win_prefix=win[1],
+                        win_cut=win[2],
+                        arrival_early=(self.arrival_early if per_arrival
+                                       else 0),
+                        arrival_taps=self.arrival_taps,
+                        arrival_match_bins=self.arrival_match_bins,
+                        window_loop=loop and per_arrival,
+                        prev_spatial=prev_sp, prev_facing=prev_fac)
+                    if prev_sp is not None:
+                        prev_sp = new_sp
+                        prev_fac = facing
                     wet_np = np.asarray(wet)  # device->host readback
                     if wet_np.ndim == 1:
                         wet_np = wet_np[None, :]
@@ -304,14 +395,14 @@ class LivePlayer:
                 # prebuffer: hold the audio clock until the first chunks
                 # are final (bounded wait; a dead producer releases us
                 # via the notify in its finally block)
-                target = min(prime * n, total_samples)
                 with frontier_lock:
-                    while frontier < target and not producer_err:
+                    while (frontier < min(prime * n, goal[0])
+                           and not producer_err):
                         if not frontier_lock.wait(timeout=60.0):
                             break
             next_tick = time.perf_counter()
             period = self.dsp_buffer / sr
-            while consumed < total_samples and not producer_err:
+            while consumed < goal[0] and not producer_err:
                 if realtime:
                     if sink is None:
                         next_tick += period
@@ -324,7 +415,7 @@ class LivePlayer:
                     skip = False
                     with frontier_lock:
                         if frontier < min(consumed + self.dsp_buffer,
-                                          total_samples):
+                                          goal[0]):
                             report.underruns += 1
                             skip = frontier <= consumed
                     if skip:
@@ -344,13 +435,15 @@ class LivePlayer:
                 else:
                     with frontier_lock:
                         while (frontier < min(consumed + self.dsp_buffer,
-                                              total_samples)
+                                              goal[0])
                                and not producer_err):
                             frontier_lock.wait(timeout=60.0)
                 with frontier_lock:
                     # drain under the lock so a concurrent push can never
                     # straddle the advancing read head mid-copy
-                    want = min(self.dsp_buffer, total_samples - consumed)
+                    want = min(self.dsp_buffer, goal[0] - consumed)
+                    if want <= 0:     # a control stop shrank the goal
+                        break
                     buf = self.ring.drain(want)  # read + zero
                     consumed += want
                     report.callbacks += 1

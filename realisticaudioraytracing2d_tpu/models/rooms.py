@@ -32,6 +32,10 @@ class RoomSetup(NamedTuple):
     # optional shipped patterns (ops/directivity.py coefficient arrays)
     directivity: np.ndarray | None = None
     mic_directivity: np.ndarray | None = None
+    # the SceneBuilder that flattened the scene (collider records for
+    # live geometry steering, scene.SceneBuilder.move_collider); None
+    # for procedurally batched scenes
+    builder: "SceneBuilder | None" = None
 
 
 def _quat_z_angle(z: float, w: float) -> float:
@@ -54,15 +58,20 @@ def smoll_room(n_bands: int = 1, pad_to: Optional[int] = None) -> RoomSetup:
     b = SceneBuilder(n_bands=n_bands)
     border = _bands(MATERIAL_BORDER, n_bands)
     interior = _bands(MATERIAL_INTERIOR, n_bands)
-    b.add_box(border, Transform2D((0.0, 10.0), 0.0, (100.0, 1.0)))
-    b.add_box(border, Transform2D((0.01, -5.0), 0.0, (100.0, 1.0)))
-    b.add_box(border, Transform2D((-20.0, 0.0), math.pi / 2, (20.0, 1.0)))
-    b.add_box(border, Transform2D((20.0, 0.0), math.pi / 2, (20.0, 1.0)))
-    b.add_box(interior, Transform2D((-11.8, 7.18), slant, (100.0, 1.0)))
+    b.add_box(border, Transform2D((0.0, 10.0), 0.0, (100.0, 1.0)),
+              name="Wall")
+    b.add_box(border, Transform2D((0.01, -5.0), 0.0, (100.0, 1.0)),
+              name="Wall (1)")
+    b.add_box(border, Transform2D((-20.0, 0.0), math.pi / 2, (20.0, 1.0)),
+              name="Wall (2)")
+    b.add_box(border, Transform2D((20.0, 0.0), math.pi / 2, (20.0, 1.0)),
+              name="Wall (3)")
+    b.add_box(interior, Transform2D((-11.8, 7.18), slant, (100.0, 1.0)),
+              name="Wall (4)")
     return RoomSetup(scene=b.build(pad_to=pad_to),
                      source=np.array([-18.0, 9.0], np.float32),
                      listener=np.array([0.0, -3.68], np.float32),
-                     listener_radius=0.5)
+                     listener_radius=0.5, builder=b)
 
 
 def big_room(n_bands: int = 1, pad_to: Optional[int] = None) -> RoomSetup:
@@ -79,15 +88,20 @@ def big_room(n_bands: int = 1, pad_to: Optional[int] = None) -> RoomSetup:
     b = SceneBuilder(n_bands=n_bands)
     border = _bands(MATERIAL_BORDER, n_bands)
     interior = _bands(MATERIAL_INTERIOR, n_bands)
-    b.add_box(border, Transform2D((0.0, 100.0), 0.0, (1000.0, 1.0)))
-    b.add_box(border, Transform2D((0.01, -50.0), 0.0, (1000.0, 1.0)))
-    b.add_box(border, Transform2D((-200.0, 0.0), math.pi / 2, (200.0, 1.0)))
-    b.add_box(border, Transform2D((200.0, 0.0), math.pi / 2, (200.0, 1.0)))
-    b.add_box(interior, Transform2D((-118.8, 71.8), slant, (1000.0, 10.0)))
+    b.add_box(border, Transform2D((0.0, 100.0), 0.0, (1000.0, 1.0)),
+              name="Wall")
+    b.add_box(border, Transform2D((0.01, -50.0), 0.0, (1000.0, 1.0)),
+              name="Wall (1)")
+    b.add_box(border, Transform2D((-200.0, 0.0), math.pi / 2,
+                                  (200.0, 1.0)), name="Wall (2)")
+    b.add_box(border, Transform2D((200.0, 0.0), math.pi / 2,
+                                  (200.0, 1.0)), name="Wall (3)")
+    b.add_box(interior, Transform2D((-118.8, 71.8), slant,
+                                    (1000.0, 10.0)), name="Wall (4)")
     return RoomSetup(scene=b.build(pad_to=pad_to),
                      source=np.array([-183.8, 87.1], np.float32),
                      listener=np.array([0.0, -3.68], np.float32),
-                     listener_radius=0.5)
+                     listener_radius=0.5, builder=b)
 
 
 def sample_scene(n_bands: int = 1, pad_to: Optional[int] = None) -> RoomSetup:
@@ -111,13 +125,16 @@ def sample_scene(n_bands: int = 1, pad_to: Optional[int] = None) -> RoomSetup:
     slant = _quat_z_angle(0.6239737, 0.7814454)
     b = SceneBuilder(n_bands=n_bands)
     border = _bands(MATERIAL_BORDER, n_bands)
-    b.add_box(border, Transform2D((-0.09, 14.12), 0.0, (27.576956, 1.0)))
-    b.add_box(border, Transform2D((0.01, -11.72), 0.0, (38.184124, 1.0)))
-    b.add_box(border, Transform2D((-16.62, 1.34), slant, (27.576956, 1.0)))
+    b.add_box(border, Transform2D((-0.09, 14.12), 0.0, (27.576956, 1.0)),
+              name="Wall")
+    b.add_box(border, Transform2D((0.01, -11.72), 0.0, (38.184124, 1.0)),
+              name="Wall (1)")
+    b.add_box(border, Transform2D((-16.62, 1.34), slant,
+                                  (27.576956, 1.0)), name="Wall (2)")
     return RoomSetup(scene=b.build(pad_to=pad_to),
                      source=np.array([0.07, 10.01], np.float32),
                      listener=np.array([0.0, -3.68], np.float32),
-                     listener_radius=0.5)
+                     listener_radius=0.5, builder=b)
 
 
 def _bands(mat: AudioMaterial, n_bands: int) -> AudioMaterial:

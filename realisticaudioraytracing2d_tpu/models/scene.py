@@ -156,13 +156,53 @@ def round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def loop_segments(points: np.ndarray, transform: Transform2D):
+    """Flatten one closed loop of local-space points under a transform
+    into ``(starts, ends, normals)`` world-space arrays — the
+    ``SceneHelper.cs:78-98`` semantics, factored out so a collider can
+    be re-flattened in place (live geometry steering,
+    :meth:`SceneBuilder.move_collider`)."""
+    pts = np.asarray(points, dtype=np.float64)
+    if pts.ndim != 2 or pts.shape[1] != 2 or len(pts) < 2:
+        raise ValueError("loop needs [N>=2, 2] points")
+    winding = transform.winding
+    world = transform.transform_point(pts)
+    starts = world
+    ends = np.roll(world, -1, axis=0)
+    d = ends - starts
+    norm = np.linalg.norm(d, axis=-1, keepdims=True)
+    dirv = np.where(norm > 0, d / np.where(norm > 0, norm, 1.0), 0.0)
+    normals = np.stack([dirv[:, 1], -dirv[:, 0]], axis=-1) * winding
+    return starts, ends, normals
+
+
+@dataclass(frozen=True)
+class ColliderRecord:
+    """One builder collider: its recipe (local loops + material +
+    authored transform) and its wall span in the flattened scene — what
+    live geometry steering needs to re-flatten it under a new transform
+    without touching any other wall (the reference re-reads obstacle
+    transforms and re-flattens every FixedUpdate,
+    ``RayTraceManager.cs:67,246-250`` -> ``SceneHelper.cs:29-76``)."""
+
+    name: Optional[str]
+    kind: str                    # box / circle / polygon / loop / segment
+    material: AudioMaterial
+    transform: Transform2D
+    loops: Optional[Tuple[np.ndarray, ...]]  # local points; None = raw seg
+    start: int                   # first wall row
+    count: int                   # wall rows
+
+
 class SceneBuilder:
     """Host-side accumulation of wall segments, then one device upload.
 
     The flattening mirrors ``SceneToData2D.GetSegmentsFromColliders``
     (``SceneHelper.cs:29-76``): each collider contributes a closed loop of
-    segments with its resolved material.
-    """
+    segments with its resolved material. Each ``add_*`` call is recorded
+    as a :class:`ColliderRecord` (optionally named) so a built scene's
+    colliders can be re-posed in place later
+    (:meth:`move_collider` — live geometry steering)."""
 
     def __init__(self, n_bands: int = 1):
         self.n_bands = int(n_bands)
@@ -170,68 +210,147 @@ class SceneBuilder:
         self._ends: List[np.ndarray] = []
         self._normals: List[np.ndarray] = []
         self._mats: List[AudioMaterial] = []
+        self.colliders: List[ColliderRecord] = []
 
     # -- loop flattening (SceneHelper.cs:78-98 semantics) ------------------
-    def add_loop(self, points: np.ndarray, material: AudioMaterial,
-                 transform: Transform2D = Transform2D()) -> "SceneBuilder":
-        pts = np.asarray(points, dtype=np.float64)
-        if pts.ndim != 2 or pts.shape[1] != 2 or len(pts) < 2:
-            raise ValueError("loop needs [N>=2, 2] points")
-        winding = transform.winding
-        world = transform.transform_point(pts)
-        for i in range(len(world)):
-            p1 = world[i]
-            p2 = world[(i + 1) % len(world)]
-            d = p2 - p1
-            norm = np.linalg.norm(d)
-            dirv = d / norm if norm > 0 else np.zeros(2)
-            normal = np.array([dirv[1], -dirv[0]]) * winding
+    def _flatten_loop(self, points: np.ndarray, material: AudioMaterial,
+                      transform: Transform2D) -> None:
+        starts, ends, normals = loop_segments(points, transform)
+        for p1, p2, nrm in zip(starts, ends, normals):
             self._starts.append(p1)
             self._ends.append(p2)
-            self._normals.append(normal)
+            self._normals.append(nrm)
             self._mats.append(material)
+
+    def _record(self, name, kind, material, transform, loops,
+                start: int) -> None:
+        self.colliders.append(ColliderRecord(
+            name=name, kind=kind, material=material, transform=transform,
+            loops=(tuple(np.asarray(p, np.float64) for p in loops)
+                   if loops is not None else None),
+            start=start, count=len(self._starts) - start))
+
+    def add_loop(self, points: np.ndarray, material: AudioMaterial,
+                 transform: Transform2D = Transform2D(),
+                 name: Optional[str] = None) -> "SceneBuilder":
+        pts = np.asarray(points, dtype=np.float64)
+        start = len(self._starts)
+        self._flatten_loop(pts, material, transform)
+        self._record(name, "loop", material, transform, [pts], start)
         return self
 
     def add_box(self, material: AudioMaterial,
                 transform: Transform2D = Transform2D(),
                 size: Tuple[float, float] = (1.0, 1.0),
-                offset: Tuple[float, float] = (0.0, 0.0)) -> "SceneBuilder":
+                offset: Tuple[float, float] = (0.0, 0.0),
+                name: Optional[str] = None) -> "SceneBuilder":
         """BoxCollider2D flattening (``SceneHelper.cs:49-57``): 4-corner loop
         (-h,-h) (h,-h) (h,h) (-h,h) around ``offset`` in local space."""
         hx, hy = size[0] * 0.5, size[1] * 0.5
         ox, oy = offset
         corners = np.array([[ox - hx, oy - hy], [ox + hx, oy - hy],
                             [ox + hx, oy + hy], [ox - hx, oy + hy]])
-        return self.add_loop(corners, material, transform)
+        start = len(self._starts)
+        self._flatten_loop(corners, material, transform)
+        self._record(name, "box", material, transform, [corners], start)
+        return self
 
     def add_circle(self, material: AudioMaterial,
                    transform: Transform2D = Transform2D(),
                    radius: float = 0.5,
                    offset: Tuple[float, float] = (0.0, 0.0),
-                   resolution: int = CIRCLE_RESOLUTION) -> "SceneBuilder":
+                   resolution: int = CIRCLE_RESOLUTION,
+                   name: Optional[str] = None) -> "SceneBuilder":
         """CircleCollider2D flattening (``SceneHelper.cs:59-68``)."""
         ang = np.arange(resolution) / resolution * 2.0 * np.pi
         pts = np.stack([np.cos(ang), np.sin(ang)], axis=-1) * radius
         pts = pts + np.asarray(offset)
-        return self.add_loop(pts, material, transform)
+        start = len(self._starts)
+        self._flatten_loop(pts, material, transform)
+        self._record(name, "circle", material, transform, [pts], start)
+        return self
 
     def add_polygon(self, paths: Sequence[np.ndarray],
                     material: AudioMaterial,
-                    transform: Transform2D = Transform2D()) -> "SceneBuilder":
+                    transform: Transform2D = Transform2D(),
+                    name: Optional[str] = None) -> "SceneBuilder":
         """PolygonCollider2D flattening: one loop per path
         (``SceneHelper.cs:41-47``)."""
+        start = len(self._starts)
+        paths = [np.asarray(p, np.float64) for p in paths]
         for path in paths:
-            self.add_loop(np.asarray(path), material, transform)
+            self._flatten_loop(path, material, transform)
+        self._record(name, "polygon", material, transform, paths, start)
         return self
 
-    def add_segment(self, start, end, normal, material: AudioMaterial
-                    ) -> "SceneBuilder":
-        """Raw segment escape hatch (explicit normal, no winding logic)."""
+    def add_segment(self, start, end, normal, material: AudioMaterial,
+                    name: Optional[str] = None) -> "SceneBuilder":
+        """Raw segment escape hatch (explicit normal, no winding logic;
+        not steerable — it has no transform to re-pose)."""
+        row = len(self._starts)
         self._starts.append(np.asarray(start, dtype=np.float64))
         self._ends.append(np.asarray(end, dtype=np.float64))
         self._normals.append(np.asarray(normal, dtype=np.float64))
         self._mats.append(material)
+        self._record(name, "segment", material, Transform2D(), None, row)
         return self
+
+    # -- live geometry steering ---------------------------------------------
+    def find_collider(self, obstacle) -> ColliderRecord:
+        """Resolve a collider by name (str) or build-order index (int);
+        raises ``KeyError`` naming the known colliders."""
+        if isinstance(obstacle, str):
+            for c in self.colliders:
+                if c.name == obstacle:
+                    return c
+            known = [c.name for c in self.colliders if c.name is not None]
+            raise KeyError(
+                f"unknown obstacle {obstacle!r}; named colliders: {known}"
+                + ("" if known else " (none named; use an index "
+                   f"0..{len(self.colliders) - 1})"))
+        idx = int(obstacle)
+        if not 0 <= idx < len(self.colliders):
+            raise KeyError(f"obstacle index {idx} out of range "
+                           f"(0..{len(self.colliders) - 1})")
+        return self.colliders[idx]
+
+    def move_collider(self, scene: Scene, obstacle,
+                      position=None, angle=None) -> Scene:
+        """Re-flatten ONE collider of a built scene under a new
+        position/angle (scale and shape unchanged — the wall count
+        cannot change, so the padded scene keeps its compiled shape and
+        per-chunk moves recompile nothing). Unspecified fields fall back
+        to the authored transform. Returns a new :class:`Scene`; the
+        builder record is NOT mutated (overrides are absolute, matching
+        the pose feed's hold semantics). This is the per-FixedUpdate
+        re-flatten of the reference's dynamic obstacles
+        (``RayTraceManager.cs:67`` -> ``SceneHelper.cs:29-76``),
+        restricted to the collider that actually moved."""
+        c = self.find_collider(obstacle)
+        if c.loops is None:
+            raise ValueError(
+                f"collider {obstacle!r} is a raw segment (no transform); "
+                "not steerable")
+        tf = Transform2D(
+            position=(tuple(float(v) for v in position)
+                      if position is not None else c.transform.position),
+            angle=(float(angle) if angle is not None
+                   else c.transform.angle),
+            scale=c.transform.scale)
+        starts, ends, normals = [], [], []
+        for pts in c.loops:
+            s, e, nm = loop_segments(pts, tf)
+            starts.append(s)
+            ends.append(e)
+            normals.append(nm)
+        a = np.concatenate(starts).astype(np.float32)
+        b = np.concatenate(ends).astype(np.float32)
+        nrm = np.concatenate(normals).astype(np.float32)
+        rows = jnp.arange(c.start, c.start + c.count)
+        return scene._replace(
+            a=scene.a.at[rows].set(jnp.asarray(a)),
+            b=scene.b.at[rows].set(jnp.asarray(b)),
+            normal=scene.normal.at[rows].set(jnp.asarray(nrm)))
 
     # -- finalize -----------------------------------------------------------
     def __len__(self) -> int:

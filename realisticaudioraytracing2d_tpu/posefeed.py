@@ -1,30 +1,47 @@
-"""Interactive pose channel: steer a RUNNING stream from outside.
+"""Interactive steering channel: drive a RUNNING stream from outside.
 
 The reference is steered live — every frame it re-reads the scene
 object transforms and the keyboard while audio plays
 (``RayTraceManager.cs:50-61,67``: Update() reads ``source.position`` /
-``listener.position``; FixedUpdate re-flattens moving colliders). The
-framework's trajectories (``--move-source``, ``params_fn``,
-``facing_fn``) are declared up front; this module adds the missing
-*channel*: a JSON-lines feed (a file being appended to, or stdin) that
-overrides the trajectory chunk by chunk while the stream runs — the
-functional equivalent of dragging the Unity source around mid-play.
+``listener.position``, Space toggles streaming, R resets the impulse;
+FixedUpdate re-flattens moving colliders). The framework's trajectories
+(``--move-source``, ``params_fn``, ``facing_fn``) are declared up
+front; this module adds the missing *channel*: a JSON-lines feed (a
+file being appended to, or stdin) that overrides the trajectory chunk
+by chunk while the stream runs — the functional equivalent of dragging
+the Unity source (or a wall) around mid-play and hitting R/Space.
 
 Feed protocol — one JSON object per line:
 
     {"chunk": 12, "source": [x, y]}
     {"chunk": 20, "listener": [x, y], "facing": 1.57}
     {"source": [x, y]}                  # no chunk: applies immediately
+    {"chunk": 8, "obstacle": "Wall (4)", "position": [x, y],
+     "angle": 0.4}                      # drag a wall mid-stream
+    {"chunk": 30, "command": "reset_ir"}   # the R key
+    {"command": "stop"}                    # the Space key
 
-* ``chunk`` (optional int >= 0): the chunk index the override takes
-  effect at; omitted = the next chunk polled. Lines may arrive in any
-  order and any time; a line whose chunk has already played applies at
-  the next poll (live feeds are late by nature).
+* ``chunk`` (optional int >= 0): the chunk index the line takes effect
+  at; omitted = the next chunk polled. Lines may arrive in any order
+  and any time; a line whose chunk has already played applies at the
+  next poll (live feeds are late by nature).
 * ``source`` / ``listener``: ``[x, y]`` (or ``[[x, y], ...]`` matching
   the param's source/listener count), world meters.
 * ``facing`` (radians): the binaural head bearing.
+* ``obstacle`` (collider name or build-order index) with ``position``
+  ``[x, y]`` and/or ``angle`` (radians): re-pose that collider — the
+  scene is re-flattened through the bound
+  :meth:`..models.scene.SceneBuilder.move_collider` into the SAME
+  padded wall count, so a moved wall recompiles nothing
+  (``RayTraceManager.cs:67,246-250`` -> ``SceneHelper.cs:29-76``).
+  Scale/shape are not steerable (they would change the wall count).
+* ``command``: ``"stop"`` ends the stream after the reverb tail
+  flushes (Space, ``RayTraceManager.cs:55-57``); ``"reset_ir"`` drops
+  the IR memory once at its chunk (R -> ``ClearImpulse``,
+  ``RayTraceManager.cs:58-61``).
 * Overrides HOLD until a later line changes them (the Unity transform
-  stays where you dragged it).
+  stays where you dragged it); per-obstacle position and angle hold
+  independently. Commands are events, not holds.
 
 Every line is validated; a malformed line raises :class:`PoseFeedError`
 naming the line — a steering channel that silently skips your input is
@@ -34,6 +51,14 @@ Reads are non-blocking: each poll consumes whatever complete lines have
 arrived (``select`` on pipes/stdin, plain read-to-EOF on regular files,
 which is exactly "tail -f" semantics since the position persists across
 polls). A trailing partial line is buffered until its newline arrives.
+
+State is FOLDED, not replayed: events whose effective chunk is at least
+one chunk behind the furthest chunk queried collapse into a constant-
+size base, so a chatty feed (30 lines/s from a UI, hours long) costs
+O(new lines) per poll and bounded memory — not the O(history) re-sort
+of the round-4 implementation. Queries may look back at most ONE chunk
+behind the furthest query (exactly the Doppler rate lookahead's
+``params_fn(i + 1)`` pattern); both pipelines satisfy this.
 """
 
 from __future__ import annotations
@@ -43,7 +68,7 @@ import json
 import os
 import select
 import sys
-from typing import Dict, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -52,7 +77,9 @@ class PoseFeedError(ValueError):
     """A malformed pose-feed line (bad JSON, unknown key, bad shape)."""
 
 
-_KEYS = {"chunk", "source", "listener", "facing"}
+_KEYS = {"chunk", "source", "listener", "facing", "obstacle", "position",
+         "angle", "command"}
+_COMMANDS = {"stop", "reset_ir"}
 
 
 def _validate(obj, line_no: int, line: str) -> Dict:
@@ -90,27 +117,91 @@ def _validate(obj, line_no: int, line: str) -> Dict:
                     f"pose feed line {line_no}: non-finite {key!r}: "
                     f"{obj[key]!r}")
             out[key] = arr
-    if "facing" in obj:
-        f = obj["facing"]
-        if isinstance(f, bool) or not isinstance(f, (int, float)) \
-                or not np.isfinite(f):
+    for key in ("facing", "angle"):
+        if key in obj:
+            f = obj[key]
+            if isinstance(f, bool) or not isinstance(f, (int, float)) \
+                    or not np.isfinite(f):
+                raise PoseFeedError(
+                    f"pose feed line {line_no}: {key!r} must be a finite "
+                    f"number (radians), got {f!r}")
+            out[key] = float(f)
+    if "position" in obj:
+        try:
+            pos = np.asarray(obj["position"], np.float64)
+        except (TypeError, ValueError) as e:
             raise PoseFeedError(
-                f"pose feed line {line_no}: 'facing' must be a finite "
-                f"number (radians), got {f!r}")
-        out["facing"] = float(f)
+                f"pose feed line {line_no}: bad 'position': {e}") from None
+        if pos.shape != (2,) or not np.isfinite(pos).all():
+            raise PoseFeedError(
+                f"pose feed line {line_no}: 'position' must be a finite "
+                f"[x, y], got {obj['position']!r}")
+        out["position"] = (float(pos[0]), float(pos[1]))
+    if "obstacle" in obj:
+        o = obj["obstacle"]
+        if isinstance(o, bool) or not isinstance(o, (str, int)):
+            raise PoseFeedError(
+                f"pose feed line {line_no}: 'obstacle' must be a collider "
+                f"name (str) or index (int), got {o!r}")
+        if "position" not in out and "angle" not in out:
+            raise PoseFeedError(
+                f"pose feed line {line_no}: 'obstacle' needs 'position' "
+                f"and/or 'angle': {line!r}")
+        out["obstacle"] = o
+    elif "position" in out or "angle" in out:
+        raise PoseFeedError(
+            f"pose feed line {line_no}: 'position'/'angle' steer an "
+            f"obstacle — add \"obstacle\": <name-or-index> ('facing' "
+            f"steers the head): {line!r}")
+    if "command" in obj:
+        c = obj["command"]
+        if c not in _COMMANDS:
+            raise PoseFeedError(
+                f"pose feed line {line_no}: unknown command {c!r} "
+                f"(valid: {sorted(_COMMANDS)})")
+        out["command"] = c
     if not (set(out) - {"chunk"}):
         raise PoseFeedError(
             f"pose feed line {line_no}: no override present "
-            f"(need source/listener/facing): {line!r}")
+            f"(need source/listener/facing/obstacle/command): {line!r}")
     return out
 
 
-class PoseFeed:
-    """Poll-driven JSON-lines pose overrides for a running stream.
+class _BaseState:
+    """Folded overrides: everything that can no longer be affected by a
+    query (constant size however long the feed runs)."""
 
-    Wraps a base ``params_fn`` / ``facing_fn``: call :meth:`params` /
-    :meth:`facing` in place of them (both pipelines call per chunk, in
-    order). Each call polls the feed for newly arrived lines first.
+    __slots__ = ("src", "lis", "fac", "obstacles", "stop_due")
+
+    def __init__(self):
+        self.src = None
+        self.lis = None
+        self.fac = None
+        # obstacle key -> (position | None, angle | None, line_no)
+        self.obstacles: Dict = {}
+        self.stop_due: Optional[int] = None
+
+    def apply(self, due: int, o: Dict, line_no: int) -> None:
+        self.src = o.get("source", self.src)
+        self.lis = o.get("listener", self.lis)
+        self.fac = o.get("facing", self.fac)
+        if "obstacle" in o:
+            key = o["obstacle"]
+            pos, ang, _ = self.obstacles.get(key, (None, None, 0))
+            self.obstacles[key] = (o.get("position", pos),
+                                   o.get("angle", ang), line_no)
+        if o.get("command") == "stop" and self.stop_due is None:
+            self.stop_due = due
+
+
+class PoseFeed:
+    """Poll-driven JSON-lines steering for a running stream.
+
+    Wraps a base ``params_fn`` / ``facing_fn`` / ``scene_fn``: call
+    :meth:`params` / :meth:`facing` / :meth:`scene` in place of them and
+    :meth:`control` as the pipeline's ``control_fn`` (all called per
+    chunk, near-monotonically). Each call polls the feed for newly
+    arrived lines first.
     """
 
     def __init__(self, fh: io.TextIOBase, close: bool = False):
@@ -118,11 +209,16 @@ class PoseFeed:
         self._close = close
         self._buf = ""
         self._line_no = 0
-        # (effective chunk, line number, override) in ingest order; the
-        # state FOR a chunk is folded per query (see _state) instead of
-        # held mutably, so polling ahead never leaks a later chunk's
-        # override into an earlier chunk.
-        self._events: list = []
+        # folded base + the small pending window (events whose effective
+        # chunk is >= the fold watermark); pending is kept sorted lazily
+        # per query — it only ever holds not-yet-due lines plus the
+        # current chunk's, not the whole history.
+        self._base = _BaseState()
+        self._pending: List[Tuple[int, int, Dict, int]] = []
+        self._resets: List[int] = []       # due chunks, consumed on query
+        self._max_q = -1                   # furthest chunk ever queried
+        self._rebuilder = None             # SceneBuilder for obstacles
+        self._scene_cache = None           # (key, scene) memo
         fd = None
         try:
             fd = fh.fileno()
@@ -141,6 +237,12 @@ class PoseFeed:
         if path == "-":
             return PoseFeed(sys.stdin, close=False)
         return PoseFeed(open(path, "r"), close=True)
+
+    def bind_scene(self, builder) -> "PoseFeed":
+        """Attach the :class:`..models.scene.SceneBuilder` whose collider
+        records resolve ``obstacle`` lines (see :meth:`scene`)."""
+        self._rebuilder = builder
+        return self
 
     def close(self) -> None:
         if self._close:
@@ -183,31 +285,63 @@ class PoseFeed:
                     f"pose feed line {self._line_no}: invalid JSON "
                     f"({e.msg}): {line!r}") from None
             o = _validate(obj, self._line_no, line)
-            self._events.append(
-                (max(o.get("chunk", chunk_index), chunk_index),
-                 self._line_no, o))
+            due = max(o.get("chunk", chunk_index), chunk_index)
+            if o.get("command") == "reset_ir":
+                self._resets.append(due)
+                if not (set(o) - {"chunk", "command"}):
+                    continue
+            self._pending.append((due, self._line_no, o, self._line_no))
+
+    def _fold(self, chunk_index: int) -> None:
+        """Collapse events that no query can revisit (due <= furthest
+        query - 1; queries look back at most one chunk — the Doppler
+        lookahead) into the constant-size base."""
+        self._max_q = max(self._max_q, chunk_index)
+        watermark = self._max_q - 1
+        if not self._pending or self._pending[0][0] > watermark \
+                and all(d > watermark for d, *_ in self._pending):
+            return
+        self._pending.sort(key=lambda e: (e[0], e[1]))
+        keep = []
+        for due, seq, o, line_no in self._pending:
+            if due <= watermark:
+                self._base.apply(due, o, line_no)
+            else:
+                keep.append((due, seq, o, line_no))
+        self._pending = keep
 
     def _state(self, chunk_index: int):
-        """Fold the overrides effective at ``chunk_index``: by effective
-        chunk, then feed order — the line applied *latest* wins
+        """The overrides effective at ``chunk_index``: the folded base
+        overlaid with pending events due <= chunk_index, by effective
+        chunk then feed order — the line applied *latest* wins
         (hold-until-changed), exactly the mutable-hold semantics for
-        in-order playback, but stable under out-of-order queries."""
-        src = lis = fac = None
-        for due, _seq, o in sorted(self._events,
-                                   key=lambda e: (e[0], e[1])):
+        in-order playback, but stable under the one-chunk lookahead."""
+        self._fold(chunk_index)
+        src, lis, fac = self._base.src, self._base.lis, self._base.fac
+        obstacles = dict(self._base.obstacles)
+        stop_due = self._base.stop_due
+        for due, _seq, o, line_no in sorted(self._pending,
+                                            key=lambda e: (e[0], e[1])):
             if due <= chunk_index:
                 src = o.get("source", src)
                 lis = o.get("listener", lis)
                 fac = o.get("facing", fac)
-        return src, lis, fac
+                if "obstacle" in o:
+                    key = o["obstacle"]
+                    pos, ang, _ = obstacles.get(key, (None, None, 0))
+                    obstacles[key] = (o.get("position", pos),
+                                      o.get("angle", ang), line_no)
+                if o.get("command") == "stop" and stop_due is None:
+                    stop_due = due
+        return src, lis, fac, obstacles, stop_due
 
-    # -- the params_fn / facing_fn replacements ------------------------------
+    # -- the params_fn / facing_fn / scene_fn / control_fn replacements ------
 
     def params(self, base_params, chunk_index: int):
         """``base_params`` = the trajectory's ``params_fn(chunk_index)``
         output; returns it with any held overrides applied."""
         self.poll(chunk_index)
-        src_ov, lis_ov, _ = self._state(chunk_index)
+        src_ov, lis_ov = self._state(chunk_index)[:2]
         p = base_params
         if src_ov is not None:
             src = np.asarray(p.source, np.float32)
@@ -237,13 +371,61 @@ class PoseFeed:
             p = p._replace(listeners=np.asarray(ov, np.float32))
         return p
 
-    def facing(self, base_facing: float, chunk_index: int) -> float:
+    def facing(self, base_facing, chunk_index: int):
         """Held facing override, else the trajectory's value. Polls
         (idempotent per arrived data, so params+facing in one chunk is
         fine in either order)."""
         self.poll(chunk_index)
         fac = self._state(chunk_index)[2]
         return fac if fac is not None else base_facing
+
+    def scene(self, base_scene, chunk_index: int):
+        """``base_scene`` with any held obstacle overrides re-flattened
+        in (same padded wall count — no recompile). Needs
+        :meth:`bind_scene`; an obstacle line on an unbound feed, or one
+        naming an unknown collider, errors naming the feed line. The
+        rebuilt scene is memoized per override set, so chunks between
+        moves reuse one host flatten."""
+        self.poll(chunk_index)
+        obstacles = self._state(chunk_index)[3]
+        if not obstacles:
+            return base_scene
+        cache_key = (id(base_scene),
+                     tuple(sorted((str(k), pos, ang)
+                                  for k, (pos, ang, _) in
+                                  obstacles.items())))
+        if self._scene_cache is not None \
+                and self._scene_cache[0] == cache_key:
+            return self._scene_cache[1]
+        scene = base_scene
+        for key, (pos, ang, line_no) in obstacles.items():
+            if self._rebuilder is None:
+                raise PoseFeedError(
+                    f"pose feed line {line_no}: obstacle override for "
+                    f"{key!r}, but this stream has no steerable scene "
+                    f"(no SceneBuilder bound — procedural/batched scenes "
+                    f"are not steerable)")
+            try:
+                scene = self._rebuilder.move_collider(scene, key,
+                                                      position=pos,
+                                                      angle=ang)
+            except (KeyError, ValueError) as e:
+                raise PoseFeedError(
+                    f"pose feed line {line_no}: {e}") from None
+        self._scene_cache = (cache_key, scene)
+        return scene
+
+    def control(self, chunk_index: int) -> Dict:
+        """The pipeline ``control_fn``: ``{"stop": bool, "reset_ir":
+        bool}`` for this chunk. ``reset_ir`` fires exactly once per
+        feed line (consumed here); ``stop`` holds from its chunk on."""
+        self.poll(chunk_index)
+        stop_due = self._state(chunk_index)[4]
+        due = [d for d in self._resets if d <= chunk_index]
+        if due:
+            self._resets = [d for d in self._resets if d > chunk_index]
+        return {"stop": stop_due is not None and chunk_index >= stop_due,
+                "reset_ir": bool(due)}
 
 
 def _fd_path(fd: int) -> str:

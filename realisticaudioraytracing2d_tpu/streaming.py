@@ -76,22 +76,36 @@ class RingBuffer(NamedTuple):
 class StreamState(NamedTuple):
     """Carried state of the streaming loop. The stream position is the
     ring's read head (both advance by exactly one chunk per step), which
-    wraps mod ring size — no unbounded absolute offset to overflow."""
+    wraps mod ring size — no unbounded absolute offset to overflow.
+
+    ``prev_spatial``/``prev_facing`` exist only for binaural streams
+    (``None`` otherwise — an empty pytree leaf, so non-binaural jits are
+    untouched): the previous chunk's raw 3-virtual-mic spatial capture
+    ``[3, T, K]`` and the head facing it was decoded with. Per-arrival
+    Doppler needs them to re-extract the previous chunk's taps WITH their
+    arrival bearings (the decoded ear IR has lost the X/Y intensity)."""
 
     prev_ir: jax.Array        # [L, T, K] previous chunk's normalized IR
     ring: RingBuffer
     chunk_index: jax.Array    # scalar int32
+    prev_spatial: Optional[jax.Array] = None  # [3, T, K] (binaural only)
+    prev_facing: Optional[jax.Array] = None   # scalar f32 (binaural only)
 
 
 def init_stream(ir_length: int, chunk_samples: int, n_listeners: int = 1,
-                n_bands: int = 1) -> StreamState:
+                n_bands: int = 1, spatial: bool = False) -> StreamState:
     """Ring sized to hold a full chunk + reverb tail with slack — the
-    reference sizes it ``(reverbDuration + 1) s`` (AudioManager.cs:30)."""
+    reference sizes it ``(reverbDuration + 1) s`` (AudioManager.cs:30).
+    ``spatial`` allocates the binaural per-arrival carry (see
+    :class:`StreamState`)."""
     size = ir_length + 2 * chunk_samples
     return StreamState(
         prev_ir=jnp.zeros((n_listeners, ir_length, n_bands), jnp.float32),
         ring=RingBuffer.zeros(size, n_listeners),
-        chunk_index=jnp.zeros((), jnp.int32))
+        chunk_index=jnp.zeros((), jnp.int32),
+        prev_spatial=(jnp.zeros((3, ir_length, n_bands), jnp.float32)
+                      if spatial else None),
+        prev_facing=(jnp.zeros((), jnp.float32) if spatial else None))
 
 
 def _crossfaded_wet(chunk: jax.Array, ir_prev: jax.Array, ir_cur: jax.Array
@@ -159,19 +173,34 @@ _ARRIVAL_WINDOW_S = 0.12  # early window the taps may live in
 _ARRIVAL_MATCH_BINS = 64.0  # max bin drift matched chunk-to-chunk
 
 
+def _window3(chan: jax.Array, idx: jax.Array) -> jax.Array:
+    """3-bin windows ``[L, A, 3, K]`` of channel ``[L, T, K]`` at tap
+    bins ``idx[L, A]``. Out-of-range neighbors are masked to 0 instead
+    of letting the clip duplicate the edge bin (an idx=0 or idx=T-1 tap
+    would otherwise synthesize more energy than :func:`_remove_taps`
+    zeroes)."""
+    li = jnp.arange(chan.shape[0])[:, None, None]
+    raw = idx[:, :, None] + jnp.arange(-1, 2)[None, None, :]
+    cols = jnp.clip(raw, 0, chan.shape[1] - 1)
+    in_range = (raw >= 0) & (raw < chan.shape[1])
+    return jnp.where(in_range[..., None], chan[li, cols], 0.0)
+
+
 def _arrival_table(ir: jax.Array, early_bins: int, n_taps: int,
                    rel_floor: float = 1e-3):
-    """Top-``n_taps`` early arrivals of a K=1 IR ``[L, T, 1]``:
-    ``(idx[L, A] int32, g3[L, A, 3], valid[L, A])``.
+    """Top-``n_taps`` early arrivals of an IR ``[L, T, K]``:
+    ``(idx[L, A] int32, g3[L, A, 3, K], valid[L, A])``.
 
-    A tap is a local maximum in the first ``early_bins`` bins carrying
-    its 3-bin window ``g3 = ir[idx-1 : idx+2]`` — exactly the bins
+    A tap is a local maximum of the BAND-SUMMED energy in the first
+    ``early_bins`` bins (all bands share one delay — an arrival is one
+    path whatever its spectrum), carrying its per-band 3-bin window
+    ``g3 = ir[idx-1 : idx+2, :]`` — exactly the bins
     :func:`_remove_taps` zeroes, so tap + residual reproduce the full
     IR's convolution EXACTLY whatever the window holds (a splat, a
     capture-circle plateau, overlapping hits). Taps within 2 bins of a
     stronger one are suppressed (their windows would overlap), and taps
     below ``rel_floor`` of the listener's strongest are dropped."""
-    e = ir[..., 0]                                       # [L, T]
+    e = jnp.sum(ir, axis=-1)                             # [L, T]
     # neighbors from the FULL IR so the last window bin is compared
     # against its real right neighbor, not a zero pad (an arrival whose
     # peak sits just past the window must not spawn a rising-edge tap)
@@ -183,15 +212,8 @@ def _arrival_table(ir: jax.Array, early_bins: int, n_taps: int,
     ismax = (w >= left) & (w > right) & (w > 0)
     score = jnp.where(ismax, w + left + right, -1.0)
     val, idx = jax.lax.top_k(score, n_taps)             # [L, A]
-    li = jnp.arange(e.shape[0])[:, None, None]
-    raw_cols = idx[:, :, None] + jnp.arange(-1, 2)[None, None, :]
-    cols = jnp.clip(raw_cols, 0, e.shape[1] - 1)
-    # mask out-of-range neighbors instead of letting the clip duplicate
-    # the edge bin (an idx=0 or idx=T-1 tap would otherwise synthesize
-    # more energy than _remove_taps zeroes)
-    in_range = (raw_cols >= 0) & (raw_cols < e.shape[1])
-    g3 = jnp.where(in_range, e[li, cols], 0.0)          # [L, A, 3]
-    gain = jnp.sum(g3, axis=-1)
+    g3 = _window3(ir, idx)                              # [L, A, 3, K]
+    gain = jnp.sum(g3, axis=(-1, -2))
     valid = (val > 0) & (gain > rel_floor
                          * jnp.max(gain, axis=1, keepdims=True))
     # suppress a tap within 2 bins of a stronger (or earlier-ranked
@@ -209,15 +231,18 @@ def _arrival_table(ir: jax.Array, early_bins: int, n_taps: int,
 def _match_arrivals(idx_c, valid_c, idx_p, g3_p, valid_p,
                     match_bins: float):
     """Mutual-nearest matching of this chunk's taps to the previous
-    chunk's within ``match_bins``. Returns ``(tau0, g0[.., 3],
-    matched_prev)``: per current tap the previous tap (delay + window
-    gains) it glides from; an unmatched current tap fades in from gain 0
-    at its own delay (a new arrival). Previous taps nobody matched
-    (vanished arrivals; ``~matched_prev``) are synthesized by the caller
-    as FADING taps at their own delay — they cannot be left to the
-    residual crossfade, whose convolution only reads this chunk's dry
-    (the previous chunk pushed its tail without their bins), so dropping
-    them would click at the boundary."""
+    chunk's within ``match_bins``. Returns ``(tau0, g0[.., 3, K],
+    matched_prev, j, mutual)``: per current tap the previous tap (delay
+    + window gains) it glides from; an unmatched current tap fades in
+    from gain 0 at its own delay (a new arrival). ``j[L, A]`` is the
+    matched previous tap's index (meaningful where ``mutual``) so
+    callers can gather extra per-tap fields (the binaural path gathers
+    ear delays/gains). Previous taps nobody matched (vanished arrivals;
+    ``~matched_prev``) are synthesized by the caller as FADING taps at
+    their own delay — they cannot be left to the residual crossfade,
+    whose convolution only reads this chunk's dry (the previous chunk
+    pushed its tail without their bins), so dropping them would click
+    at the boundary."""
     tau_c = idx_c.astype(jnp.float32)
     tau_p = idx_p.astype(jnp.float32)
     d = jnp.abs(tau_c[:, :, None] - tau_p[:, None, :])   # [L, A, A]
@@ -231,73 +256,114 @@ def _match_arrivals(idx_c, valid_c, idx_p, g3_p, valid_p,
     mutual = ((i_back[li, j] == jnp.arange(a)[None, :])
               & (best <= match_bins) & valid_c)
     tau0 = jnp.where(mutual, tau_p[li, j], tau_c)
-    g0 = jnp.where(mutual[..., None], g3_p[li, j], 0.0)
+    g0 = jnp.where(mutual[..., None, None], g3_p[li, j], 0.0)
     matched_prev = jnp.zeros(tau_p.shape, jnp.int32
                              ).at[li, j].max(mutual.astype(jnp.int32))
-    return tau0, g0, matched_prev.astype(bool)
+    return tau0, g0, matched_prev.astype(bool), j, mutual
 
 
 def _remove_taps(ir: jax.Array, idx: jax.Array, valid: jax.Array
                  ) -> jax.Array:
-    """Zero the 3-bin windows of the given taps in a K=1 IR
-    ``[L, T, 1]`` — the residual the crossfaded convolution handles."""
-    e = ir[..., 0]
-    li = jnp.arange(e.shape[0])[:, None, None]
+    """Zero the 3-bin windows of the given taps across all K bands of an
+    IR ``[L, T, K]`` — the residual the crossfaded convolution handles.
+    Works row-wise, so a spatial capture ``[3, T, K]`` is cleaned by
+    tiling the one head's ``idx``/``valid`` across the 3 pattern rows."""
+    li = jnp.arange(ir.shape[0])[:, None, None]
     cols = jnp.clip(idx[:, :, None] + jnp.arange(-1, 2)[None, None, :],
-                    0, e.shape[1] - 1)
-    mask = jnp.ones_like(e).at[li, cols].min(
+                    0, ir.shape[1] - 1)
+    mask = jnp.ones(ir.shape[:2], ir.dtype).at[li, cols].min(
         jnp.where(valid[:, :, None], 0.0, 1.0))
-    return (e * mask)[..., None]
+    return ir * mask[..., None]
+
+
+def _band_windows(window: jax.Array, k: int) -> jax.Array:
+    """Split a mono dry-history window ``[Wd]`` into the ``[K, Wd]``
+    band signals the banded tap reads need: a banded IR convolves each
+    brickwall band of the dry against that band's IR
+    (:func:`..ops.convolve.combined_transfer` semantics), so a banded
+    tap with per-band gains must read band-filtered dry. Zero-padding
+    to ``>= 2 Wd`` keeps the brickwall's circular wrap (the mask's sinc
+    tail) out of the window. K == 1 passes the raw window through — the
+    scalar path stays bit-identical to the pre-banded implementation."""
+    if k == 1:
+        return window[None, :]
+    wd = window.shape[-1]
+    n_fft = cv._next_pow2(2 * wd)
+    x = jnp.fft.rfft(window, n_fft)
+    masks = cv.band_filterbank(wd, k, n_fft)             # [K, F]
+    return jnp.fft.irfft(x[None, :] * masks, n_fft)[:, :wd]
 
 
 def _tap_chunk(dry_window: jax.Array, tau0, tau1, g0, g1, valid,
                n: int) -> jax.Array:
-    """``[L, n]`` sum of time-varying 3-bin taps. ``dry_window[Wd]``
-    ends at the chunk end: its sample ``Wd - n + s`` is the chunk's
-    output sample ``s``, so tap ``a``'s window bin ``d in (-1, 0, 1)``
-    reads position ``Wd - n + s - (tau_a(s) + d)`` with the window
-    delay and per-bin gains ``g[.., 3]`` gliding linearly
-    ``tau0 -> tau1`` / ``g0 -> g1`` across the chunk (matching the
-    crossfade's prev->cur ramp). With ``tau0 == tau1`` integer the
-    reads are exact samples and the tap equals the removed bins'
-    convolution bit-for-bit; a gliding delay advances ``1 - dtau/n``
-    dry samples per output sample — the per-path Doppler rate. Reads
-    before the window (silence before the clip) are 0."""
-    wd = dry_window.shape[-1]
+    """``[L, n]`` sum of time-varying 3-bin taps. ``dry_window`` is
+    ``[Wd]`` mono or ``[K, Wd]`` band-split (:func:`_band_windows`),
+    ending at the chunk end: its sample ``Wd - n + s`` is the chunk's
+    output sample ``s``. Delays/gains come in three generality tiers,
+    auto-promoted to the full ``[L, A, 3, K]`` form:
+
+    * ``tau[L, A]`` + ``g[L, A, 3]`` — one gliding window delay per tap
+      with per-bin gains at offsets (-1, 0, 1): the scalar per-path
+      Doppler tap (K=1);
+    * ``tau/g[L, A, 3, K]`` — fully general per-bin per-band delays and
+      gains: the binaural ear taps (each window bin deposits at its own
+      ITD-shifted position with its own ILD gain, per band).
+
+    Everything glides linearly ``tau0 -> tau1`` / ``g0 -> g1`` across
+    the chunk (matching the crossfade's prev->cur ramp); bin ``(a, d,
+    k)`` reads band ``k`` of the window at position
+    ``Wd - n + s - tau[a, d, k](s)`` with linear interpolation. With
+    ``tau0 == tau1`` integer the reads are exact samples and the tap
+    equals the removed bins' convolution bit-for-bit; a gliding delay
+    advances ``1 - dtau/n`` dry samples per output sample — the
+    per-path Doppler rate. Reads before the window (silence before the
+    clip) are 0."""
+    dry_bands = dry_window[None, :] if dry_window.ndim == 1 else dry_window
+    if tau0.ndim == 2:
+        off = jnp.arange(-1, 2, dtype=jnp.float32)[None, None, :]
+        tau0 = tau0[:, :, None] + off
+        tau1 = tau1[:, :, None] + off
+    if tau0.ndim == 3:
+        tau0 = tau0[..., None]
+        tau1 = tau1[..., None]
+    if g0.ndim == 3:
+        g0 = g0[..., None]
+        g1 = g1[..., None]
+    wd = dry_bands.shape[-1]
+    k = dry_bands.shape[0]
     s = jnp.arange(n, dtype=jnp.float32)
     r = s / jnp.float32(max(1, n))
-    off = jnp.arange(-1, 2, dtype=jnp.float32)
-    tau = (tau0[:, :, None] + (tau1 - tau0)[:, :, None] * r
-           )[:, :, None, :] + off[None, None, :, None]   # [L, A, 3, n]
-    g = (g0[..., None] + (g1 - g0)[..., None] * r)       # [L, A, 3, n]
+    tau = tau0[..., None] + (tau1 - tau0)[..., None] * r  # [L, A, 3, K, n]
+    g = g0[..., None] + (g1 - g0)[..., None] * r          # [L, A, 3, K, n]
     p = (wd - n) + s - tau
     lo = jnp.floor(p)
     frac = p - lo
     lo_i = jnp.clip(lo.astype(jnp.int32), 0, wd - 1)
     hi_i = jnp.clip(lo_i + 1, 0, wd - 1)
-    y = dry_window[lo_i] * (1.0 - frac) + dry_window[hi_i] * frac
+    kk = jnp.arange(k)[None, None, None, :, None]
+    y = dry_bands[kk, lo_i] * (1.0 - frac) + dry_bands[kk, hi_i] * frac
     y = jnp.where((p >= 0) & (p <= wd - 1), y, 0.0)
-    return jnp.sum(jnp.where(valid[:, :, None, None], g * y, 0.0),
-                   axis=(1, 2))
+    return jnp.sum(jnp.where(valid[:, :, None, None, None], g * y, 0.0),
+                   axis=(1, 2, 3))
 
 
 def _per_arrival_parts(dry_piece: jax.Array, dry_window: jax.Array,
                        prev_ir: jax.Array, cur_ir: jax.Array,
-                       n: int, k: int, binaural: bool):
+                       n: int, k: int,
+                       n_taps: int = _ARRIVAL_TAPS,
+                       match_bins: float = _ARRIVAL_MATCH_BINS):
     """The per-arrival step shared by :func:`stream_chunk` and the live
     pipeline's ``wet_chunk``: extract + match + synthesize the taps and
     convolve the residuals. Returns ``(wet[L, N+T], taps[L, n])`` —
     ``wet`` is the crossfaded residual convolution, ``taps`` the
-    per-path Doppler signal for THIS chunk's output samples."""
-    if k != 1:
-        raise ValueError("per-arrival Doppler supports K == 1 IRs")
-    if binaural:
-        raise ValueError("per-arrival Doppler + binaural is not supported")
+    per-path Doppler signal for THIS chunk's output samples. Banded IRs
+    (K > 1) share one delay glide per arrival with per-band window
+    gains, read from band-split dry (:func:`_band_windows`)."""
     early_bins = dry_window.shape[-1] - n - 2
-    idx_c, g3_c, val_c = _arrival_table(cur_ir, early_bins, _ARRIVAL_TAPS)
-    idx_p, g3_p, val_p = _arrival_table(prev_ir, early_bins, _ARRIVAL_TAPS)
-    tau0, g0, matched_prev = _match_arrivals(
-        idx_c, val_c, idx_p, g3_p, val_p, _ARRIVAL_MATCH_BINS)
+    idx_c, g3_c, val_c = _arrival_table(cur_ir, early_bins, n_taps)
+    idx_p, g3_p, val_p = _arrival_table(prev_ir, early_bins, n_taps)
+    tau0, g0, matched_prev, _, _ = _match_arrivals(
+        idx_c, val_c, idx_p, g3_p, val_p, match_bins)
     # A vanished arrival (valid in prev, matched by no current tap) must
     # FADE OUT as a tap, not vanish: the previous chunk's convolution
     # tail was pushed WITHOUT its bins (they were that chunk's cur-side
@@ -310,7 +376,7 @@ def _per_arrival_parts(dry_piece: jax.Array, dry_window: jax.Array,
     tau_p = idx_p.astype(jnp.float32)
     vanished = val_p & ~matched_prev
     cat = lambda a, b: jnp.concatenate([a, b], axis=1)   # noqa: E731
-    taps = _tap_chunk(cv.gate_input(dry_window),
+    taps = _tap_chunk(_band_windows(cv.gate_input(dry_window), k),
                       cat(tau0, tau_p),
                       cat(idx_c.astype(jnp.float32), tau_p),
                       cat(g0, g3_p),
@@ -319,6 +385,175 @@ def _per_arrival_parts(dry_piece: jax.Array, dry_window: jax.Array,
     prev_res = _remove_taps(prev_ir, idx_p, val_p)
     cur_res = _remove_taps(cur_ir, idx_c, val_c)
     return _crossfaded_wet(dry_piece, prev_res, cur_res), taps
+
+
+def _ear_fields(w3, x3, y3, idx, facing, sign, sample_rate: int,
+                head_radius: float, shadow: float, speed_of_sound,
+                n_t: int, decorr: bool):
+    """Per-ear DirAC decode of one tap table's window bins — EXACTLY the
+    per-bin semantics of :meth:`..spatial.SpatialIR.binaural`, applied
+    to the 3-bin windows ``w3/x3/y3 [L, A, 3, K]`` at bins ``idx[L, A]``
+    (``sign`` = +1 left ear, -1 right). Each window bin's energy splits
+    into a coherent part ``min(|XY|, W)`` deposited at the ITD-shifted
+    position ``clip(b - sign * max_shift * sin(phi))`` with the
+    head-shadow ILD gain, and a diffuse remainder at the unshifted bin
+    through the ear's Rademacher decorrelator. Returns ``(tau_coh,
+    g_coh, tau_dif, g_dif)``, each ``[L, A, 3, K]`` — tap parameters
+    whose synthesis reproduces the removed bins' ear deposits exactly
+    (the tap's linear-interpolated read IS the decode's fractional
+    two-bin splat, through the convolution)."""
+    from .spatial import _ear_signs
+    r = jnp.sqrt(x3 * x3 + y3 * y3)
+    coh = jnp.minimum(r, w3)
+    dif = w3 - coh
+    phi = jnp.arctan2(y3, x3) - facing
+    s = jnp.sin(phi)
+    raw = idx[:, :, None] + jnp.arange(-1, 2)[None, None, :]  # [L, A, 3]
+    bins = raw.astype(jnp.float32)[..., None]                 # [L, A, 3, 1]
+    max_shift = head_radius / speed_of_sound * sample_rate
+    tau_coh = jnp.clip(bins - sign * max_shift * s, 0.0, float(n_t - 1))
+    g_coh = coh * (1.0 + sign * shadow * s)
+    tau_dif = jnp.broadcast_to(jnp.clip(bins, 0.0, float(n_t - 1)),
+                               g_coh.shape)
+    if decorr:
+        signs = jnp.asarray(_ear_signs(n_t, ear_seed=0 if sign > 0 else 1))
+        g_dif = dif * signs[jnp.clip(raw, 0, n_t - 1)][..., None]
+    else:
+        g_dif = dif
+    return tau_coh, g_coh, tau_dif, g_dif
+
+
+def _per_arrival_binaural(dry_piece: jax.Array, dry_window: jax.Array,
+                          prev_sp: jax.Array, cur_sp: jax.Array,
+                          prev_facing, cur_facing, n: int,
+                          sample_rate: int, head_radius: float,
+                          shadow: float, speed_of_sound,
+                          decorrelate: bool,
+                          n_taps: int = _ARRIVAL_TAPS,
+                          match_bins: float = _ARRIVAL_MATCH_BINS):
+    """Binaural per-arrival Doppler: unify the per-path pitch glides
+    with the two-ear decode. Taps are extracted from the spatial
+    capture's W channel ``[3, T, K] -> w`` and matched chunk-to-chunk
+    exactly like the scalar path; each path tap then becomes FOUR ear
+    taps (2 ears x coherent/diffuse) whose per-bin delays carry the
+    path Doppler glide PLUS the ear's ITD offset read from X/Y at the
+    tap bins (``-+ r sin(phi) / c``, the :meth:`..spatial.SpatialIR.
+    binaural` model) and whose gains carry the ILD
+    (``1 +- shadow sin(phi)``); the diffuse remainder of each tap bin
+    rides its ear's Rademacher decorrelator sign at the unshifted
+    delay. The residual spatial IR (tap bins zeroed across all three
+    pattern rows) goes through the ordinary binaural decode — the
+    decorrelated diffuse late field is untouched — and the crossfaded
+    convolution. Returns ``(wet[2, N+T], taps[2, n])``.
+
+    With a static scene and facing, prev == cur tap fields and the
+    synthesis reproduces the plain binaural stream's removed deposits
+    exactly (FFT-vs-direct float noise aside): the two flagship modes
+    compose instead of excluding each other."""
+    from . import spatial as spm
+    k = cur_sp.shape[-1]
+    n_t = cur_sp.shape[-2]
+    early_bins = dry_window.shape[-1] - n - 2
+    sp_c = spm.spatial_from_ir(cur_sp)
+    sp_p = spm.spatial_from_ir(prev_sp)
+    idx_c, g3_c, val_c = _arrival_table(sp_c.w, early_bins, n_taps)
+    idx_p, g3_p, val_p = _arrival_table(sp_p.w, early_bins, n_taps)
+    _, _, matched_prev, j, mutual = _match_arrivals(
+        idx_c, val_c, idx_p, g3_p, val_p, match_bins)
+    vanished = val_p & ~matched_prev
+    decorr = decorrelate and not (head_radius == 0.0 and shadow == 0.0)
+    x3_c = _window3(sp_c.x, idx_c)
+    y3_c = _window3(sp_c.y, idx_c)
+    x3_p = _window3(sp_p.x, idx_p)
+    y3_p = _window3(sp_p.y, idx_p)
+    li = jnp.arange(idx_c.shape[0])[:, None]
+    mu = mutual[:, :, None, None]
+    ear_tau0, ear_tau1, ear_g0, ear_g1 = [], [], [], []
+    for sign in (1.0, -1.0):
+        tc_c, gc_c, td_c, gd_c = _ear_fields(
+            g3_c, x3_c, y3_c, idx_c, cur_facing, sign, sample_rate,
+            head_radius, shadow, speed_of_sound, n_t, decorr)
+        tc_p, gc_p, td_p, gd_p = _ear_fields(
+            g3_p, x3_p, y3_p, idx_p, prev_facing, sign, sample_rate,
+            head_radius, shadow, speed_of_sound, n_t, decorr)
+        take = lambda a: a[li, j]                        # noqa: E731
+        # rows: [cur coherent, cur diffuse, fade-out coherent/diffuse]
+        ear_tau0.append(jnp.concatenate(
+            [jnp.where(mu, take(tc_p), tc_c),
+             jnp.where(mu, take(td_p), td_c), tc_p, td_p], axis=1))
+        ear_tau1.append(jnp.concatenate([tc_c, td_c, tc_p, td_p], axis=1))
+        ear_g0.append(jnp.concatenate(
+            [jnp.where(mu, take(gc_p), 0.0),
+             jnp.where(mu, take(gd_p), 0.0), gc_p, gd_p], axis=1))
+        ear_g1.append(jnp.concatenate(
+            [gc_c, gd_c, jnp.zeros_like(gc_p), jnp.zeros_like(gd_p)],
+            axis=1))
+    rows_valid = jnp.concatenate([val_c, val_c, vanished, vanished],
+                                 axis=1)                 # [1, 4A]
+    taps = _tap_chunk(_band_windows(cv.gate_input(dry_window), k),
+                      jnp.concatenate(ear_tau0, axis=0),
+                      jnp.concatenate(ear_tau1, axis=0),
+                      jnp.concatenate(ear_g0, axis=0),
+                      jnp.concatenate(ear_g1, axis=0),
+                      jnp.concatenate([rows_valid, rows_valid], axis=0),
+                      n)                                  # [2, n]
+    rem_c = _remove_taps(cur_sp, jnp.tile(idx_c, (3, 1)),
+                         jnp.tile(val_c, (3, 1)))
+    rem_p = _remove_taps(prev_sp, jnp.tile(idx_p, (3, 1)),
+                         jnp.tile(val_p, (3, 1)))
+    res_c = spm.binaural_decode_ir(rem_c, sample_rate, cur_facing,
+                                   head_radius, shadow, speed_of_sound,
+                                   decorrelate=decorrelate)
+    res_p = spm.binaural_decode_ir(rem_p, sample_rate, prev_facing,
+                                   head_radius, shadow, speed_of_sound,
+                                   decorrelate=decorrelate)
+    return _crossfaded_wet(dry_piece, res_p, res_c), taps
+
+
+def _device_window(dry: jax.Array, wd: int, win_start, win_prefix,
+                   win_cut, loop: bool) -> jax.Array:
+    """The jit-side dry-history window: ``wd`` samples of the
+    device-resident clip ending at the current chunk's end, assembled
+    from three TRACED scalars (so per-chunk motion recompiles nothing
+    and the host ships no per-chunk index arrays — the round-4 path
+    rebuilt an ~8k-sample window on host every chunk, ~1 ms of
+    dispatch). ``win_start`` = the window's first clip position (loop:
+    pre-wrapped mod total; non-loop: clamped to [-wd, total]),
+    ``win_prefix`` = leading samples that are pre-stream silence,
+    ``win_cut`` = samples valid from the window start (< wd only after
+    a mid-stream stop: post-stop dry is silence). Host-side scalar
+    arithmetic stays in Python ints, so nothing overflows int32 however
+    long the stream runs (see :func:`window_scalars`)."""
+    total = dry.shape[-1]
+    pos = jnp.arange(wd)
+    ok = (pos >= win_prefix) & (pos < win_cut)
+    if loop:
+        idx = (win_start + pos) % total
+    else:
+        g = win_start + pos
+        ok = ok & (g >= 0) & (g < total)
+        idx = jnp.clip(g, 0, total - 1)
+    return jnp.where(ok, dry[..., idx], 0.0)
+
+
+def window_scalars(i: int, n: int, wd: int, total: int, loop: bool,
+                   stop_at: Optional[int] = None):
+    """Host-side (exact Python int) scalars for :func:`_device_window`:
+    ``(win_start, win_prefix, win_cut)`` for chunk ``i``'s history
+    window. ``stop_at`` (absolute dry sample of a mid-stream stop)
+    silences everything from that point — arrivals in flight keep
+    reading real history before it, so the stop flushes cleanly instead
+    of clicking."""
+    end = (i + 1) * n
+    start = end - wd
+    if loop:
+        win_start = start % total
+        win_prefix = max(0, -start)
+    else:
+        win_start = max(-wd, min(start, total))
+        win_prefix = 0
+    win_cut = wd if stop_at is None else max(0, min(wd, stop_at - start))
+    return win_start, win_prefix, win_cut
 
 
 def dry_history_window(dry: jax.Array, i: int, n: int, early_bins: int,
@@ -349,7 +584,9 @@ def dry_history_window(dry: jax.Array, i: int, n: int, early_bins: int,
 @partial(jax.jit, static_argnames=("n_rays", "max_bounces", "sample_rate",
                                    "frames_per_chunk", "diffraction",
                                    "head_radius", "shadow",
-                                   "decorrelate"),
+                                   "decorrelate", "arrival_early",
+                                   "arrival_taps", "arrival_match_bins",
+                                   "window_loop"),
          donate_argnames=("state",))
 def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
                  dry_chunk: jax.Array, key: jax.Array, *,
@@ -359,7 +596,11 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
                  head_radius: float = 0.0875,
                  shadow: float = 0.6,
                  decorrelate: bool = True,
-                 dry_window=None
+                 dry_full=None, win_start=None, win_prefix=None,
+                 win_cut=None, arrival_early: int = 0,
+                 arrival_taps: int = _ARRIVAL_TAPS,
+                 arrival_match_bins: float = _ARRIVAL_MATCH_BINS,
+                 window_loop: bool = False
                  ) -> Tuple[jax.Array, StreamState]:
     """One streaming step: retrace -> crossfaded convolution -> overlap-add
     -> drain. Returns ``(out_chunk[L, N], new_state)``. Fully on-device;
@@ -370,17 +611,28 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
     must carry ONE listener (the head) and ``state`` TWO channels (the
     ears); the chunk traces the 3-virtual-mic spatial capture and decodes
     it per chunk (:meth:`..spatial.SpatialIR.binaural`) before the
-    crossfaded convolution — a moving/rotating head pans smoothly."""
+    crossfaded convolution — a moving/rotating head pans smoothly.
+
+    ``dry_full`` (the device-resident dry clip) switches on per-arrival
+    Doppler: the chunk's dry-history window is sliced ON DEVICE from the
+    traced scalars ``win_start``/``win_prefix``/``win_cut``
+    (:func:`window_scalars`; ``arrival_early`` early bins, static), the
+    dominant early arrivals leave the convolution and become per-path
+    Doppler taps, and the residual IRs ride the ordinary crossfade.
+    Composes with ``binaural_facing`` (taps from the W channel, per-tap
+    bearings from X/Y driving per-ear ITD/ILD glides —
+    :func:`_per_arrival_binaural`)."""
     n = dry_chunk.shape[-1]
     l, t, k = state.prev_ir.shape
+    per_arrival = dry_full is not None
+    binaural = binaural_facing is not None
 
     # 1. retrace: fresh IR for this chunk (accumulate-then-reset cycle,
     #    RayTraceManager.cs:82-85); routed through the fused TPU kernel
     #    when the config allows (engine.trace_accumulate "auto").
     from . import spatial as spm
     from .engine import trace_accumulate
-    tp = (spm.binaural_trace_params(params, l)
-          if binaural_facing is not None else params)
+    tp = spm.binaural_trace_params(params, l) if binaural else params
     t_l = tp.listeners.shape[0]
     chunk_key = _rng.frame_key(key, state.chunk_index)
     ir_state = trace_accumulate(
@@ -389,9 +641,11 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
         n_frames=frames_per_chunk)
     cur_ir = _augment_ir(ir_state.normalized(), scene, tp,
                          sample_rate, diffraction, air_alpha)  # [L, T, K]
-    if binaural_facing is not None:
+    cur_sp = None
+    if binaural:
+        cur_sp = cur_ir                                  # [3, T, K] capture
         cur_ir = spm.binaural_decode_ir(
-            cur_ir, sample_rate, binaural_facing, head_radius, shadow,
+            cur_sp, sample_rate, binaural_facing, head_radius, shadow,
             params.speed_of_sound,
             decorrelate=decorrelate)             # [2, T, K]
 
@@ -399,15 +653,29 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
     is_first = state.chunk_index == 0
     prev_ir = jnp.where(is_first, cur_ir, state.prev_ir)
 
-    # 2. convolve + crossfade. With a dry history window attached
-    #    (doppler="per_arrival"), the dominant early arrivals leave the
-    #    convolution and become per-path Doppler taps (see the helper
-    #    block above); the residual IRs ride the ordinary crossfade.
+    # 2. convolve + crossfade (per-arrival: taps leave the convolution).
     taps = None
-    if dry_window is not None:
-        wet, taps = _per_arrival_parts(
-            dry_chunk, dry_window, prev_ir, cur_ir, n, k,
-            binaural_facing is not None)
+    if per_arrival:
+        wd = n + arrival_early + 2
+        window = _device_window(dry_full, wd, win_start, win_prefix,
+                                win_cut, window_loop)
+        if binaural:
+            if state.prev_spatial is None:
+                raise ValueError("binaural per-arrival Doppler needs the "
+                                 "spatial carry: init_stream(..., "
+                                 "spatial=True)")
+            prev_sp = jnp.where(is_first, cur_sp, state.prev_spatial)
+            prev_fac = jnp.where(is_first, binaural_facing,
+                                 state.prev_facing)
+            wet, taps = _per_arrival_binaural(
+                dry_chunk, window, prev_sp, cur_sp, prev_fac,
+                binaural_facing, n, sample_rate, head_radius, shadow,
+                params.speed_of_sound, decorrelate,
+                arrival_taps, arrival_match_bins)
+        else:
+            wet, taps = _per_arrival_parts(
+                dry_chunk, window, prev_ir, cur_ir, n, k,
+                arrival_taps, arrival_match_bins)
     else:
         wet = _crossfaded_wet(dry_chunk, prev_ir, cur_ir)       # [L, N+T]
 
@@ -418,8 +686,13 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
     if taps is not None:
         out = out + taps
 
-    new_state = StreamState(prev_ir=cur_ir, ring=ring,
-                            chunk_index=state.chunk_index + 1)
+    new_state = StreamState(
+        prev_ir=cur_ir, ring=ring, chunk_index=state.chunk_index + 1,
+        prev_spatial=(cur_sp if (binaural and state.prev_spatial is not None)
+                      else state.prev_spatial),
+        prev_facing=(binaural_facing
+                     if (binaural and state.prev_facing is not None)
+                     else state.prev_facing))
     return out, new_state
 
 
@@ -433,9 +706,14 @@ class Streamer:
                  n_listeners: int = 1, frames_per_chunk: int = 1,
                  diffraction: bool = False, air_alpha=None,
                  binaural: bool = False, head_radius: float = 0.0875,
-                 shadow: float = 0.6, decorrelate: bool = True):
+                 shadow: float = 0.6, decorrelate: bool = True,
+                 arrival_taps: int = _ARRIVAL_TAPS,
+                 arrival_window_s: float = _ARRIVAL_WINDOW_S,
+                 arrival_match_bins: float = _ARRIVAL_MATCH_BINS):
         if binaural and n_listeners != 1:
             raise ValueError("binaural streaming takes one head listener")
+        if arrival_taps < 1:
+            raise ValueError("arrival_taps must be >= 1")
         self.scene = scene
         self.config = config
         self.key = key
@@ -447,20 +725,48 @@ class Streamer:
         self.head_radius = head_radius
         self.shadow = shadow
         self.decorrelate = decorrelate
+        self.arrival_taps = int(arrival_taps)
+        self.arrival_match_bins = float(arrival_match_bins)
+        # early window the taps may live in (bins; static per stream)
+        self.arrival_early = min(
+            config.audio.ir_length,
+            int(round(arrival_window_s * config.audio.sample_rate)))
         self.state = init_stream(config.audio.ir_length,
                                  config.audio.chunk_samples,
-                                 self.n_listeners, scene.n_bands)
+                                 self.n_listeners, scene.n_bands,
+                                 spatial=binaural)
+
+    def reset_ir(self) -> None:
+        """The reference's R key (``RayTraceManager.cs:58-61`` ->
+        ``ClearImpulse``) mid-stream: drop the IR memory — the
+        crossfade's previous IR and the binaural spatial carry — so the
+        next chunk fades in from silence and the room re-blooms from the
+        fresh trace. Audio already pushed into the ring keeps playing,
+        exactly like the reference (ClearImpulse zeroes the impulse
+        texture; the AudioManager ring is untouched)."""
+        s = self.state
+        self.state = s._replace(
+            prev_ir=jnp.zeros_like(s.prev_ir),
+            prev_spatial=(jnp.zeros_like(s.prev_spatial)
+                          if s.prev_spatial is not None else None))
 
     def process(self, dry_chunk: jax.Array, params: TraceParams,
                 scene: Optional[Scene] = None,
-                facing: float = 0.0, dry_window=None) -> jax.Array:
+                facing: float = 0.0, window=None) -> jax.Array:
         """One chunk. ``scene`` overrides the bound scene for this chunk —
         the dynamic-obstacles mode (the reference re-flattens colliders
         every FixedUpdate when ``dynamicObstacles`` is set,
         RayTraceManager.cs:67); as long as the padded wall count is
         unchanged there is no recompile. ``facing`` (radians; traced, so
         rotating the head per chunk recompiles nothing) steers the
-        binaural decode when the streamer is binaural."""
+        binaural decode when the streamer is binaural. ``window``
+        (per-arrival Doppler) is ``(dry_full, win_start, win_prefix,
+        win_cut, loop)`` — the device-resident clip plus the traced
+        history-window scalars from :func:`window_scalars`."""
+        dry_full = win_start = win_prefix = win_cut = None
+        window_loop = False
+        if window is not None:
+            dry_full, win_start, win_prefix, win_cut, window_loop = window
         out, self.state = stream_chunk(
             scene if scene is not None else self.scene, params, self.state,
             dry_chunk, self.key,
@@ -472,13 +778,19 @@ class Streamer:
             binaural_facing=(jnp.asarray(facing, jnp.float32)
                              if self.binaural else None),
             head_radius=self.head_radius, shadow=self.shadow,
-            decorrelate=self.decorrelate, dry_window=dry_window)
+            decorrelate=self.decorrelate, dry_full=dry_full,
+            win_start=win_start, win_prefix=win_prefix, win_cut=win_cut,
+            arrival_early=(self.arrival_early if window is not None else 0),
+            arrival_taps=self.arrival_taps,
+            arrival_match_bins=self.arrival_match_bins,
+            window_loop=window_loop)
         return out
 
     def stream_clip(self, dry: jax.Array, params_fn, scene_fn=None,
                     pad_tail: bool = True, loop: Optional[bool] = None,
                     total_chunks: Optional[int] = None,
-                    on_chunk=None, facing_fn=None, doppler=False):
+                    on_chunk=None, facing_fn=None, doppler=False,
+                    control_fn=None):
         """Stream a whole clip; ``params_fn(chunk_index) -> TraceParams``
         supplies (possibly moving) poses and optional
         ``scene_fn(chunk_index) -> Scene`` supplies per-chunk geometry
@@ -524,7 +836,15 @@ class Streamer:
         clear, the clip plays once and the reverb tail is flushed
         (``pad_tail``). ``loop=None`` honors ``config.audio.loop`` for
         timed streams (``total_chunks`` given) and plays once otherwise —
-        a bare ``stream_clip(dry)`` is always a finite single pass."""
+        a bare ``stream_clip(dry)`` is always a finite single pass.
+
+        ``control_fn(i) -> dict`` (optional) carries the reference's
+        runtime control verbs (``RayTraceManager.cs:55-61``): a truthy
+        ``"reset_ir"`` applies :meth:`reset_ir` before chunk ``i`` (the
+        R key); a truthy ``"stop"`` silences the dry feed from chunk
+        ``i`` and flushes the reverb tail for ``ir_length`` worth of
+        chunks, then ends the stream early (the Space key) — the output
+        is correspondingly shorter."""
         n = self.config.audio.chunk_samples
         total = dry.shape[-1]
         if loop is None:
@@ -544,21 +864,36 @@ class Streamer:
         feed = DopplerFeed(dry, params_fn, n, self.config.audio.sample_rate,
                            n_steps, loop) if (doppler and not per_arrival) \
             else None
-        early = min(self.config.audio.ir_length,
-                    int(round(_ARRIVAL_WINDOW_S
-                              * self.config.audio.sample_rate)))
+        wd = n + self.arrival_early + 2
+        tail_chunks = (self.config.audio.ir_length + n - 1) // n
         chunks = []
-        for i in range(n_steps):
-            piece = (feed.chunk(i) if feed is not None
-                     else dry_chunk(dry, i, n, loop))
-            window = dry_history_window(dry, i, n, early, loop) \
+        stop_at = None
+        i, end_step = 0, n_steps
+        while i < end_step:
+            if control_fn is not None:
+                ctrl = control_fn(i) or {}
+                if ctrl.get("reset_ir"):
+                    self.reset_ir()
+                if ctrl.get("stop") and stop_at is None:
+                    # Space: dry feed ends NOW; keep stepping only long
+                    # enough to flush the ring's reverb tail.
+                    stop_at = i * n
+                    end_step = min(end_step, i + tail_chunks)
+            if stop_at is not None:
+                piece = jnp.zeros((n,), jnp.float32)
+            else:
+                piece = (feed.chunk(i) if feed is not None
+                         else dry_chunk(dry, i, n, loop))
+            window = ((dry,) + window_scalars(i, n, wd, total, loop,
+                                              stop_at) + (loop,)) \
                 if per_arrival else None
             scene_i = scene_fn(i) if scene_fn is not None else None
             facing = facing_fn(i) if facing_fn is not None else 0.0
             chunks.append(self.process(piece, params_fn(i), scene_i,
-                                       facing=facing, dry_window=window))
+                                       facing=facing, window=window))
             if on_chunk is not None:
                 on_chunk(i, self.state)
+            i += 1
         return jnp.concatenate(chunks, axis=-1)
 
 

@@ -184,9 +184,10 @@ def test_live_wet_chunk_diffraction():
     p = params()
     prev = jnp.zeros((1, 1024, 1), jnp.float32)
     dry = jnp.ones(256, jnp.float32)
-    wet, cur = wet_chunk(scene, p, prev, dry, jax.random.PRNGKey(0),
-                         jnp.asarray(0, jnp.int32), n_rays=64,
-                         max_bounces=2, sample_rate=SR, diffraction=True)
+    wet, cur, _ = wet_chunk(scene, p, prev, dry, jax.random.PRNGKey(0),
+                            jnp.asarray(0, jnp.int32), n_rays=64,
+                            max_bounces=2, sample_rate=SR,
+                            diffraction=True)
     assert float(np.asarray(cur).sum()) > 0.0
     assert float(np.abs(np.asarray(wet)).sum()) > 0.0
 

@@ -193,3 +193,55 @@ def test_per_arrival_doppler_stream_on_chip():
                                atol=1e-4 * scale)      # chunk 0: exact
     num = np.linalg.norm(pa - plain)
     assert num / np.linalg.norm(plain) < 0.05
+
+
+def test_binaural_per_arrival_stream_on_chip():
+    # round-5 flagship composition on the real chip: binaural (3-mic
+    # spatial capture through the fused kernel + ITD/ILD decode) x
+    # per-arrival Doppler (W-channel taps with per-ear glides). Static
+    # pose => matches the plain binaural stream (the ear taps reproduce
+    # the removed decode deposits exactly); the moving case is covered
+    # spectrally on CPU (tests/test_doppler_arrivals.py).
+    from realisticaudioraytracing2d_tpu.models.materials import (
+        AudioMaterial)
+    from realisticaudioraytracing2d_tpu.models.scene import (SceneBuilder,
+                                                             Transform2D)
+    mirror = AudioMaterial(absorption=0.0, scattering=0.0,
+                           transmission=0.0, ior=1.0)
+    b = SceneBuilder()
+    b.add_box(mirror, Transform2D(position=(6.5, 0.0)), size=(1.0, 2.0))
+    scene = b.build()
+    cfg = art.smoll_room_config(ray_count=2048)
+    cfg = dataclasses.replace(
+        cfg,
+        sim=dataclasses.replace(cfg.sim, listener_radius=0.05),
+        audio=dataclasses.replace(cfg.audio, sample_rate=8000,
+                                  reverb_duration=0.15,
+                                  chunk_duration=0.1))
+    eng = Engine(scene, cfg)
+    params = eng.params(np.asarray([2.0, 0.0], np.float32),
+                        np.asarray([0.0, 0.0], np.float32))
+    sr = cfg.audio.sample_rate
+    n = cfg.audio.chunk_samples
+    dry = jnp.asarray(noise_burst(0.35, sr, seed=5))
+    fn = lambda i: params                                 # noqa: E731
+    facing = lambda i: 0.7                                # noqa: E731
+    plain = np.asarray(
+        Streamer(scene, cfg, jax.random.PRNGKey(2), frames_per_chunk=4,
+                 binaural=True)
+        .stream_clip(dry, fn, loop=False, total_chunks=4,
+                     facing_fn=facing))
+    pa = np.asarray(
+        Streamer(scene, cfg, jax.random.PRNGKey(2), frames_per_chunk=4,
+                 binaural=True)
+        .stream_clip(dry, fn, loop=False, total_chunks=4,
+                     doppler="per_arrival", facing_fn=facing))
+    assert pa.shape == plain.shape and pa.shape[0] == 2
+    assert np.isfinite(pa).all()
+    scale = np.abs(plain).max()
+    np.testing.assert_allclose(pa[:, :n], plain[:, :n],
+                               atol=2e-4 * scale)      # chunk 0: exact
+    num = np.linalg.norm(pa - plain)
+    assert num / np.linalg.norm(plain) < 0.05
+    # the ears differ (ITD/ILD + decorrelated diffuse are real)
+    assert not np.array_equal(pa[0], pa[1])
