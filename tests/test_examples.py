@@ -42,6 +42,11 @@ CASES = {
     "track_source.py": (["--chunks", "8", "--rays", "128",
                          "--track-steps", "40"], ["tracked 8 chunks"]),
     "obstacle_pose_negative.py": ([], []),
+    "live_steering.py": (["--rays", "256"],
+                         ["byte-identical", "live steering ok"]),
+    "binaural_walkby.py": (["--rays", "1024", "--chunks", "8"],
+                           ["direct shifts up, echo shifts down",
+                            "lateralized right"]),
     # sweep_mxu_microbench.py is TPU-only (pallas tpu memory spaces):
     # excluded here; tests_tpu/ and docs/PERF.md cover its claim.
 }
