@@ -1129,8 +1129,8 @@ def main(argv=None):
     dop.add_argument("--doppler-per-arrival", action="store_true",
                      help="per-path Doppler: the direct sound and each "
                           "dominant early reflection glide at their OWN "
-                          "rates, derived from the traced IRs (K=1, "
-                          "non-binaural)")
+                          "rates, derived from the traced IRs (composes "
+                          "with --binaural and banded scenes)")
     p.add_argument("--pose-feed", default=None, metavar="FILE",
                    help="steer the running stream: JSON-lines overrides "
                         "tailed from FILE ('-' = stdin), per line "

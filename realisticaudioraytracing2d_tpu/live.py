@@ -41,7 +41,8 @@ from .ops import rng as _rng
 from .streaming import (_ARRIVAL_MATCH_BINS, _ARRIVAL_TAPS,
                         _ARRIVAL_WINDOW_S, DopplerFeed, _crossfaded_wet,
                         _device_window, _per_arrival_binaural,
-                        _per_arrival_parts, dry_chunk, window_scalars)
+                        _per_arrival_parts, dry_chunk, init_arrival_carry,
+                        window_scalars)
 from .ops.trace import TraceParams
 
 
@@ -61,14 +62,15 @@ def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
               win_prefix=None, win_cut=None, arrival_early: int = 0,
               arrival_taps: int = _ARRIVAL_TAPS,
               arrival_match_bins: float = _ARRIVAL_MATCH_BINS,
-              window_loop: bool = False, prev_spatial=None,
+              window_loop: bool = False, arrival=None,
               prev_facing=None):
     """One live step fully on-device: retrace a fresh IR for this chunk
-    and return ``(wet[L, N+T], cur_ir, cur_spatial)`` — the crossfaded
+    and return ``(wet[L, N+T], cur_ir, new_arrival)`` — the crossfaded
     convolution output *including* its reverb tail, ready for host
     overlap-add (the ``ProcessChunk`` dispatch,
-    RayTraceManager.cs:100-122). ``cur_spatial`` is the raw 3-mic
-    capture for binaural per-arrival carry (``None`` otherwise).
+    RayTraceManager.cs:100-122). ``new_arrival`` is the updated
+    per-arrival :class:`..streaming.ArrivalCarry` (``None`` unless
+    per-arrival Doppler is on).
 
     ``binaural_facing`` (traced radians; per-chunk head rotation
     recompiles nothing) switches to binaural: ``params`` carry the ONE
@@ -76,8 +78,9 @@ def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
     the 3-virtual-mic spatial capture and decodes it
     (see :func:`..streaming.stream_chunk`). ``dry_full`` + the traced
     window scalars switch on per-arrival Doppler exactly as in
-    :func:`..streaming.stream_chunk` (binaural per-arrival additionally
-    carries ``prev_spatial``/``prev_facing``)."""
+    :func:`..streaming.stream_chunk`: the previous chunk's tap table
+    and residual ride in ``arrival`` (+ ``prev_facing`` when
+    binaural)."""
     from . import spatial as spm
     from .engine import trace_accumulate
     from .streaming import _augment_ir
@@ -105,24 +108,24 @@ def wet_chunk(scene: Scene, params: TraceParams, prev_ir: jax.Array,
         # taps are THIS chunk's output samples, so they join the wet
         # chunk region before the host ring's overlap-add
         n = dry.shape[-1]
+        is_first = chunk_index == 0
         window = _device_window(dry_full, n + arrival_early + 2,
                                 win_start, win_prefix, win_cut,
                                 window_loop)
         if binaural:
-            prev_sp = jnp.where(chunk_index == 0, cur_sp, prev_spatial)
-            prev_fac = jnp.where(chunk_index == 0, binaural_facing,
+            prev_fac = jnp.where(is_first, binaural_facing,
                                  prev_facing)
-            wet, taps = _per_arrival_binaural(
-                dry, window, prev_sp, cur_sp, prev_fac, binaural_facing,
-                n, sample_rate, head_radius, shadow,
+            wet, taps, new_arrival = _per_arrival_binaural(
+                dry, window, arrival, cur_sp, prev_fac, binaural_facing,
+                is_first, n, sample_rate, head_radius, shadow,
                 params.speed_of_sound, decorrelate, arrival_taps,
                 arrival_match_bins)
         else:
-            wet, taps = _per_arrival_parts(dry, window, prev, cur_ir,
-                                           n, k, arrival_taps,
-                                           arrival_match_bins)
-        return wet.at[:, :n].add(taps), cur_ir, cur_sp
-    return _crossfaded_wet(dry, prev, cur_ir), cur_ir, cur_sp
+            wet, taps, new_arrival = _per_arrival_parts(
+                dry, window, arrival, cur_ir, is_first, n, k,
+                arrival_taps, arrival_match_bins)
+        return wet.at[:, :n].add(taps), cur_ir, new_arrival
+    return _crossfaded_wet(dry, prev, cur_ir), cur_ir, None
 
 
 @dataclass
@@ -287,8 +290,10 @@ class LivePlayer:
 
         def producer():
             nonlocal frontier, prev_ir
-            prev_sp = (jnp.zeros((3, t, self.scene.n_bands), jnp.float32)
-                       if (self.binaural and per_arrival) else None)
+            carry = (init_arrival_carry(t, self.n_listeners,
+                                        self.scene.n_bands,
+                                        self.arrival_taps, self.binaural)
+                     if per_arrival else None)
             prev_fac = (jnp.zeros((), jnp.float32)
                         if (self.binaural and per_arrival) else None)
             stop_at = None
@@ -302,8 +307,9 @@ class LivePlayer:
                         ctrl = control_fn(i) or {}
                         if ctrl.get("reset_ir"):
                             prev_ir = jnp.zeros_like(prev_ir)
-                            if prev_sp is not None:
-                                prev_sp = jnp.zeros_like(prev_sp)
+                            if carry is not None:
+                                carry = jax.tree_util.tree_map(
+                                    jnp.zeros_like, carry)
                         if ctrl.get("stop") and stop_at is None:
                             stop_at = i * n
                             end_step = min(end_step, i + tail_chunks)
@@ -324,7 +330,7 @@ class LivePlayer:
                         facing = jnp.asarray(
                             facing_fn(i) if facing_fn is not None
                             else 0.0, jnp.float32)
-                    wet, prev_ir, new_sp = wet_chunk(
+                    wet, prev_ir, new_carry = wet_chunk(
                         (scene_fn(i) if scene_fn is not None
                          else self.scene), params_fn(i), prev_ir, piece,
                         self.key, jnp.asarray(i, jnp.int32),
@@ -346,9 +352,10 @@ class LivePlayer:
                         arrival_taps=self.arrival_taps,
                         arrival_match_bins=self.arrival_match_bins,
                         window_loop=loop and per_arrival,
-                        prev_spatial=prev_sp, prev_facing=prev_fac)
-                    if prev_sp is not None:
-                        prev_sp = new_sp
+                        arrival=carry, prev_facing=prev_fac)
+                    if carry is not None:
+                        carry = new_carry
+                    if prev_fac is not None:
                         prev_fac = facing
                     wet_np = np.asarray(wet)  # device->host readback
                     if wet_np.ndim == 1:

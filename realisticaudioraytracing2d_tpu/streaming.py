@@ -39,6 +39,12 @@ from .ops import ir as irm
 from .ops import rng as _rng
 from .ops.trace import TraceParams
 
+# per-arrival Doppler defaults (see the "per-arrival Doppler" section
+# below; exposed as Streamer/LivePlayer kwargs and CLI flags)
+_ARRIVAL_TAPS = 6        # taps tracked per listener
+_ARRIVAL_WINDOW_S = 0.12  # early window the taps may live in
+_ARRIVAL_MATCH_BINS = 64.0  # max bin drift matched chunk-to-chunk
+
 
 class RingBuffer(NamedTuple):
     """Additive ring buffer ``[L, S]`` (AudioManager.cs:45-69 semantics:
@@ -73,39 +79,86 @@ class RingBuffer(NamedTuple):
                                read_head=(self.read_head + n) % self.size)
 
 
+class ArrivalCarry(NamedTuple):
+    """Previous chunk's per-arrival Doppler products, carried so chunk
+    ``i`` never recomputes what chunk ``i - 1`` already produced: the
+    previous IR's arrival table IS the last chunk's current table, and
+    the crossfade's prev-side residual IS the last chunk's cur-side
+    residual (binaural: its decoded ears, saving a full
+    :func:`..spatial.binaural_decode_ir` — four ``[., T, K]``
+    scatter-adds — per chunk).
+
+    ``res`` is the tap-removed residual the crossfade reads ``[L, T,
+    K]`` (binaural: the DECODED two-ear residual ``[2, T, K]``);
+    ``idx/g3/val`` the arrival table (binaural: of the W channel, so
+    the leading axis is 1); ``x3/y3`` the X/Y intensity windows at the
+    tap bins (binaural only — they carry each tap's bearing)."""
+
+    res: jax.Array            # [L, T, K] crossfade prev-side residual
+    idx: jax.Array            # [Lw, A] int32 tap bins
+    g3: jax.Array             # [Lw, A, 3, K] tap window gains
+    val: jax.Array            # [Lw, A] bool
+    x3: Optional[jax.Array] = None  # [Lw, A, 3, K] (binaural only)
+    y3: Optional[jax.Array] = None  # [Lw, A, 3, K] (binaural only)
+
+
+def init_arrival_carry(ir_length: int, n_listeners: int = 1,
+                       n_bands: int = 1, n_taps: int = _ARRIVAL_TAPS,
+                       binaural: bool = False) -> ArrivalCarry:
+    """All-zero carry (``val`` all False): the next chunk's taps fade in
+    fresh and its crossfade rises from silence — the first-chunk /
+    post-``reset_ir`` state."""
+    lw = 1 if binaural else n_listeners
+    # distinct zero buffers per leaf: stream_chunk donates the state, and
+    # donating one aliased buffer through several leaves is an error
+    zt = lambda: jnp.zeros((lw, n_taps, 3, n_bands), jnp.float32)  # noqa
+    return ArrivalCarry(
+        res=jnp.zeros((n_listeners, ir_length, n_bands), jnp.float32),
+        idx=jnp.zeros((lw, n_taps), jnp.int32),
+        g3=zt(),
+        val=jnp.zeros((lw, n_taps), bool),
+        x3=zt() if binaural else None,
+        y3=zt() if binaural else None)
+
+
 class StreamState(NamedTuple):
     """Carried state of the streaming loop. The stream position is the
     ring's read head (both advance by exactly one chunk per step), which
     wraps mod ring size — no unbounded absolute offset to overflow.
 
-    ``prev_spatial``/``prev_facing`` exist only for binaural streams
-    (``None`` otherwise — an empty pytree leaf, so non-binaural jits are
-    untouched): the previous chunk's raw 3-virtual-mic spatial capture
-    ``[3, T, K]`` and the head facing it was decoded with. Per-arrival
-    Doppler needs them to re-extract the previous chunk's taps WITH their
-    arrival bearings (the decoded ear IR has lost the X/Y intensity)."""
+    ``prev_facing`` exists only for binaural streams and ``arrival``
+    only for per-arrival Doppler streams (``None`` otherwise — an empty
+    pytree leaf, so other jits are untouched): the head facing the
+    previous chunk was decoded with, and the previous chunk's
+    :class:`ArrivalCarry` (tap table + crossfade residual — recomputing
+    them from a carried raw capture, as rounds 4 did, paid a full extra
+    binaural decode per composed chunk)."""
 
     prev_ir: jax.Array        # [L, T, K] previous chunk's normalized IR
     ring: RingBuffer
     chunk_index: jax.Array    # scalar int32
-    prev_spatial: Optional[jax.Array] = None  # [3, T, K] (binaural only)
     prev_facing: Optional[jax.Array] = None   # scalar f32 (binaural only)
+    arrival: Optional[ArrivalCarry] = None    # per-arrival Doppler only
 
 
 def init_stream(ir_length: int, chunk_samples: int, n_listeners: int = 1,
-                n_bands: int = 1, spatial: bool = False) -> StreamState:
+                n_bands: int = 1, binaural: bool = False,
+                arrival_taps: Optional[int] = None) -> StreamState:
     """Ring sized to hold a full chunk + reverb tail with slack — the
     reference sizes it ``(reverbDuration + 1) s`` (AudioManager.cs:30).
-    ``spatial`` allocates the binaural per-arrival carry (see
-    :class:`StreamState`)."""
+    ``binaural`` allocates the facing carry; ``arrival_taps`` the
+    per-arrival Doppler carry (see :class:`StreamState`;
+    :meth:`Streamer.process` allocates it lazily on the first
+    per-arrival chunk, so plain streams never pay for it)."""
     size = ir_length + 2 * chunk_samples
     return StreamState(
         prev_ir=jnp.zeros((n_listeners, ir_length, n_bands), jnp.float32),
         ring=RingBuffer.zeros(size, n_listeners),
         chunk_index=jnp.zeros((), jnp.int32),
-        prev_spatial=(jnp.zeros((3, ir_length, n_bands), jnp.float32)
-                      if spatial else None),
-        prev_facing=(jnp.zeros((), jnp.float32) if spatial else None))
+        prev_facing=(jnp.zeros((), jnp.float32) if binaural else None),
+        arrival=(init_arrival_carry(ir_length, n_listeners, n_bands,
+                                    arrival_taps, binaural)
+                 if arrival_taps is not None else None))
 
 
 def _crossfaded_wet(chunk: jax.Array, ir_prev: jax.Array, ir_cur: jax.Array
@@ -167,11 +220,6 @@ def _augment_ir(cur_ir: jax.Array, scene: Scene, params: TraceParams,
 # convolution; a diffuse late field has arrivals from every direction,
 # so its net shift is ~zero and leaving it unwarped is the physically
 # honest default.
-
-_ARRIVAL_TAPS = 6        # taps tracked per listener
-_ARRIVAL_WINDOW_S = 0.12  # early window the taps may live in
-_ARRIVAL_MATCH_BINS = 64.0  # max bin drift matched chunk-to-chunk
-
 
 def _window3(chan: jax.Array, idx: jax.Array) -> jax.Array:
     """3-bin windows ``[L, A, 3, K]`` of channel ``[L, T, K]`` at tap
@@ -294,8 +342,68 @@ def _band_windows(window: jax.Array, k: int) -> jax.Array:
     return jnp.fft.irfft(x[None, :] * masks, n_fft)[:, :wd]
 
 
+def _tap_chunk_lanes(dry_bands: jax.Array, tau0, tau1, g0, g1, valid,
+                     n: int, max_glide: float) -> jax.Array:
+    """Lane-decomposed tap synthesis — the TPU fast path of
+    :func:`_tap_chunk`, bit-identical to its gather formulation.
+
+    XLA lowers the gather ``dry[lo_i]`` (1.4 M two-point lookups at the
+    composed binaural shape) to serial scalar loads — measured ~11 ms of
+    an ~18 ms chunk on v5e. But a tap's read position ``p(s) = (Wd - n)
+    + s - tau(s)`` moves at ~1 sample/sample: over the whole chunk it
+    stays within ``|tau1 - tau0| <= max_glide`` bins of the diagonal.
+    So per tap row, slice one contiguous strip ``strip[s + j]`` aligned
+    to the glide's far end and rebuild the two-point interpolation from
+    ``J = max_glide + 6`` STATICALLY-shifted lane slices selected by
+    equality masks — pure VPU shift/compare/FMA work, no gather. Each
+    output sample receives exactly ``W[lo]*(1-frac) + W[hi]*frac`` (two
+    nonzero lane terms; adding zeros is exact in f32), so every
+    per-tap read matches the gather path bit-for-bit wherever the
+    glide bound holds (the final sum over taps may be reassociated by
+    XLA — f32-eps noise); reads outside the strip (a caller exceeding
+    ``max_glide``) are masked to 0 rather than misread.
+
+    ``tau0/tau1/g0/g1`` must already be in the full ``[L, A, 3, K]``
+    form (:func:`_tap_chunk` promotes); ``dry_bands`` is ``[K, Wd]``."""
+    l, a, _, k = tau0.shape
+    wd = dry_bands.shape[-1]
+    j_lanes = int(np.ceil(max_glide)) + 6
+    ls = n + j_lanes
+    s = jnp.arange(n, dtype=jnp.float32)
+    r = s / jnp.float32(max(1, n))
+    tau = tau0[..., None] + (tau1 - tau0)[..., None] * r  # [L, A, 3, K, n]
+    g = g0[..., None] + (g1 - g0)[..., None] * r
+    p = (wd - n) + s - tau
+    lo = jnp.floor(p)
+    frac = (p - lo).reshape(-1, n)                        # [R, n]
+    # per-row strip: base at the glide's maximal delay so jrel >= 0
+    base = (wd - n) - jnp.ceil(jnp.maximum(tau0, tau1)) - 2.0
+    base = base.astype(jnp.int32).reshape(-1)             # [R]
+    rows_k = jnp.broadcast_to(jnp.arange(k)[None, None, None, :],
+                              (l, a, 3, k)).reshape(-1)
+    pad = jnp.zeros((dry_bands.shape[0], ls + 4), dry_bands.dtype)
+    wpad = jnp.concatenate([pad, dry_bands, pad], axis=-1)
+    strip = jax.vmap(lambda kk, st: jax.lax.dynamic_slice(
+        wpad, (kk, st + ls + 4), (1, ls))[0])(rows_k, base)  # [R, LS]
+    jrel = lo.reshape(-1, n).astype(jnp.int32) - base[:, None] \
+        - jnp.arange(n, dtype=jnp.int32)[None, :]         # [R, n]
+
+    def body(jj, acc):
+        sl = jax.lax.dynamic_slice(strip, (0, jj), (strip.shape[0], n))
+        wgt = (jnp.where(jrel == jj, 1.0 - frac, 0.0)
+               + jnp.where(jrel == jj - 1, frac, 0.0))
+        return acc + wgt * sl
+
+    y = jax.lax.fori_loop(0, j_lanes, body,
+                          jnp.zeros((strip.shape[0], n), jnp.float32))
+    y = y.reshape(l, a, 3, k, n)
+    y = jnp.where((p >= 0) & (p <= wd - 1), y, 0.0)
+    return jnp.sum(jnp.where(valid[:, :, None, None, None], g * y, 0.0),
+                   axis=(1, 2, 3))
+
+
 def _tap_chunk(dry_window: jax.Array, tau0, tau1, g0, g1, valid,
-               n: int) -> jax.Array:
+               n: int, max_glide: Optional[float] = None) -> jax.Array:
     """``[L, n]`` sum of time-varying 3-bin taps. ``dry_window`` is
     ``[Wd]`` mono or ``[K, Wd]`` band-split (:func:`_band_windows`),
     ending at the chunk end: its sample ``Wd - n + s`` is the chunk's
@@ -317,7 +425,13 @@ def _tap_chunk(dry_window: jax.Array, tau0, tau1, g0, g1, valid,
     equals the removed bins' convolution bit-for-bit; a gliding delay
     advances ``1 - dtau/n`` dry samples per output sample — the
     per-path Doppler rate. Reads before the window (silence before the
-    clip) are 0."""
+    clip) are 0.
+
+    ``max_glide`` (static; callers pass their matching radius plus the
+    ITD slack) bounds ``|tau1 - tau0|`` and routes to the
+    lane-decomposed synthesis (:func:`_tap_chunk_lanes`, bit-identical,
+    ~10x faster on TPU); ``None`` keeps the reference gather
+    formulation."""
     dry_bands = dry_window[None, :] if dry_window.ndim == 1 else dry_window
     if tau0.ndim == 2:
         off = jnp.arange(-1, 2, dtype=jnp.float32)[None, None, :]
@@ -331,6 +445,14 @@ def _tap_chunk(dry_window: jax.Array, tau0, tau1, g0, g1, valid,
         g1 = g1[..., None]
     wd = dry_bands.shape[-1]
     k = dry_bands.shape[0]
+    if max_glide is not None:
+        full = tau0.shape[:3] + (k,)
+        return _tap_chunk_lanes(dry_bands,
+                                jnp.broadcast_to(tau0, full),
+                                jnp.broadcast_to(tau1, full),
+                                jnp.broadcast_to(g0, full),
+                                jnp.broadcast_to(g1, full),
+                                valid, n, max_glide)
     s = jnp.arange(n, dtype=jnp.float32)
     r = s / jnp.float32(max(1, n))
     tau = tau0[..., None] + (tau1 - tau0)[..., None] * r  # [L, A, 3, K, n]
@@ -347,21 +469,35 @@ def _tap_chunk(dry_window: jax.Array, tau0, tau1, g0, g1, valid,
                    axis=(1, 2, 3))
 
 
+def _first_chunk_select(is_first, cur, prev):
+    """Per-leaf first-chunk selection: chunk 0 has no predecessor, so
+    its "previous" products are its own (the fade-in-from-current-IR
+    rule every stream mode shares)."""
+    return jax.tree_util.tree_map(
+        lambda c, p: jnp.where(is_first, c, p), cur, prev)
+
+
 def _per_arrival_parts(dry_piece: jax.Array, dry_window: jax.Array,
-                       prev_ir: jax.Array, cur_ir: jax.Array,
-                       n: int, k: int,
+                       carry: ArrivalCarry, cur_ir: jax.Array,
+                       is_first, n: int, k: int,
                        n_taps: int = _ARRIVAL_TAPS,
                        match_bins: float = _ARRIVAL_MATCH_BINS):
     """The per-arrival step shared by :func:`stream_chunk` and the live
     pipeline's ``wet_chunk``: extract + match + synthesize the taps and
-    convolve the residuals. Returns ``(wet[L, N+T], taps[L, n])`` —
-    ``wet`` is the crossfaded residual convolution, ``taps`` the
-    per-path Doppler signal for THIS chunk's output samples. Banded IRs
-    (K > 1) share one delay glide per arrival with per-band window
-    gains, read from band-split dry (:func:`_band_windows`)."""
+    convolve the residuals. Returns ``(wet[L, N+T], taps[L, n],
+    new_carry)`` — ``wet`` is the crossfaded residual convolution,
+    ``taps`` the per-path Doppler signal for THIS chunk's output
+    samples, ``new_carry`` this chunk's table + residual for the next
+    chunk (the previous chunk's products arrive in ``carry``; nothing
+    is recomputed from the previous IR). Banded IRs (K > 1) share one
+    delay glide per arrival with per-band window gains, read from
+    band-split dry (:func:`_band_windows`)."""
     early_bins = dry_window.shape[-1] - n - 2
     idx_c, g3_c, val_c = _arrival_table(cur_ir, early_bins, n_taps)
-    idx_p, g3_p, val_p = _arrival_table(prev_ir, early_bins, n_taps)
+    cur_res = _remove_taps(cur_ir, idx_c, val_c)
+    new_carry = ArrivalCarry(cur_res, idx_c, g3_c, val_c)
+    prev_res, idx_p, g3_p, val_p, _, _ = _first_chunk_select(
+        is_first, new_carry, carry)
     tau0, g0, matched_prev, _, _ = _match_arrivals(
         idx_c, val_c, idx_p, g3_p, val_p, match_bins)
     # A vanished arrival (valid in prev, matched by no current tap) must
@@ -381,10 +517,12 @@ def _per_arrival_parts(dry_piece: jax.Array, dry_window: jax.Array,
                       cat(idx_c.astype(jnp.float32), tau_p),
                       cat(g0, g3_p),
                       cat(g3_c, jnp.zeros_like(g3_p)),
-                      cat(val_c, vanished), n)
-    prev_res = _remove_taps(prev_ir, idx_p, val_p)
-    cur_res = _remove_taps(cur_ir, idx_c, val_c)
-    return _crossfaded_wet(dry_piece, prev_res, cur_res), taps
+                      cat(val_c, vanished), n,
+                      # matched glides move <= match_bins; fade-in/out
+                      # taps don't glide at all
+                      max_glide=float(match_bins))
+    return (_crossfaded_wet(dry_piece, prev_res, cur_res), taps,
+            new_carry)
 
 
 def _ear_fields(w3, x3, y3, idx, facing, sign, sample_rate: int,
@@ -424,8 +562,8 @@ def _ear_fields(w3, x3, y3, idx, facing, sign, sample_rate: int,
 
 
 def _per_arrival_binaural(dry_piece: jax.Array, dry_window: jax.Array,
-                          prev_sp: jax.Array, cur_sp: jax.Array,
-                          prev_facing, cur_facing, n: int,
+                          carry: ArrivalCarry, cur_sp: jax.Array,
+                          prev_facing, cur_facing, is_first, n: int,
                           sample_rate: int, head_radius: float,
                           shadow: float, speed_of_sound,
                           decorrelate: bool,
@@ -444,7 +582,15 @@ def _per_arrival_binaural(dry_piece: jax.Array, dry_window: jax.Array,
     delay. The residual spatial IR (tap bins zeroed across all three
     pattern rows) goes through the ordinary binaural decode — the
     decorrelated diffuse late field is untouched — and the crossfaded
-    convolution. Returns ``(wet[2, N+T], taps[2, n])``.
+    convolution. Returns ``(wet[2, N+T], taps[2, n], new_carry)``.
+
+    The previous chunk's side arrives entirely in ``carry`` (its W
+    table, X/Y bearing windows, and DECODED two-ear residual — all
+    computed when that chunk was current), so the only full-IR work
+    per chunk is the current capture's: one table, one removal, one
+    binaural decode. Rounds 4 recomputed all three from a carried raw
+    ``[3, T, K]`` capture — a second decode's four scatter-adds every
+    chunk.
 
     With a static scene and facing, prev == cur tap fields and the
     synthesis reproduces the plain binaural stream's removed deposits
@@ -455,17 +601,21 @@ def _per_arrival_binaural(dry_piece: jax.Array, dry_window: jax.Array,
     n_t = cur_sp.shape[-2]
     early_bins = dry_window.shape[-1] - n - 2
     sp_c = spm.spatial_from_ir(cur_sp)
-    sp_p = spm.spatial_from_ir(prev_sp)
     idx_c, g3_c, val_c = _arrival_table(sp_c.w, early_bins, n_taps)
-    idx_p, g3_p, val_p = _arrival_table(sp_p.w, early_bins, n_taps)
+    x3_c = _window3(sp_c.x, idx_c)
+    y3_c = _window3(sp_c.y, idx_c)
+    rem_c = _remove_taps(cur_sp, jnp.tile(idx_c, (3, 1)),
+                         jnp.tile(val_c, (3, 1)))
+    res_c = spm.binaural_decode_ir(rem_c, sample_rate, cur_facing,
+                                   head_radius, shadow, speed_of_sound,
+                                   decorrelate=decorrelate)
+    new_carry = ArrivalCarry(res_c, idx_c, g3_c, val_c, x3_c, y3_c)
+    res_p, idx_p, g3_p, val_p, x3_p, y3_p = _first_chunk_select(
+        is_first, new_carry, carry)
     _, _, matched_prev, j, mutual = _match_arrivals(
         idx_c, val_c, idx_p, g3_p, val_p, match_bins)
     vanished = val_p & ~matched_prev
     decorr = decorrelate and not (head_radius == 0.0 and shadow == 0.0)
-    x3_c = _window3(sp_c.x, idx_c)
-    y3_c = _window3(sp_c.y, idx_c)
-    x3_p = _window3(sp_p.x, idx_p)
-    y3_p = _window3(sp_p.y, idx_p)
     li = jnp.arange(idx_c.shape[0])[:, None]
     mu = mutual[:, :, None, None]
     ear_tau0, ear_tau1, ear_g0, ear_g1 = [], [], [], []
@@ -490,24 +640,21 @@ def _per_arrival_binaural(dry_piece: jax.Array, dry_window: jax.Array,
             axis=1))
     rows_valid = jnp.concatenate([val_c, val_c, vanished, vanished],
                                  axis=1)                 # [1, 4A]
+    # ear glide bound: the W-channel match radius plus the worst
+    # chunk-to-chunk ITD swing. speed_of_sound is traced, so the slack
+    # uses a static floor of 100 m/s — far below any acoustic medium;
+    # a run below that merely mutes tap samples whose glide exceeds
+    # the bound (masked, never misread — see _tap_chunk_lanes)
+    itd_slack = 2.0 * head_radius * sample_rate / 100.0
     taps = _tap_chunk(_band_windows(cv.gate_input(dry_window), k),
                       jnp.concatenate(ear_tau0, axis=0),
                       jnp.concatenate(ear_tau1, axis=0),
                       jnp.concatenate(ear_g0, axis=0),
                       jnp.concatenate(ear_g1, axis=0),
                       jnp.concatenate([rows_valid, rows_valid], axis=0),
-                      n)                                  # [2, n]
-    rem_c = _remove_taps(cur_sp, jnp.tile(idx_c, (3, 1)),
-                         jnp.tile(val_c, (3, 1)))
-    rem_p = _remove_taps(prev_sp, jnp.tile(idx_p, (3, 1)),
-                         jnp.tile(val_p, (3, 1)))
-    res_c = spm.binaural_decode_ir(rem_c, sample_rate, cur_facing,
-                                   head_radius, shadow, speed_of_sound,
-                                   decorrelate=decorrelate)
-    res_p = spm.binaural_decode_ir(rem_p, sample_rate, prev_facing,
-                                   head_radius, shadow, speed_of_sound,
-                                   decorrelate=decorrelate)
-    return _crossfaded_wet(dry_piece, res_p, res_c), taps
+                      n, max_glide=float(match_bins) + itd_slack)  # [2, n]
+    return (_crossfaded_wet(dry_piece, res_p, res_c), taps,
+            new_carry)
 
 
 def _device_window(dry: jax.Array, wd: int, win_start, win_prefix,
@@ -655,26 +802,26 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
 
     # 2. convolve + crossfade (per-arrival: taps leave the convolution).
     taps = None
+    new_carry = state.arrival
     if per_arrival:
+        if state.arrival is None:
+            raise ValueError("per-arrival Doppler needs the arrival "
+                             "carry: init_stream(..., arrival_taps=A) "
+                             "(Streamer.process allocates it lazily)")
         wd = n + arrival_early + 2
         window = _device_window(dry_full, wd, win_start, win_prefix,
                                 win_cut, window_loop)
         if binaural:
-            if state.prev_spatial is None:
-                raise ValueError("binaural per-arrival Doppler needs the "
-                                 "spatial carry: init_stream(..., "
-                                 "spatial=True)")
-            prev_sp = jnp.where(is_first, cur_sp, state.prev_spatial)
             prev_fac = jnp.where(is_first, binaural_facing,
                                  state.prev_facing)
-            wet, taps = _per_arrival_binaural(
-                dry_chunk, window, prev_sp, cur_sp, prev_fac,
-                binaural_facing, n, sample_rate, head_radius, shadow,
-                params.speed_of_sound, decorrelate,
+            wet, taps, new_carry = _per_arrival_binaural(
+                dry_chunk, window, state.arrival, cur_sp, prev_fac,
+                binaural_facing, is_first, n, sample_rate, head_radius,
+                shadow, params.speed_of_sound, decorrelate,
                 arrival_taps, arrival_match_bins)
         else:
-            wet, taps = _per_arrival_parts(
-                dry_chunk, window, prev_ir, cur_ir, n, k,
+            wet, taps, new_carry = _per_arrival_parts(
+                dry_chunk, window, state.arrival, cur_ir, is_first, n, k,
                 arrival_taps, arrival_match_bins)
     else:
         wet = _crossfaded_wet(dry_chunk, prev_ir, cur_ir)       # [L, N+T]
@@ -688,11 +835,10 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
 
     new_state = StreamState(
         prev_ir=cur_ir, ring=ring, chunk_index=state.chunk_index + 1,
-        prev_spatial=(cur_sp if (binaural and state.prev_spatial is not None)
-                      else state.prev_spatial),
         prev_facing=(binaural_facing
                      if (binaural and state.prev_facing is not None)
-                     else state.prev_facing))
+                     else state.prev_facing),
+        arrival=new_carry)
     return out, new_state
 
 
@@ -734,12 +880,12 @@ class Streamer:
         self.state = init_stream(config.audio.ir_length,
                                  config.audio.chunk_samples,
                                  self.n_listeners, scene.n_bands,
-                                 spatial=binaural)
+                                 binaural=binaural)
 
     def reset_ir(self) -> None:
         """The reference's R key (``RayTraceManager.cs:58-61`` ->
         ``ClearImpulse``) mid-stream: drop the IR memory — the
-        crossfade's previous IR and the binaural spatial carry — so the
+        crossfade's previous IR and the per-arrival carry — so the
         next chunk fades in from silence and the room re-blooms from the
         fresh trace. Audio already pushed into the ring keeps playing,
         exactly like the reference (ClearImpulse zeroes the impulse
@@ -747,8 +893,8 @@ class Streamer:
         s = self.state
         self.state = s._replace(
             prev_ir=jnp.zeros_like(s.prev_ir),
-            prev_spatial=(jnp.zeros_like(s.prev_spatial)
-                          if s.prev_spatial is not None else None))
+            arrival=(jax.tree_util.tree_map(jnp.zeros_like, s.arrival)
+                     if s.arrival is not None else None))
 
     def process(self, dry_chunk: jax.Array, params: TraceParams,
                 scene: Optional[Scene] = None,
@@ -767,6 +913,13 @@ class Streamer:
         window_loop = False
         if window is not None:
             dry_full, win_start, win_prefix, win_cut, window_loop = window
+            if self.state.arrival is None:
+                # allocate the per-arrival carry on the first per-arrival
+                # chunk (plain streams never carry it; the one pytree-
+                # structure change happens before the first compile)
+                self.state = self.state._replace(arrival=init_arrival_carry(
+                    self.config.audio.ir_length, self.n_listeners,
+                    self.scene.n_bands, self.arrival_taps, self.binaural))
         out, self.state = stream_chunk(
             scene if scene is not None else self.scene, params, self.state,
             dry_chunk, self.key,

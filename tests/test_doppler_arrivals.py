@@ -149,8 +149,12 @@ def test_vanished_arrival_fades_out_instead_of_clicking():
     wd = n + early + 2
     dry_window = jnp.asarray(
         np.random.default_rng(0).normal(size=wd).astype(np.float32))
-    wet, taps = st._per_arrival_parts(dry_window[-n:], dry_window,
-                                      prev_ir, cur_ir, n, 1)
+    idx_p, g3_p, val_p = st._arrival_table(prev_ir, early,
+                                           st._ARRIVAL_TAPS)
+    carry = st.ArrivalCarry(st._remove_taps(prev_ir, idx_p, val_p),
+                            idx_p, g3_p, val_p)
+    wet, taps, _ = st._per_arrival_parts(dry_window[-n:], dry_window,
+                                         carry, cur_ir, False, n, 1)
     s = np.arange(n)
     dw = np.asarray(dry_window)
     dw = np.where(np.abs(dw) > 1e-4, dw, 0.0)   # the conv input gate
@@ -416,8 +420,13 @@ def test_banded_moving_tap_levels_track_band_gains():
     low = np.sin(2 * np.pi * 500.0 * tt).astype(np.float32)
     high = np.sin(2 * np.pi * 3500.0 * tt).astype(np.float32)
     window = jnp.asarray(low + high)
-    wet, taps = st._per_arrival_parts(window[-n:], window, prev_ir,
-                                      cur_ir, n, k)
+    early = wd - n - 2
+    idx_p, g3_p, val_p = st._arrival_table(prev_ir, early,
+                                           st._ARRIVAL_TAPS)
+    carry = st.ArrivalCarry(st._remove_taps(prev_ir, idx_p, val_p),
+                            idx_p, g3_p, val_p)
+    wet, taps, _ = st._per_arrival_parts(window[-n:], window, carry,
+                                         cur_ir, False, n, k)
     taps = np.asarray(taps)[0]
     # the tap output is (band-0 filtered window) delayed 100 samples:
     # dominated by the low tone, high tone suppressed by the brickwall
@@ -629,3 +638,59 @@ def test_live_per_arrival_matches_stream():
         dry, total_chunks=total, loop=False, realtime=False,
         params_fn=poses)
     assert not np.allclose(rep.audio, plain.audio)
+
+
+def test_tap_chunk_lanes_matches_gather_formulation():
+    """The lane-decomposed tap synthesis (_tap_chunk(max_glide=...), the
+    TPU fast path that replaces the per-sample gather with statically
+    shifted strip slices) reproduces the gather formulation exactly:
+    bit-identical per-tap reads, f32-eps noise at most from XLA
+    reassociating the final tap sum. Covers both caller shapes — the
+    scalar 2-D promotion over banded dry and the binaural full
+    [2, A', 3, K] form with per-bin ITD-style offsets — plus taps
+    pinned at the window edges."""
+    rng = np.random.default_rng(3)
+    n, early = 480, 600
+    wd = n + early + 2
+
+    def both(dry, tau0, tau1, g0, g1, val, mg):
+        a = jax.jit(lambda *x: st._tap_chunk(*x, n))(
+            dry, tau0, tau1, g0, g1, val)
+        b = jax.jit(lambda *x: st._tap_chunk(*x, n, max_glide=mg))(
+            dry, tau0, tau1, g0, g1, val)
+        return np.asarray(a), np.asarray(b)
+
+    # scalar promotion over K=4 banded dry, glides up to the bound
+    k = 4
+    dry = jnp.asarray(rng.normal(size=(k, wd)).astype(np.float32))
+    tau0 = jnp.asarray(rng.uniform(1, early, (2, 12)).astype(np.float32))
+    tau1 = tau0 + jnp.asarray(
+        rng.uniform(-64, 64, (2, 12)).astype(np.float32))
+    g0 = jnp.asarray(np.abs(rng.normal(size=(2, 12, 3))).astype(np.float32))
+    g1 = jnp.asarray(np.abs(rng.normal(size=(2, 12, 3))).astype(np.float32))
+    val = jnp.asarray(rng.uniform(size=(2, 12)) > 0.3)
+    a, b = both(dry, tau0, tau1, g0, g1, val, 64.0)
+    assert np.max(np.abs(a)) > 0.1            # non-trivial fixture
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+    # binaural full form [2, A', 3, 1] with per-bin ITD offsets
+    dry1 = jnp.asarray(rng.normal(size=(1, wd)).astype(np.float32))
+    t0 = np.clip(rng.uniform(0, early, (2, 24, 3, 1))
+                 + rng.uniform(-13, 13, (2, 24, 3, 1)), 0, None)
+    t1 = np.clip(t0 + rng.uniform(-64, 64, (2, 24, 1, 1))
+                 + rng.uniform(-25, 25, (2, 24, 3, 1)), 0, wd - 3)
+    gb0 = np.abs(rng.normal(size=(2, 24, 3, 1))).astype(np.float32)
+    gb1 = np.abs(rng.normal(size=(2, 24, 3, 1))).astype(np.float32)
+    vb = rng.uniform(size=(2, 24)) > 0.2
+    a, b = both(dry1, jnp.asarray(t0.astype(np.float32)),
+                jnp.asarray(t1.astype(np.float32)), jnp.asarray(gb0),
+                jnp.asarray(gb1), jnp.asarray(vb), 64.0 + 26 + 25)
+    assert np.array_equal(a, b)               # K=1: bit-identical
+
+    # window-edge pins (tau 0 / early / wd-1), zero glide
+    t0e = np.zeros((1, 4, 3, 1), np.float32)
+    t0e[0, 1], t0e[0, 2], t0e[0, 3] = early, wd - 1.0, 0.5
+    one = jnp.asarray(np.ones((1, 4, 3, 1), np.float32))
+    a, b = both(dry1, jnp.asarray(t0e), jnp.asarray(t0e), one, one,
+                jnp.asarray(np.ones((1, 4), bool)), 8.0)
+    assert np.array_equal(a, b)
