@@ -342,6 +342,17 @@ def _band_windows(window: jax.Array, k: int) -> jax.Array:
     return jnp.fft.irfft(x[None, :] * masks, n_fft)[:, :wd]
 
 
+def _tap_glide(bound: float) -> Optional[float]:
+    """Glide bound for :func:`_tap_chunk`'s lane fast path on
+    accelerator backends, ``None`` (the gather formulation) on CPU:
+    XLA-CPU lowers the gather to cheap vectorized loads (~2.5 ms at
+    composed shapes) while the ~J shifted lane slices cost ~86 ms
+    there — the exact inverse of the TPU profile, where the gather
+    serializes (~11 ms) and the lanes are ~1 ms of VPU work. Resolved
+    at trace time (the backend is fixed per compiled program)."""
+    return None if jax.default_backend() == "cpu" else bound
+
+
 def _tap_chunk_lanes(dry_bands: jax.Array, tau0, tau1, g0, g1, valid,
                      n: int, max_glide: float) -> jax.Array:
     """Lane-decomposed tap synthesis — the TPU fast path of
@@ -520,7 +531,7 @@ def _per_arrival_parts(dry_piece: jax.Array, dry_window: jax.Array,
                       cat(val_c, vanished), n,
                       # matched glides move <= match_bins; fade-in/out
                       # taps don't glide at all
-                      max_glide=float(match_bins))
+                      max_glide=_tap_glide(float(match_bins)))
     return (_crossfaded_wet(dry_piece, prev_res, cur_res), taps,
             new_carry)
 
@@ -652,7 +663,9 @@ def _per_arrival_binaural(dry_piece: jax.Array, dry_window: jax.Array,
                       jnp.concatenate(ear_g0, axis=0),
                       jnp.concatenate(ear_g1, axis=0),
                       jnp.concatenate([rows_valid, rows_valid], axis=0),
-                      n, max_glide=float(match_bins) + itd_slack)  # [2, n]
+                      n,
+                      max_glide=_tap_glide(float(match_bins) + itd_slack)
+                      )                                  # [2, n]
     return (_crossfaded_wet(dry_piece, res_p, res_c), taps,
             new_carry)
 
