@@ -599,26 +599,36 @@ def _binaural_setup(args, room, n_l: int, chunk_dt: float):
 
 def _arrival_kwargs(args):
     """Per-arrival Doppler tuning flags -> Streamer/LivePlayer kwargs
-    (defaults documented in docs/ACOUSTICS.md)."""
+    (the streaming._ARRIVAL_* constants are the single source of the
+    defaults; docs/ACOUSTICS.md documents them)."""
+    from .streaming import (_ARRIVAL_MATCH_BINS, _ARRIVAL_TAPS,
+                            _ARRIVAL_WINDOW_S)
     return dict(
-        arrival_taps=getattr(args, "arrival_taps", 6),
-        arrival_window_s=getattr(args, "arrival_window", 0.12),
-        arrival_match_bins=getattr(args, "arrival_match_bins", 64.0))
+        arrival_taps=getattr(args, "arrival_taps", _ARRIVAL_TAPS),
+        arrival_window_s=getattr(args, "arrival_window",
+                                 _ARRIVAL_WINDOW_S),
+        arrival_match_bins=getattr(args, "arrival_match_bins",
+                                   _ARRIVAL_MATCH_BINS))
 
 
 def _arrival_args(p):
-    p.add_argument("--arrival-taps", type=int, default=6, metavar="N",
+    from .streaming import (_ARRIVAL_MATCH_BINS, _ARRIVAL_TAPS,
+                            _ARRIVAL_WINDOW_S)
+    p.add_argument("--arrival-taps", type=int, default=_ARRIVAL_TAPS,
+                   metavar="N",
                    help="per-arrival Doppler: tracked early arrivals per "
-                        "listener (default 6; raise for scenes with many "
-                        "comparable early reflections)")
-    p.add_argument("--arrival-window", type=float, default=0.12,
-                   metavar="S",
+                        f"listener (default {_ARRIVAL_TAPS}; raise for "
+                        "scenes with many comparable early reflections)")
+    p.add_argument("--arrival-window", type=float,
+                   default=_ARRIVAL_WINDOW_S, metavar="S",
                    help="per-arrival Doppler: early IR window the taps "
-                        "may live in, seconds (default 0.12)")
-    p.add_argument("--arrival-match-bins", type=float, default=64.0,
-                   metavar="B",
+                        f"may live in, seconds (default "
+                        f"{_ARRIVAL_WINDOW_S})")
+    p.add_argument("--arrival-match-bins", type=float,
+                   default=_ARRIVAL_MATCH_BINS, metavar="B",
                    help="per-arrival Doppler: max IR-bin drift matched "
-                        "chunk-to-chunk (default 64 = ~0.5 m at 48 kHz)")
+                        f"chunk-to-chunk (default "
+                        f"{_ARRIVAL_MATCH_BINS:.0f} = ~0.5 m at 48 kHz)")
 
 
 def _doppler_arg(args):

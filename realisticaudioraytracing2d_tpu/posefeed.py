@@ -218,7 +218,7 @@ class PoseFeed:
         self._resets: List[int] = []       # due chunks, consumed on query
         self._max_q = -1                   # furthest chunk ever queried
         self._rebuilder = None             # SceneBuilder for obstacles
-        self._scene_cache = None           # (key, scene) memo
+        self._scene_cache = None     # (key, base_scene, scene) memo
         fd = None
         try:
             fd = fh.fileno()
@@ -390,13 +390,16 @@ class PoseFeed:
         obstacles = self._state(chunk_index)[3]
         if not obstacles:
             return base_scene
-        cache_key = (id(base_scene),
-                     tuple(sorted((str(k), pos, ang)
-                                  for k, (pos, ang, _) in
-                                  obstacles.items())))
+        cache_key = tuple(sorted((str(k), pos, ang)
+                                 for k, (pos, ang, _) in
+                                 obstacles.items()))
+        # the base scene rides the cache entry by IDENTITY (not id():
+        # a reclaimed id can alias a fresh scene and serve stale
+        # geometry silently)
         if self._scene_cache is not None \
-                and self._scene_cache[0] == cache_key:
-            return self._scene_cache[1]
+                and self._scene_cache[0] == cache_key \
+                and self._scene_cache[1] is base_scene:
+            return self._scene_cache[2]
         scene = base_scene
         for key, (pos, ang, line_no) in obstacles.items():
             if self._rebuilder is None:
@@ -412,7 +415,7 @@ class PoseFeed:
             except (KeyError, ValueError) as e:
                 raise PoseFeedError(
                     f"pose feed line {line_no}: {e}") from None
-        self._scene_cache = (cache_key, scene)
+        self._scene_cache = (cache_key, base_scene, scene)
         return scene
 
     def control(self, chunk_index: int) -> Dict:

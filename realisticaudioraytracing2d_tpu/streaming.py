@@ -610,7 +610,16 @@ def _per_arrival_binaural(dry_piece: jax.Array, dry_window: jax.Array,
     from . import spatial as spm
     k = cur_sp.shape[-1]
     n_t = cur_sp.shape[-2]
-    early_bins = dry_window.shape[-1] - n - 2
+    # the far ear's ITD shift ADDS to a tap's delay, but the dry-history
+    # window only has 2 bins of slack past the tap window — a tap within
+    # max_shift of the window end would read before the window and mute
+    # its first samples every chunk. Shrink the EXTRACTION window by a
+    # static ITD pad (c >= 100 m/s floor; speed_of_sound is traced)
+    # instead of widening the window: arrivals in the last pad bins stay
+    # in the residual convolution, which renders any delay exactly —
+    # no energy is lost, they just don't glide.
+    itd_pad = int(np.ceil(head_radius * sample_rate / 100.0))
+    early_bins = max(1, dry_window.shape[-1] - n - 2 - itd_pad)
     sp_c = spm.spatial_from_ir(cur_sp)
     idx_c, g3_c, val_c = _arrival_table(sp_c.w, early_bins, n_taps)
     x3_c = _window3(sp_c.x, idx_c)
@@ -825,6 +834,10 @@ def stream_chunk(scene: Scene, params: TraceParams, state: StreamState,
         window = _device_window(dry_full, wd, win_start, win_prefix,
                                 win_cut, window_loop)
         if binaural:
+            if state.prev_facing is None:
+                raise ValueError("binaural per-arrival Doppler needs the "
+                                 "facing carry: init_stream(..., "
+                                 "binaural=True)")
             prev_fac = jnp.where(is_first, binaural_facing,
                                  state.prev_facing)
             wet, taps, new_carry = _per_arrival_binaural(

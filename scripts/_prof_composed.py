@@ -1,4 +1,10 @@
-import sys; sys.path.insert(0, "/root/repo")
+"""Per-stage profile of the composed binaural + per-arrival chunk:
+times each jitted stage (decode, arrival table, tap synthesis,
+removal, crossfade, window) separately at the reference workload
+shapes to locate the chunk's hotspot (this is how the _tap_chunk
+gather was identified; docs/PERF.md carries the conclusions).
+"""
+import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

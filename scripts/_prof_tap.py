@@ -1,5 +1,14 @@
+"""Micro-benchmark backing the _tap_chunk lane decomposition
+(streaming.py::_tap_chunk_lanes): times the gather formulation against
+lane-decomposition variants (unrolled / fori / one-hot-MXU segment) at
+the composed binaural shapes and checks bit-identity. Run on the
+backend under study (TPU: plain `python scripts/_prof_tap.py`; the
+measured numbers are quoted in streaming.py::_tap_glide and
+docs/PERF.md).
+"""
+import os
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

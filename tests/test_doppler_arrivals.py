@@ -694,3 +694,46 @@ def test_tap_chunk_lanes_matches_gather_formulation():
     a, b = both(dry1, jnp.asarray(t0e), jnp.asarray(t0e), one, one,
                 jnp.asarray(np.ones((1, 4), bool)), 8.0)
     assert np.array_equal(a, b)
+
+
+def test_binaural_edge_arrival_stays_residual_not_muted():
+    """An arrival within the ITD slack of the early-window end must NOT
+    become a tap: the far ear's ITD shift would push its read position
+    before the dry-history window and mute the tap's first samples
+    every chunk (review r5 finding). The extraction window is shrunk by
+    the static ITD pad instead, so the edge arrival stays in the
+    residual convolution and the static per-arrival stream still
+    reproduces the plain binaural stream. head_radius is exaggerated
+    (0.5 m) so the pre-fix muting would be ~10 samples of the DOMINANT
+    arrival per chunk — far outside the identity tolerance."""
+    scene, src, lis = _free_field_room(2.0)
+    cfg = _cfg()
+    eng = Engine(scene, cfg)
+    params = eng.params(src, lis)
+    sr = cfg.audio.sample_rate
+    rng = np.random.default_rng(5)
+    dry = jnp.asarray(rng.normal(size=int(0.3 * sr)).astype(np.float32)
+                      * 0.3)
+    fn = lambda i: params                                   # noqa: E731
+    facing = lambda i: 0.3                                  # noqa: E731
+    # direct arrival ~bin 47; window 48 bins puts it 1-2 bins from the
+    # end, far inside the 0.5 m head's ITD reach (~12 bins at 8 kHz)
+    kw = dict(frames_per_chunk=4, binaural=True, head_radius=0.5,
+              arrival_window_s=48.0 / sr)
+    plain = np.asarray(Streamer(scene, cfg, jax.random.PRNGKey(0), **kw)
+                       .stream_clip(dry, fn, loop=False,
+                                    facing_fn=facing))
+    pa = np.asarray(Streamer(scene, cfg, jax.random.PRNGKey(0), **kw)
+                    .stream_clip(dry, fn, loop=False,
+                                 doppler="per_arrival",
+                                 facing_fn=facing))
+    scale = np.abs(plain).max()
+    np.testing.assert_allclose(pa, plain, atol=2e-3 * scale)
+    # and the tap machinery is still live in this mode: a window wide
+    # enough to keep the arrival clear of the pad behaves identically
+    kw2 = dict(kw, arrival_window_s=0.12)
+    pa2 = np.asarray(Streamer(scene, cfg, jax.random.PRNGKey(0), **kw2)
+                     .stream_clip(dry, fn, loop=False,
+                                  doppler="per_arrival",
+                                  facing_fn=facing))
+    assert np.isfinite(pa2).all() and np.abs(pa2).max() > 0
