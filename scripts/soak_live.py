@@ -49,6 +49,17 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+
+    # Persistent XLA compile cache (same dir as bench.py /
+    # tests_tpu/conftest.py): without it every soak pays ~10 cold Mosaic
+    # compiles through the relay, which contaminates the latency columns
+    # and can alone blow the realtime budget at small --minutes.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))),
+                          ".jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
