@@ -52,31 +52,48 @@ def run_mode(name, *, chunks, binaural=False, doppler=False):
 
     def on_chunk(i, _state):
         stamps.append(time.perf_counter())
+        if i % 10 == 0:
+            print(f"  [{name}] chunk {i}", file=sys.stderr, flush=True)
 
-    out = streamer.stream_clip(dry, params_fn, pad_tail=False,
-                               on_chunk=on_chunk,
-                               facing_fn=(lambda i: 0.3) if binaural
-                               else None,
-                               doppler=doppler)
-    float(jnp.sum(out))
-    lat = np.diff(np.asarray(stamps))[4:] * 1e3   # skip warm-up chunks
-    print(f"{name:28s} p50 {np.median(lat):6.2f} ms  "
-          f"mean {lat.mean():6.2f} ms  p95 {np.percentile(lat, 95):6.2f} ms"
-          f"  ({len(lat)} chunks, sr {sr})", flush=True)
-    return float(np.median(lat))
+    facing_fn = (lambda i: 0.3) if binaural else None
+
+    def one_pass():
+        out = streamer.stream_clip(dry, params_fn, pad_tail=False,
+                                   on_chunk=on_chunk,
+                                   facing_fn=facing_fn, doppler=doppler)
+        float(jnp.sum(out))                       # device sync barrier
+
+    one_pass()                                    # compile + warm
+    stamps.clear()
+    t0 = time.perf_counter()
+    one_pass()                                    # timed, fully warm
+    wall = (time.perf_counter() - t0) / (len(dry) // n) * 1e3
+    lat = np.diff(np.asarray(stamps))[1:] * 1e3
+    print(f"{name:8s} wall {wall:6.2f} ms/chunk  dispatch p50 "
+          f"{np.median(lat):6.2f} ms  p95 {np.percentile(lat, 95):6.2f} ms"
+          f"  ({len(lat) + 1} chunks, sr {sr})", flush=True)
+    return wall
+
+
+MODES = {
+    "plain": dict(),
+    "pa": dict(doppler="per_arrival"),
+    "bi": dict(binaural=True),
+    "bpa": dict(binaural=True, doppler="per_arrival"),
+}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, default=50)
+    ap.add_argument("--mode", choices=[*MODES, "all"], default="all",
+                    help="run one mode per process so a relay stall "
+                         "can't lose completed measurements")
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}", flush=True)
-    run_mode("plain stream_clip", chunks=args.chunks)
-    run_mode("per-arrival stream_clip", chunks=args.chunks,
-             doppler="per_arrival")
-    run_mode("binaural stream_clip", chunks=args.chunks, binaural=True)
-    run_mode("binaural+per-arrival", chunks=args.chunks, binaural=True,
-             doppler="per_arrival")
+    for m, kw in MODES.items():
+        if args.mode in (m, "all"):
+            run_mode(m, chunks=args.chunks, **kw)
 
 
 if __name__ == "__main__":
