@@ -214,7 +214,7 @@ class LivePlayer:
             prime: int = 1,
             facing_fn: Optional[Callable[[int], float]] = None,
             doppler: bool = False, sink=None, control_fn=None,
-            scene_fn=None) -> LiveReport:
+            scene_fn=None, record: bool = True) -> LiveReport:
         """``on_chunk(i, cur_ir)`` (optional) runs on the producer thread
         after chunk ``i`` is pushed, with that chunk's normalized IR
         ``[L, T, K]`` — the live-feedback hook (the reference blits the
@@ -256,7 +256,16 @@ class LivePlayer:
         reverb tail (the consumer's goal shrinks accordingly — the
         report's audio is shorter). ``scene_fn(i) -> Scene`` supplies
         per-chunk geometry (dynamic obstacles / pose-feed geometry
-        steering); same padded wall count = no recompile."""
+        steering); same padded wall count = no recompile.
+
+        ``record=False`` drops the drained audio instead of keeping the
+        whole session in the report (~0.2 MB/s/listener at 48 kHz —
+        unbounded for an open-ended live session). Playback through
+        ``sink``, underrun/lead accounting, and every other report
+        field are unaffected; ``report.audio`` comes back empty. Use it
+        whenever the session's sound leaves through the sink rather
+        than the return value (it is how ``scripts/soak_live.py`` keeps
+        a 10-minute session's RSS flat enough to catch real leaks)."""
         cfg = self.config
         n = cfg.audio.chunk_samples
         t = cfg.audio.ir_length
@@ -457,7 +466,8 @@ class LivePlayer:
                     report.max_lead_samples = max(
                         report.max_lead_samples, frontier - consumed)
                     frontier_lock.notify_all()
-                out.append(buf)
+                if record:
+                    out.append(buf)
                 if sink is not None:
                     # outside the lock: a blocking device write must not
                     # stall the producer's push

@@ -233,10 +233,18 @@ class PoseFeed:
 
     @staticmethod
     def open(path: str) -> "PoseFeed":
-        """``path`` or ``-`` for stdin."""
+        """``path`` or ``-`` for stdin.
+
+        Regular files are opened UNBUFFERED BINARY: tailing a growing
+        file through a text-mode ``read()`` can silently drop the bytes
+        between two polls (CPython's text layer caches a decoder
+        snapshot at EOF; a 10-minute soak reproduced a torn line whose
+        head vanished while the file on disk was intact). A raw
+        ``FileIO.read()`` advances exactly by the bytes it returns, so
+        the partial-line buffer in :meth:`poll` sees every byte once."""
         if path == "-":
             return PoseFeed(sys.stdin, close=False)
-        return PoseFeed(open(path, "r"), close=True)
+        return PoseFeed(open(path, "rb", buffering=0), close=True)
 
     def bind_scene(self, builder) -> "PoseFeed":
         """Attach the :class:`..models.scene.SceneBuilder` whose collider
@@ -259,7 +267,10 @@ class PoseFeed:
                     break
                 chunks.append(data.decode("utf-8", errors="replace"))
             return "".join(chunks)
-        return self._fh.read()
+        data = self._fh.read()
+        if isinstance(data, bytes):          # binary tail (see open())
+            return data.decode("utf-8", errors="replace")
+        return data or ""
 
     def poll(self, chunk_index: int) -> None:
         """Consume every complete line that has arrived. Each line is

@@ -46,9 +46,17 @@ def main() -> int:
     ap.add_argument("--per-arrival", action="store_true",
                     help="soak the per-arrival Doppler path instead of "
                          "the plain stream")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the identical loop on the CPU backend — "
+                         "the control for separating growth in THIS "
+                         "code (feed/ring/player host loop) from growth "
+                         "in the TPU relay client")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent XLA compile cache (same dir as bench.py /
     # tests_tpu/conftest.py): without it every soak pays ~10 cold Mosaic
@@ -108,6 +116,8 @@ def main() -> int:
         last[0] = now
         if i % 100 == 0:
             rss.append((i, rss_mb()))
+            print(f"  chunk {i}/{total_chunks} t+{now - t0:.0f}s "
+                  f"rss {rss[-1][1]:.0f} MB", file=sys.stderr, flush=True)
 
     player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(0))
     wt = threading.Thread(target=writer, daemon=True)
@@ -120,7 +130,7 @@ def main() -> int:
     t0 = time.perf_counter()
     rep = player.run(dry, total_chunks=total_chunks, loop=True,
                      realtime=True, params_fn=params_fn,
-                     on_chunk=on_chunk,
+                     on_chunk=on_chunk, record=False,
                      doppler="per_arrival" if args.per_arrival else False)
     wall = time.perf_counter() - t0
     stop_writer.set()

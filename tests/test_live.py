@@ -51,6 +51,28 @@ def test_live_threaded_matches_single_threaded_stream(live_cfg):
     assert np.abs(rep.audio).max() > 0
 
 
+def test_live_record_false_drops_audio_keeps_accounting(live_cfg):
+    # record=False is the open-ended-session mode (the soak's flat-RSS
+    # guard): the report must lose ONLY the audio — chunk/callback/
+    # underrun accounting identical to a recorded run of the same seed.
+    room, cfg, params = live_cfg
+    n = cfg.audio.chunk_samples
+    total = 4
+    dry = jnp.asarray(np.random.default_rng(0).normal(
+        size=2 * n).astype(np.float32) * 0.3)
+
+    runs = {}
+    for record in (True, False):
+        player = LivePlayer(room.scene, cfg, jax.random.PRNGKey(1))
+        runs[record] = player.run(dry, total_chunks=total, loop=False,
+                                  realtime=False, params=params,
+                                  record=record)
+    assert runs[True].audio.shape == (1, total * n)
+    assert runs[False].audio.shape == (1, 0)
+    for field in ("chunks", "callbacks", "underruns", "max_lead_samples"):
+        assert getattr(runs[False], field) == getattr(runs[True], field)
+
+
 def test_live_dsp_buffer_cadence(live_cfg):
     # Drains happen at DSP-buffer granularity (1024 samples, the
     # reference's m_DSPBufferSize): callback count is ceil(total/1024).

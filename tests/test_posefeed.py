@@ -94,6 +94,37 @@ def test_partial_line_buffers_until_newline(tmp_path):
                                   [1.0, 2.0])
 
 
+def test_regular_file_tailed_in_binary_mode(tmp_path):
+    # Regression (round-5 soak): tailing a growing REGULAR file through
+    # a text-mode read() can silently drop the bytes between two polls
+    # (CPython's text layer caches a decoder snapshot at EOF) — a
+    # 10-minute live session crashed on a torn line whose head vanished
+    # while the file on disk was intact. The fix is mechanical: regular
+    # files are opened unbuffered binary, so pin that mechanism.
+    path = tmp_path / "feed.jsonl"
+    path.write_text("")
+    feed = PoseFeed.open(str(path))
+    assert isinstance(feed._fh.read(0), bytes)
+    assert feed._select_fd is None            # still EOF-tail, no select
+
+    # soak-shaped stress: hundreds of polls over a file that grows by a
+    # torn boundary each time (every line is appended in two pieces,
+    # with a poll in between seeing the bare partial head)
+    p = base_params()
+    with open(path, "a") as fh:
+        for i in range(300):
+            line = json.dumps({"source": [float(i), 9.0]}) + "\n"
+            cut = 1 + (i * 7) % (len(line) - 2)
+            fh.write(line[:cut])
+            fh.flush()
+            feed.params(p, 2 * i)             # mid-line poll
+            fh.write(line[cut:])
+            fh.flush()
+            got = feed.params(p, 2 * i + 1)   # completed-line poll
+            np.testing.assert_array_equal(np.asarray(got.source),
+                                          [float(i), 9.0])
+
+
 def test_late_line_applies_at_next_poll(tmp_path):
     # a line stamped for a chunk that already played still applies (live
     # feeds are late by nature)
