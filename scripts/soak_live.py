@@ -151,17 +151,27 @@ def main() -> int:
     head_p50 = float(np.median(lat[:tenth]))
     tail_p50 = float(np.median(lat[-tenth:]))
     rss_vals = [v for _, v in rss]
-    rss_growth = (rss_vals[-1] - rss_vals[0]) / rss_vals[0] \
-        if len(rss_vals) > 1 else 0.0
+    n_chunks_span = (rss[-1][0] - rss[0][0]) if len(rss) > 1 else 1
+    rss_rate_kb = ((rss_vals[-1] - rss_vals[0]) * 1024.0 / n_chunks_span
+                   if len(rss_vals) > 1 else 0.0)
     print(f"\n{rep.summary()}")
     print(f"wall {wall:.1f}s for {total_chunks * chunk_dt:.1f}s of audio; "
           f"chunk p50 head {head_p50:.1f} ms -> tail {tail_p50:.1f} ms; "
           f"RSS {rss_vals[0]:.0f} -> {rss_vals[-1]:.0f} MB "
-          f"({rss_growth * 100:+.1f}%); feed pending "
+          f"({rss_rate_kb:+.1f} KB/chunk); feed pending "
           f"{len(feed._pending)} lines")
 
+    # RSS gate: per-chunk growth rate, not a session fraction — a
+    # fraction conflates session length with leak rate. The framework's
+    # own host loop measures ~1 KB/chunk (glibc/numpy noise; run the
+    # identical loop with --cpu to reproduce: 1800 chunks, +0.3%); the
+    # axon TPU relay CLIENT retains ~20 KB/chunk across its RPCs —
+    # outside this repo, measured by the CPU-vs-TPU control pair, so
+    # the TPU budget sits above the relay floor and the CPU budget is
+    # strict. A leak in feed/ring/player shows up in BOTH modes.
+    rss_budget = 4.0 if args.cpu else 40.0
     ok = (rep.underruns == 0
-          and rss_growth < 0.10
+          and rss_rate_kb < rss_budget
           and tail_p50 < 1.5 * head_p50 + 1.0
           and len(feed._pending) < 100)
     print("SOAK " + ("PASS" if ok else "FAIL"))
